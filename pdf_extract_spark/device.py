@@ -1,0 +1,131 @@
+"""Output devices: the reference's OutputDev surface (lib.rs:1879-1888)
+re-expressed as span-array producers for the Iceberg table shape
+
+    documents_spans(doc_id, spans: array<struct<kind,text,media_ref,offset>>)
+
+``PlainTextSpanDevice`` replicates ``PlainTextOutput`` byte-for-byte
+(/root/reference/src/lib.rs:2131-2200): ALL whitespace comes from the
+positional heuristics —
+    newline  if |y − last_y| > tfs·1.5
+    newline  if x < last_end and |y − last_y| > tfs·0.5   (both can fire)
+    space    if x > last_end + tfs·0.1
+gated on the first char of each shown string (begin_word, lib.rs:2191-2194),
+with tfs = sqrt(vx·vy) of the trm-transformed (fs, fs) vector — NaN when the
+product is negative (rotated text), which disables every comparison exactly
+like Rust's NaN ordering.  Initial state last_end=100000, last_y=0
+(lib.rs:2140-2147).
+
+Span derivation: the emitted character stream is split at inserted
+newlines; each segment becomes one span — kind='text' when non-empty,
+kind='para' for an empty segment (a blank line, i.e. both newline rules
+fired).  Image XObjects insert kind='media' spans carrying the resource
+name in media_ref.  ``spans_to_text`` inverts this exactly:
+'\n'.join over non-media span texts == the reference's extract_to_string.
+"""
+
+from __future__ import annotations
+
+import math
+
+from .interpreter import mat_mul, transform_vector
+
+
+class PlainTextSpanDevice:
+    def __init__(self):
+        self.spans: list[dict] = []
+        self._line: list[str] = []
+        self._offset = 0          # running char offset in the plain text
+        self._line_start = 0
+        self.last_end = 100000.0
+        self.last_y = 0.0
+        self.first_char = False
+        self.flip_ctm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+    # -- OutputDev surface ---------------------------------------------------
+
+    def begin_page(self, page_num: int, media_box):
+        llx, lly, urx, ury = media_box
+        self.flip_ctm = (1.0, 0.0, 0.0, -1.0, 0.0, ury - lly)
+
+    def end_page(self):
+        pass
+
+    def begin_word(self):
+        self.first_char = True
+
+    def end_word(self):
+        pass
+
+    def end_line(self):
+        pass  # no-op in plain text (lib.rs:2195-2199)
+
+    def output_character(self, trm, width: float, _spacing: float, font_size: float, char: str):
+        position = mat_mul(trm, self.flip_ctm)
+        vx, vy = transform_vector(trm, font_size, font_size)
+        prod = vx * vy
+        tfs = math.sqrt(prod) if prod >= 0 else math.nan
+        x, y = position[4], position[5]
+        if self.first_char:
+            if abs(y - self.last_y) > tfs * 1.5:
+                self._newline()
+            if x < self.last_end and abs(y - self.last_y) > tfs * 0.5:
+                self._newline()
+            if x > self.last_end + tfs * 0.1:
+                self._write(" ")
+        self._write(char)
+        self.first_char = False
+        self.last_y = y
+        self.last_end = x + width * tfs
+
+    def media(self, name: str):
+        self.spans.append(
+            {"kind": "media", "text": "", "media_ref": name, "offset": self._offset}
+        )
+
+    # -- span assembly ---------------------------------------------------------
+
+    def _write(self, s: str):
+        if s:
+            self._line.append(s)
+            self._offset += len(s)
+
+    def _newline(self):
+        text = "".join(self._line)
+        self.spans.append(
+            {
+                "kind": "text" if text else "para",
+                "text": text,
+                "media_ref": "",
+                "offset": self._line_start,
+            }
+        )
+        self._offset += 1  # the newline itself
+        self._line = []
+        self._line_start = self._offset
+
+    def finish(self) -> list[dict]:
+        """Close the trailing line. Only emits a span if any text was written
+        (a document with no text yields no trailing empty span)."""
+        if self._line or (self.spans and self._offset > self._line_start):
+            text = "".join(self._line)
+            self.spans.append(
+                {
+                    "kind": "text" if text else "para",
+                    "text": text,
+                    "media_ref": "",
+                    "offset": self._line_start,
+                }
+            )
+            self._line = []
+            self._line_start = self._offset
+        # Document order == offset order: a media span emitted mid-line was
+        # appended before its surrounding text span closed; stable sort by
+        # offset restores the true order.
+        self.spans.sort(key=lambda s: s["offset"])
+        return self.spans
+
+
+def spans_to_text(spans: list[dict]) -> str:
+    """Reducer: span array -> the reference's extract_to_string output.
+    Media spans are positional markers and contribute no characters."""
+    return "\n".join(s["text"] for s in spans if s["kind"] != "media")

@@ -1,0 +1,390 @@
+"""Deterministic synthetic PDF fixtures + golden outputs.
+
+The reference's test corpus is remote (.pdf.link files,
+/root/reference/tests/docs/) and unavailable offline; each fixture here
+covers the same code path (FIXTURES.md §3) with a tiny valid PDF built
+from scratch.  Goldens are hand-derived from the PlainTextOutput
+heuristics (lib.rs:2161-2190) — NOT produced by running our engine — so
+the span-equality tests are a real oracle.
+
+All fixtures are pure functions of their arguments: seed-free, byte-stable.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+# --------------------------------------------------------------------------
+# Minimal PDF writer
+# --------------------------------------------------------------------------
+
+
+class PdfBuilder:
+    def __init__(self):
+        self.objects: list[bytes] = []  # 1-based object bodies
+
+    def add(self, body: bytes) -> int:
+        self.objects.append(body)
+        return len(self.objects)
+
+    def add_stream(self, dict_entries: str, data: bytes, compress: bool = False,
+                   filt: str | None = None) -> int:
+        if compress:
+            data = zlib.compress(data)
+            filt = "/FlateDecode"
+        f = f" /Filter {filt}" if filt else ""
+        body = (
+            f"<< {dict_entries} /Length {len(data)}{f} >>\nstream\n".encode("latin-1")
+            + data
+            + b"\nendstream"
+        )
+        return self.add(body)
+
+    def build(self, root: int) -> bytes:
+        out = bytearray(b"%PDF-1.4\n%\xc7\xec\x8f\xa2\n")
+        offsets = [0]
+        for i, body in enumerate(self.objects, start=1):
+            offsets.append(len(out))
+            out += f"{i} 0 obj\n".encode("latin-1") + body + b"\nendobj\n"
+        xref_pos = len(out)
+        n = len(self.objects) + 1
+        out += f"xref\n0 {n}\n".encode("latin-1")
+        out += b"0000000000 65535 f \n"
+        for off in offsets[1:]:
+            out += f"{off:010d} 00000 n \n".encode("latin-1")
+        out += (
+            f"trailer\n<< /Size {n} /Root {root} 0 R >>\nstartxref\n{xref_pos}\n%%EOF"
+        ).encode("latin-1")
+        return bytes(out)
+
+
+def _simple_doc(pages: list[tuple[bytes, str]], compress=False) -> bytes:
+    """pages: list of (content_bytes, resources_dict_src). Shared catalog."""
+    b = PdfBuilder()
+    page_refs = []
+    pages_obj_num = 2 * len(pages) + 1  # content+page per page, then Pages
+    kids = " ".join(f"{2 * i + 2} 0 R" for i in range(len(pages)))
+    for content, res in pages:
+        c = b.add_stream("", content, compress=compress)
+        p = b.add(
+            (
+                f"<< /Type /Page /Parent {pages_obj_num} 0 R /Resources {res} >>"
+            ).encode("latin-1")
+        )
+        page_refs.append(p)
+    pages_obj = b.add(
+        (
+            f"<< /Type /Pages /Kids [{kids}] /Count {len(pages)} "
+            f"/MediaBox [0 0 612 792] >>"
+        ).encode("latin-1")
+    )
+    assert pages_obj == pages_obj_num
+    # wire Contents into pages (rebuild page bodies with content refs)
+    for i, (content, res) in enumerate(pages):
+        cref = 2 * i + 1
+        pref = cref + 1
+        b.objects[pref - 1] = (
+            f"<< /Type /Page /Parent {pages_obj} 0 R /Contents {cref} 0 R "
+            f"/Resources {res} >>"
+        ).encode("latin-1")
+    catalog = b.add(f"<< /Type /Catalog /Pages {pages_obj} 0 R >>".encode("latin-1"))
+    return b.build(catalog)
+
+
+_HELV = "<< /F1 << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> >>"
+
+
+# --------------------------------------------------------------------------
+# Fixture families: each returns (pdf_bytes, expected_text)
+# --------------------------------------------------------------------------
+
+
+def fx_simple_tj() -> tuple[bytes, str]:
+    content = b"BT /F1 12 Tf 72 720 Td (Hello World) Tj 0 -14 Td (Second line) Tj ET"
+    # begin: |y-0|=72>18 -> \n ; x<100000 and 72>6 -> \n ; line 2: dy=14, not
+    # >18; x back left and 14>6 -> \n
+    return _simple_doc([(content, f"<< /Font {_HELV} >>")]), "\n\nHello World\nSecond line"
+
+
+def fx_tj_kerning() -> tuple[bytes, str]:
+    # kern -130 => tx=+1.56 > 0.1*12=1.2 -> heuristic space; -80 => 0.96 -> none
+    content = b"BT /F1 12 Tf 72 720 Td [(AV) -130 (Word) -80 (Glue)] TJ ET"
+    return _simple_doc([(content, f"<< /Font {_HELV} >>")]), "\n\nAV WordGlue"
+
+
+def fx_multiline() -> tuple[bytes, str]:
+    # TL/T* line stepping + a Tm reset; also a blank-ish big jump (> 1.5 tfs
+    # fires once, plus moved-left rule) producing a double newline
+    content = (
+        b"BT /F1 10 Tf 14 TL 72 700 Td (alpha) Tj T* (beta) Tj "
+        b"1 0 0 1 72 600 Tm (gamma) Tj ET"
+    )
+    # alpha: \n\n ; beta: dy=14<=15 no rule1, moved-left dy>5 -> \n ;
+    # gamma: dy=86>15 -> \n, moved-left -> \n  (two newlines)
+    return _simple_doc([(content, f"<< /Font {_HELV} >>")]), "\n\nalpha\nbeta\n\ngamma"
+
+
+def fx_widths_custom() -> tuple[bytes, str]:
+    # Widths override core metrics (lib.rs:575-584); widths=0 for 'V' makes
+    # the next string NOT advance past it, then explicit Td gap -> space
+    font = (
+        "<< /F1 << /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        "/FirstChar 65 /LastChar 90 /Widths [500 500 500 500 500 500 500 500 "
+        "500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 "
+        "500] >> >>"
+    )
+    content = b"BT /F1 12 Tf 72 720 Td (AB) Tj 20 0 Td (CD) Tj ET"
+    # AB: advance 2*6 = 12; CD starts at 72+20=92 > 72+12+1.2 -> space
+    return _simple_doc([(content, f"<< /Font {font} >>")]), "\n\nAB CD"
+
+
+def fx_missing_widths() -> tuple[bytes, str]:
+    # Non-core font, no Widths: width map empty, missing_width=0 (the
+    # reference's Helvetica substitute name is computed but unused,
+    # lib.rs:586-608) -> zero advances, no heuristic spaces
+    font = "<< /F1 << /Type /Font /Subtype /TrueType /BaseFont /FooSans >> >>"
+    content = b"BT /F1 12 Tf 72 720 Td (ABC) Tj ET"
+    return _simple_doc([(content, f"<< /Font {font} >>")]), "\n\nABC"
+
+
+def fx_embedded_core_font() -> tuple[bytes, str]:
+    # Core font WITH explicit widths+descriptor (embeded-core-fonts.pdf.link
+    # path): explicit Widths preferred over AFM (lib.rs:575-584)
+    font = (
+        "<< /F1 << /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        "/FirstChar 32 /LastChar 122 /Widths ["
+        + " ".join(["600"] * 91)
+        + "] >> >>"
+    )
+    content = b"BT /F1 10 Tf 72 720 Td (mono ish) Tj ET"
+    return _simple_doc([(content, f"<< /Font {font} >>")]), "\n\nmono ish"
+
+
+def fx_encoding_differences() -> tuple[bytes, str]:
+    font = (
+        "<< /F1 << /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        "/Encoding << /BaseEncoding /WinAnsiEncoding "
+        "/Differences [65 /ydieresis 66 /emdash] >> >> >>"
+    )
+    content = b"BT /F1 12 Tf 72 720 Td (ABC) Tj ET"
+    return _simple_doc([(content, f"<< /Font {font} >>")]), "\n\nÿ—C"
+
+
+def fx_winansi_truetype() -> tuple[bytes, str]:
+    font = "<< /F1 << /Type /Font /Subtype /TrueType /BaseFont /Arial >> >>"
+    content = b"BT /F1 12 Tf 72 720 Td (A\x80B) Tj ET"  # 0x80 -> Euro in cp1252
+    return _simple_doc([(content, f"<< /Font {font} >>")]), "\n\nA€B"
+
+
+def fx_tounicode_cmap() -> tuple[bytes, str]:
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"begincmap\n"
+        b"1 begincodespacerange <00> <ff> endcodespacerange\n"
+        b"1 beginbfchar <41> <0048> endbfchar\n"
+        b"1 beginbfrange <42> <43> <0065> endbfrange\n"
+        b"endcmap end\n"
+    )
+    b = PdfBuilder()
+    cm = b.add_stream("", cmap)
+    c = b.add_stream("", b"BT /F1 12 Tf 72 720 Td (ABC) Tj ET")
+    font = b.add(
+        (
+            f"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            f"/ToUnicode {cm} 0 R >>"
+        ).encode("latin-1")
+    )
+    page = b.add(b"")
+    pages = b.add(
+        (
+            f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 /MediaBox [0 0 612 792] >>"
+        ).encode("latin-1")
+    )
+    b.objects[page - 1] = (
+        f"<< /Type /Page /Parent {pages} 0 R /Contents {c} 0 R "
+        f"/Resources << /Font << /F1 {font} 0 R >> >> >>"
+    ).encode("latin-1")
+    catalog = b.add(f"<< /Type /Catalog /Pages {pages} 0 R >>".encode("latin-1"))
+    # A->H (bfchar), B->e, C->f (bfrange)
+    return b.build(catalog), "\n\nHef"
+
+
+def fx_cid_identity_h() -> tuple[bytes, str]:
+    cmap = (
+        b"begincmap\n"
+        b"1 begincodespacerange <0000> <ffff> endcodespacerange\n"
+        b"1 beginbfrange <0041> <005a> <0041> endbfrange\n"
+        b"endcmap\n"
+    )
+    b = PdfBuilder()
+    cm = b.add_stream("", cmap)
+    desc = b.add(b"<< /Type /FontDescriptor /FontName /Fake /Flags 4 >>")
+    cidfont = b.add(
+        (
+            f"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Fake "
+            f"/FontDescriptor {desc} 0 R /DW 500 "
+            # W: array form for cids 65,66 = 600,700; range form 100..120
+            # 800 is the reference's silently-dropped quirk (lib.rs:1026-28)
+            f"/W [65 [600 700] 100 120 800] "
+            f"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            f"/Supplement 0 >> >>"
+        ).encode("latin-1")
+    )
+    font = b.add(
+        (
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /Fake "
+            f"/Encoding /Identity-H /DescendantFonts [{cidfont} 0 R] "
+            f"/ToUnicode {cm} 0 R >>"
+        ).encode("latin-1")
+    )
+    # 2-byte codes: A B d (0x0064 -> cid 100: in the DROPPED range -> DW)
+    content = b"BT /F1 12 Tf 72 720 Td <004100420064> Tj ET"
+    c = b.add_stream("", content)
+    page = b.add(b"")
+    pages = b.add(
+        (
+            f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 /MediaBox [0 0 612 792] >>"
+        ).encode("latin-1")
+    )
+    b.objects[page - 1] = (
+        f"<< /Type /Page /Parent {pages} 0 R /Contents {c} 0 R "
+        f"/Resources << /Font << /F1 {font} 0 R >> >> >>"
+    ).encode("latin-1")
+    catalog = b.add(f"<< /Type /Catalog /Pages {pages} 0 R >>".encode("latin-1"))
+    # bfrange maps 0x41..0x5a -> A..Z; 0x64 unmapped -> "" (silent drop,
+    # lib.rs:1087)
+    return b.build(catalog), "\n\nAB"
+
+
+def fx_rotated_text() -> tuple[bytes, str]:
+    # 90-degree Tm: transformed font size = sqrt(negative) = NaN -> every
+    # heuristic comparison false -> no whitespace at all (lib.rs:2163-2177)
+    content = b"BT /F1 12 Tf 0 1 -1 0 300 300 Tm (Rot) Tj ET"
+    return _simple_doc([(content, f"<< /Font {_HELV} >>")]), "Rot"
+
+
+def fx_xobject_form() -> tuple[bytes, tuple[str, list[str]]]:
+    """Returns (pdf, (expected_text, expected_media_refs))."""
+    b = PdfBuilder()
+    img = b.add_stream(
+        "/Type /XObject /Subtype /Image /Width 2 /Height 2 /ColorSpace "
+        "/DeviceGray /BitsPerComponent 8",
+        b"\x00\x40\x80\xff",
+    )
+    inner = b"BT /F1 12 Tf 72 600 Td (inner) Tj ET"
+    # the form's own /F1 resolves via ITS resources (lib.rs:1860-1869)
+    form_res = (
+        "<< /Font << /F1 << /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        ">> >> >>"
+    )
+    form = b.add_stream(
+        f"/Type /XObject /Subtype /Form /BBox [0 0 612 792] /Resources {form_res}",
+        inner,
+    )
+    content = (
+        b"BT /F1 12 Tf 72 720 Td (outer) Tj ET q 100 0 0 100 72 500 cm /Im1 Do Q /Fm1 Do"
+    )
+    c = b.add_stream("", content)
+    page = b.add(b"")
+    pages = b.add(
+        (
+            f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 /MediaBox [0 0 612 792] >>"
+        ).encode("latin-1")
+    )
+    res = (
+        "<< /Font << /F1 << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> >> "
+        f"/XObject << /Im1 {img} 0 R /Fm1 {form} 0 R >> >>"
+    )
+    b.objects[page - 1] = (
+        f"<< /Type /Page /Parent {pages} 0 R /Contents {c} 0 R /Resources {res} >>"
+    ).encode("latin-1")
+    catalog = b.add(f"<< /Type /Catalog /Pages {pages} 0 R >>".encode("latin-1"))
+    # outer at y'=72; inner at y'=192: dy=120>18 -> \n, moved-left -> \n
+    return b.build(catalog), ("\n\nouter\n\ninner", ["Im1"])
+
+
+def fx_flate_stream() -> tuple[bytes, str]:
+    content = b"BT /F1 12 Tf 72 720 Td (compressed) Tj ET"
+    return _simple_doc([(content, f"<< /Font {_HELV} >>")], compress=True), "\n\ncompressed"
+
+
+def fx_asciihex_stream() -> tuple[bytes, str]:
+    content = b"BT /F1 12 Tf 72 720 Td (hexed) Tj ET"
+    hexed = content.hex().encode("ascii") + b">"
+    b = PdfBuilder()
+    c = b.add_stream("", hexed, filt="/ASCIIHexDecode")
+    page = b.add(b"")
+    pages = b.add(
+        (
+            f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 /MediaBox [0 0 612 792] >>"
+        ).encode("latin-1")
+    )
+    b.objects[page - 1] = (
+        f"<< /Type /Page /Parent {pages} 0 R /Contents {c} 0 R "
+        f"/Resources << /Font {_HELV} >> >>"
+    ).encode("latin-1")
+    catalog = b.add(f"<< /Type /Catalog /Pages {pages} 0 R >>".encode("latin-1"))
+    return b.build(catalog), "\n\nhexed"
+
+
+def fx_multipage() -> tuple[bytes, str]:
+    p1 = b"BT /F1 12 Tf 72 720 Td (page one) Tj ET"
+    p2 = b"BT /F1 12 Tf 72 720 Td (page two) Tj ET"
+    res = f"<< /Font {_HELV} >>"
+    # page 2 starts at same position; last_y carries across pages (device
+    # state persists, lib.rs:2140 object reused) -> dy=0, but x < last_end
+    # fails rule2 (dy=0 < 6) -> NO newline between pages, and
+    # x(72) > last_end? no -> chars run together
+    return _simple_doc([(p1, res), (p2, res)]), "\n\npage onepage two"
+
+
+def fx_word_spacing() -> tuple[bytes, str]:
+    # Tw applies to byte 32 only (lib.rs:1306-1312): affects geometry not
+    # content (space char still written once)
+    content = b"BT /F1 12 Tf 72 720 Td 5 Tw (a b) Tj ET"
+    return _simple_doc([(content, f"<< /Font {_HELV} >>")]), "\n\na b"
+
+
+def fx_char_spacing_gap() -> tuple[bytes, str]:
+    # Tc widens every advance; between two Tj strings the gap exceeds
+    # 0.1*tfs so a heuristic space appears
+    content = b"BT /F1 12 Tf 72 720 Td 2 Tc (ab) Tj (cd) Tj ET"
+    # after (ab): last_end = x_b + w_b*12; next x starts at last advance
+    # incl. +2pt spacing -> x - last_end = 2 > 1.2 -> space
+    return _simple_doc([(content, f"<< /Font {_HELV} >>")]), "\n\nab cd"
+
+
+FIXTURES: dict[str, callable] = {
+    "simple_tj": fx_simple_tj,
+    "tj_kerning": fx_tj_kerning,
+    "multiline": fx_multiline,
+    "widths_custom": fx_widths_custom,
+    "missing_widths": fx_missing_widths,
+    "embedded_core_font": fx_embedded_core_font,
+    "encoding_differences": fx_encoding_differences,
+    "winansi_truetype": fx_winansi_truetype,
+    "tounicode_cmap": fx_tounicode_cmap,
+    "cid_identity_h": fx_cid_identity_h,
+    "rotated_text": fx_rotated_text,
+    "flate_stream": fx_flate_stream,
+    "asciihex_stream": fx_asciihex_stream,
+    "multipage": fx_multipage,
+    "word_spacing": fx_word_spacing,
+    "char_spacing_gap": fx_char_spacing_gap,
+}
+
+
+def corpus(replicas: int = 1) -> list[tuple[str, bytes, str]]:
+    """Deterministic (doc_id, pdf_bytes, expected_text) corpus; replicas
+    replicate the fixture set with distinct doc_ids (byte-identical PDFs)."""
+    out = []
+    base = []
+    for name, fn in sorted(FIXTURES.items()):
+        pdf, expected = fn()
+        if isinstance(expected, tuple):
+            expected = expected[0]
+        base.append((name, pdf, expected))
+    for r in range(replicas):
+        for name, pdf, expected in base:
+            out.append((f"{name}-{r:06d}", pdf, expected))
+    return out

@@ -1,0 +1,246 @@
+"""Content-stream interpreter: the reference's "physical plan executor".
+
+Re-implements ``Processor::process_stream`` (/root/reference/src/lib.rs:
+1576-1876) and ``show_text`` (lib.rs:1276-1327) over the pure-Python
+pdfmini layer.  Affine matrices are 6-tuples (a,b,c,d,e,f) in PDF / euclid
+row-major convention: point (x,y) -> (a·x + c·y + e, b·x + d·y + f).
+
+Parity-sensitive behaviors replicated:
+  * word spacing only for single-byte code 32 (lib.rs:1306-1312)
+  * glyph advance tx = h_scale·((w0 − tj/1000)·fs + spacing) (lib.rs:1317)
+  * TJ numeric adjust has NO spacing term (lib.rs:1664-1681)
+  * Q on empty stack warns, does not raise (lib.rs:1783-1791)
+  * unknown operators ignored (lib.rs:1870)
+  * initial font_size is NaN (lib.rs:1587)
+  * Do recursion uses the XObject's own Resources, falling back to the
+    parent's (lib.rs:1860-1869); Image XObjects emit media events (our
+    extension — the span data model's ``kind='media'``)
+"""
+
+from __future__ import annotations
+
+import math
+
+from .fonts import make_font
+from .pdfmini.content import decode_content
+from .pdfmini.objects import PdfString, Stream
+
+IDENTITY = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def mat_mul(m, n):
+    """Row-vector composition: apply m, then n (euclid A.post_transform(B))."""
+    a1, b1, c1, d1, e1, f1 = m
+    a2, b2, c2, d2, e2, f2 = n
+    return (
+        a1 * a2 + b1 * c2,
+        a1 * b2 + b1 * d2,
+        c1 * a2 + d1 * c2,
+        c1 * b2 + d1 * d2,
+        e1 * a2 + f1 * c2 + e2,
+        e1 * b2 + f1 * d2 + f2,
+    )
+
+
+def translate(tx, ty):
+    return (1.0, 0.0, 0.0, 1.0, tx, ty)
+
+
+def transform_vector(m, vx, vy):
+    return (vx * m[0] + vy * m[2], vx * m[1] + vy * m[3])
+
+
+def _num(v) -> float:
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        return 0.0
+    return float(v)
+
+
+class TextState:
+    __slots__ = (
+        "font", "font_size", "character_spacing", "word_spacing",
+        "horizontal_scaling", "leading", "rise", "tm",
+    )
+
+    def __init__(self):
+        self.font = None
+        self.font_size = math.nan
+        self.character_spacing = 0.0
+        self.word_spacing = 0.0
+        self.horizontal_scaling = 1.0
+        self.leading = 0.0
+        self.rise = 0.0
+        self.tm = IDENTITY
+
+    def clone(self):
+        c = TextState.__new__(TextState)
+        for s in TextState.__slots__:
+            setattr(c, s, getattr(self, s))
+        return c
+
+
+class GraphicsState:
+    __slots__ = ("ts", "ctm", "smask")
+
+    def __init__(self):
+        self.ts = TextState()
+        self.ctm = IDENTITY
+        self.smask = None
+
+    def clone(self):
+        c = GraphicsState.__new__(GraphicsState)
+        c.ts = self.ts.clone()
+        c.ctm = self.ctm
+        c.smask = self.smask
+        return c
+
+
+class Processor:
+    """One per document: the font cache is keyed by resource *name* and
+    shared across pages, exactly like the reference (lib.rs:1571-1574)."""
+
+    def __init__(self, doc):
+        self.doc = doc
+        self.font_table: dict[str, object] = {}
+
+    def process_stream(self, content: bytes, resources: dict, media_box, output, depth=0):
+        if depth > 12:
+            return  # recursion bound for cyclic Do references
+        doc = self.doc
+        ops = decode_content(content)
+        gs = GraphicsState()
+        gs_stack: list[GraphicsState] = []
+        tlm = IDENTITY
+
+        for op, operands in ops:
+            if op in ("BT", "ET"):
+                tlm = IDENTITY
+                gs.ts.tm = tlm
+            elif op == "cm":
+                if len(operands) == 6:
+                    m = tuple(_num(x) for x in operands)
+                    gs.ctm = mat_mul(m, gs.ctm)
+            elif op == "TJ":
+                if operands and isinstance(operands[0], list):
+                    for e in operands[0]:
+                        if isinstance(e, (PdfString, bytes)):
+                            self._show_text(gs, bytes(e), output)
+                        elif isinstance(e, (int, float)) and not isinstance(e, bool):
+                            ts = gs.ts
+                            tj = float(e)
+                            tx = ts.horizontal_scaling * ((0.0 - tj / 1000.0) * ts.font_size)
+                            ts.tm = mat_mul(translate(tx, 0.0), ts.tm)
+            elif op == "Tj":
+                if operands and isinstance(operands[0], (PdfString, bytes)):
+                    self._show_text(gs, bytes(operands[0]), output)
+            elif op == "Tc":
+                gs.ts.character_spacing = _num(operands[0]) if operands else 0.0
+            elif op == "Tw":
+                gs.ts.word_spacing = _num(operands[0]) if operands else 0.0
+            elif op == "Tz":
+                gs.ts.horizontal_scaling = (_num(operands[0]) if operands else 100.0) / 100.0
+            elif op == "TL":
+                gs.ts.leading = _num(operands[0]) if operands else 0.0
+            elif op == "Tf":
+                fonts = doc.deref(resources.get("Font")) or {}
+                name = str(operands[0]) if operands else ""
+                font = self.font_table.get(name)
+                if font is None:
+                    fdict = doc.deref(fonts.get(name))
+                    if isinstance(fdict, dict):
+                        font = make_font(doc, fdict)
+                        self.font_table[name] = font
+                gs.ts.font = font
+                gs.ts.font_size = _num(operands[1]) if len(operands) > 1 else math.nan
+            elif op == "Ts":
+                gs.ts.rise = _num(operands[0]) if operands else 0.0
+            elif op == "Tm":
+                if len(operands) == 6:
+                    tlm = tuple(_num(x) for x in operands)
+                    gs.ts.tm = tlm
+                    output.end_line()
+            elif op == "Td":
+                if len(operands) == 2:
+                    tlm = mat_mul(translate(_num(operands[0]), _num(operands[1])), tlm)
+                    gs.ts.tm = tlm
+                    output.end_line()
+            elif op == "TD":
+                if len(operands) == 2:
+                    ty = _num(operands[1])
+                    gs.ts.leading = -ty
+                    tlm = mat_mul(translate(_num(operands[0]), ty), tlm)
+                    gs.ts.tm = tlm
+                    output.end_line()
+            elif op == "T*":
+                tlm = mat_mul(translate(0.0, -gs.ts.leading), tlm)
+                gs.ts.tm = tlm
+                output.end_line()
+            elif op == "q":
+                gs_stack.append(gs.clone())
+            elif op == "Q":
+                if gs_stack:
+                    gs = gs_stack.pop()
+                # else: warn-only in the reference (lib.rs:1789)
+            elif op == "gs":
+                ext = doc.deref(resources.get("ExtGState"))
+                if isinstance(ext, dict) and operands:
+                    state = doc.deref(ext.get(str(operands[0])))
+                    if isinstance(state, dict):
+                        smask = doc.deref(state.get("SMask"))
+                        gs.smask = None if smask in (None, "None") else smask
+            elif op == "Do":
+                xobjects = doc.deref(resources.get("XObject"))
+                if not isinstance(xobjects, dict) or not operands:
+                    continue
+                name = str(operands[0])
+                xf = doc.deref(xobjects.get(name))
+                if not isinstance(xf, Stream):
+                    continue
+                subtype = str(doc.deref(xf.dict.get("Subtype")) or "")
+                if subtype == "Image":
+                    output.media(name)
+                    continue
+                sub_res = doc.deref(xf.dict.get("Resources"))
+                if not isinstance(sub_res, dict):
+                    sub_res = resources
+                contents = doc.get_stream_content(xf)
+                self.process_stream(contents, sub_res, media_box, output, depth + 1)
+            # path/color/clip/marked-content ops carry no text semantics
+            # (lib.rs:1633-1655, 1798-1859); ignored like unknown ops.
+
+    def _show_text(self, gs: GraphicsState, s: bytes, output):
+        ts = gs.ts
+        font = ts.font
+        if font is None:
+            return
+        output.begin_word()
+        for code, length in font.char_codes(s):
+            tsm = (ts.horizontal_scaling, 0.0, 0.0, 1.0, 0.0, ts.rise)
+            trm = mat_mul(tsm, mat_mul(ts.tm, gs.ctm))
+            w0 = font.get_width(code) / 1000.0
+            spacing = ts.character_spacing
+            if code == 32 and length == 1:
+                spacing += ts.word_spacing
+            output.output_character(trm, w0, spacing, ts.font_size, font.decode_char(code))
+            tx = ts.horizontal_scaling * (w0 * ts.font_size + spacing)
+            ts.tm = mat_mul(translate(tx, 0.0), ts.tm)
+        output.end_word()
+
+
+def output_doc(doc, output):
+    """Page walk + per-page interpretation (output_doc, lib.rs:2374-2416)."""
+    pages = doc.get_pages()
+    processor = Processor(doc)
+    for page_num, page in enumerate(pages, start=1):
+        resources = doc.get_inherited(page, "Resources")
+        if not isinstance(resources, dict):
+            resources = {}
+        mb = doc.get_inherited(page, "MediaBox")
+        if not isinstance(mb, list) or len(mb) != 4:
+            raise ValueError("MediaBox required")  # reference panics here
+        media_box = tuple(_num(doc.deref(v)) for v in mb)
+        output.begin_page(page_num, media_box)
+        content = doc.get_page_content(page)
+        processor.process_stream(content, resources, media_box, output)
+        output.end_page()
+    return len(pages)
