@@ -1,0 +1,114 @@
+"""Benchmark harness: runs the headline queries + the extraction pipeline
+at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+value = total wall time over the headline set (lower is better).
+The extraction benchmark replicates the deterministic fixture corpus so
+that extraction work scales with sf (sf0.1 -> ~4800 docs).
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced separately
+by tools/bench_scaling.py and reported in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_urgent_revenue",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "top3_orders_per_customer",
+    "events_sessionize",
+    "events_hourly_rollup",
+    "doc_stats",
+    "dedup_exact",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
+    "spans_explode",
+    "ann_cosine_topk",
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.0
+
+
+def extraction_replicas(sf: float) -> int:
+    # sf0.1 -> 300 replicas x 16 fixtures = 4800 docs
+    return max(1, int(sf * 3000))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+
+    from pdf_extract_spark.operators.extraction import extract_documents
+    from pdf_extract_spark.plans.session import get_spark
+    from pdf_extract_spark.queries import QUERIES
+    from pdf_extract_spark.sources.raw_docs import fixture_corpus_df
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+
+    timings: dict[str, float] = {}
+
+    # headline relational/dedup/similarity queries
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        del n
+
+    # extraction throughput: fixture corpus replicated to sf scale
+    replicas = extraction_replicas(sf)
+    raw = fixture_corpus_df(spark, replicas=replicas).cache()
+    n_docs = raw.count()  # materialize input outside the timed region
+    t0 = time.perf_counter()
+    out = extract_documents(raw, num_partitions=cpus * 2)
+    agg = out.groupBy().sum("n_spans", "decode_failures").collect()[0]
+    dt = time.perf_counter() - t0
+    timings["extract_pdf_spans"] = round(dt, 3)
+    docs_per_sec = round(n_docs / dt, 1)
+    spans_per_sec = round((agg[0] or 0) / dt, 1)
+    raw.unpersist()
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_extraction_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extract_docs": n_docs,
+                "extract_docs_per_sec": docs_per_sec,
+                "extract_spans_per_sec": spans_per_sec,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

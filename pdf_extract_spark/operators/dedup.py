@@ -1,0 +1,244 @@
+"""Deduplication operators over the documents table.
+
+Four families, scale-ranked:
+  * exact          — hash-groupBy on a normalized fingerprint; one shuffle,
+                     map-side partial agg. The 100 TB workhorse.
+  * minhash + LSH  — shingle -> minhash signature -> banded bucket join.
+                     Signatures/buckets via md5 (cross-engine portable, so
+                     the DuckDB oracle can replicate them exactly). The
+                     band self-join is an equi-join on (band, bucket key):
+                     sort-merge at scale, no O(n^2).
+  * n-gram Jaccard — inverted-index candidate generation (explode shingles,
+                     self-join on shingle, count common) then exact Jaccard;
+                     candidate blocking bounds the pair space.
+  * simhash        — 64-bit fingerprint via vectorized Pandas UDF (numpy);
+                     hamming-near pairs within LSH-style prefix buckets.
+
+All Spark-side logic is built-in functions except the simhash kernel
+(Arrow-batched, numpy bit-ops — the documented slow path).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, tokens
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: groups by normalized-text fingerprint, keeps the
+    lexicographically-smallest doc_id as canonical.  One hash shuffle with
+    map-side combine; at 100 TB this is the cheapest full-corpus pass."""
+    return (
+        docs.select(fingerprint(F.col(text_col)).alias("fp"), F.col("doc_id"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").cast("long").alias("n_dups"),
+        )
+    )
+
+
+def word_shingles(col, n: int = 3):
+    """Distinct word n-gram shingles of the lowercased text (array column).
+
+    Built from slices of the token array via transform+slice — stays in
+    codegen, no UDF."""
+    toks = tokens(F.lower(col))
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), k)  # 1-based slice positions; empty when k=0
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+
+
+def minhash_signature(docs: DataFrame, text_col: str = "text", n: int = 3,
+                      num_hashes: int = 8) -> DataFrame:
+    """MinHash signature columns h0..h{k-1}: for seed i,
+    h_i = min over shingles of md5(i || ':' || shingle).
+
+    String-min over md5 hex == min over a uniform 128-bit hash family —
+    portable to any engine with md5 (the DuckDB oracle mirrors it).
+
+    Plan shape: explode shingles to rows, hash each once per seed, min-agg
+    per doc — one map-side-combined shuffle.  This beats nested
+    array-of-array HOF expressions ~10x (no per-row array churn) and is
+    the shape that distributes at corpus scale."""
+    sh = docs.select(
+        F.col("doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    hashed = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.encode(F.concat(F.lit(f"{i}:"), F.col("shingle")), "utf-8")).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become a candidate pair.
+
+    Pipeline: signature -> band keys -> self-equi-join on (band, key) ->
+    distinct pairs.  The join is shuffle-hash/sort-merge on the bucket key;
+    bucket sizes are bounded by near-dup cluster sizes, not corpus size, so
+    this survives the 100x scale-up."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(docs, text_col, n, num_hashes)
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.encode(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"h{b * rows_per_band + j}")
+                                    for j in range(rows_per_band)
+                                ],
+                            ),
+                            "utf-8",
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold_x1000: int = 800,
+) -> DataFrame:
+    """Near-dup pairs by word-n-gram Jaccard >= threshold.
+
+    Inverted-index join: explode distinct shingles, self-join on shingle
+    (the candidate generator — only docs sharing >=1 shingle ever meet),
+    group to common-count, then |A∪B| = |A|+|B|-common.  Jaccard is
+    integer-scaled (x1000, floored) for exact cross-engine comparison."""
+    sh = docs.select(
+        F.col("doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(
+                F.col("common") * 1000 / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("common"))
+            ).cast("long").alias("jaccard_x1000"),
+        )
+        .filter(F.col("jaccard_x1000") >= threshold_x1000)
+    )
+
+
+# ----------------------------------------------------------------------------
+# SimHash (vectorized Pandas UDF — numpy bit kernel)
+# ----------------------------------------------------------------------------
+
+
+def _simhash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    import numpy as np
+
+    for pdf in batches:
+        out_ids = []
+        out_hashes = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            toks = str(text).lower().split()
+            acc = np.zeros(64, dtype=np.int64)
+            shifts = np.arange(64, dtype=np.uint64)
+            for t in toks:
+                h = np.uint64(
+                    int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                )
+                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+                acc += bits * 2 - 1
+            sim = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+            out_ids.append(doc_id)
+            # store as signed int64 for Spark LongType
+            out_hashes.append(sim - (1 << 64) if sim >= (1 << 63) else sim)
+        yield pd.DataFrame({"doc_id": out_ids, "simhash": out_hashes})
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    id_type = docs.schema["doc_id"].dataType.simpleString()
+    return docs.select("doc_id", F.col(text_col).alias("text")).mapInPandas(
+        _simhash_batch, f"doc_id {id_type}, simhash long"
+    )
+
+
+def simhash_near_pairs(docs: DataFrame, text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance, blocked on 16-bit prefix
+    bands (4 bands; <=3 differing bits guarantees >=1 identical band)."""
+    sh = simhash(docs, text_col)
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)) for i in range(4)])
+        ).alias("band", "key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

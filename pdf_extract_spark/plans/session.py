@@ -1,0 +1,50 @@
+"""SparkSession factory tuned for the extraction workload.
+
+Scale notes (100 TB / 1000-executor design, tested on local[N]):
+  * Arrow batches are capped small — rows carry whole PDFs (MB-scale), so
+    the default 10k records/batch would make multi-GB batches.
+  * AQE on: runtime coalescing + skew splitting complement our explicit
+    doc-size salting (BASELINE.json north_rule demands explicit handling;
+    AQE alone only fixes join/agg skew, not UDF-stage skew).
+  * shuffle.partitions default sized to cores for local mode; a real
+    cluster job overrides via spark-submit --conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "pdf_extract_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus) if cpus else 32
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PDF rows are MB-scale: keep Arrow batches small so executor
+        # memory stays bounded (maxRecordsPerBatch is the spill guard for
+        # a binary-payload pipeline).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,569 @@
+"""Query registry: every SURVEY.md §2 operator exposed as a (Spark fn,
+DuckDB oracle SQL) pair for the driver correctness harness.
+
+Conventions (driver compare = row count + schema + order-insensitive
+value hash):
+  * every computed column aliased identically on both sides
+  * aggregates cast so Spark and DuckDB types line up (DuckDB sum(int)
+    is HUGEINT -> CAST AS BIGINT; len() is BIGINT -> matched by casting
+    Spark size() to long)
+  * float outputs rounded or integer-scaled where engines could differ in
+    summation order
+Non-SQL-expressible ops (PDF extraction itself, simhash, LSH ANN,
+multimodal stubs) have no oracle entry -> rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.text import document_stats
+from .operators.dedup import (
+    dedup_exact,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from .operators.similarity import brute_force_topk, lsh_topk
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style relational queries (scan/filter/agg/join/window/sort/limit)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_urgent_revenue(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT o_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_nation_revenue(spark, sf_dir):
+    """Multi-way star join: broadcast the small dims (region/nation) —
+    Catalyst + AQE choose broadcast-hash, no sort-merge on the dims."""
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+Q5_SQL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def q6_forecast_revenue(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def top3_orders_per_customer(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "rank", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+TOP3_SQL = """
+SELECT o_custkey, o_orderkey, CAST(rank AS BIGINT) AS rank,
+       round(o_totalprice, 2) AS price
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+)
+WHERE rank <= 3
+"""
+
+
+def events_sessionize(spark, sf_dir):
+    """Sessionization: 30-minute inactivity gap splits sessions — lag +
+    running sum over a per-user window (ordering-sensitive op family)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("timestamp_ltz").cast("long")
+            - F.lag(F.col("ts").cast("timestamp_ltz").cast("long")).over(w)
+            > 1800,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+SESSIONIZE_SQL = """
+SELECT user_id, session_id, count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM (
+  SELECT user_id, value,
+         CAST(sum(new_session) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT) AS session_id
+  FROM (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                     - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) > 1800
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+  )
+)
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+def events_hourly_rollup(spark, sf_dir):
+    """Tumbling 1-hour windows per event_type (batch mirror of the
+    streaming windowed agg; date_trunc == window('1 hour').start)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents-table text analysis + dedup + span ops
+# ---------------------------------------------------------------------------
+
+_LANG_CASES_SQL = """
+  CASE WHEN best = 0 THEN 'und'
+       WHEN s_de = best THEN 'de'
+       WHEN s_en = best THEN 'en'
+       WHEN s_es = best THEN 'es'
+       ELSE 'fr' END
+"""
+
+
+def doc_stats(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return document_stats(docs).orderBy("doc_id")
+
+
+DOC_STATS_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks,
+         text
+  FROM documents
+), m AS (
+  SELECT doc_id, text, toks, ltoks,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars2,
+         CAST(floor(list_sum(list_transform(toks, t -> length(t))) * 100.0
+              / greatest(len(toks), 1)) AS BIGINT) AS avg_token_len_x100,
+         len(list_filter(ltoks, t -> list_contains(
+             ['der','die','und','das','ist','von','mit','den','nicht','ein'], t))) AS s_de,
+         len(list_filter(ltoks, t -> list_contains(
+             ['the','and','of','to','in','is','that','it','with','for'], t))) AS s_en,
+         len(list_filter(ltoks, t -> list_contains(
+             ['el','la','de','que','y','en','un','por','con','los'], t))) AS s_es,
+         len(list_filter(ltoks, t -> list_contains(
+             ['le','la','et','les','des','un','une','du','est','dans'], t))) AS s_fr
+  FROM base
+), scored AS (
+  SELECT *, greatest(s_de, s_en, s_es, s_fr) AS best FROM m
+)
+SELECT doc_id, n_tokens, n_chars2, avg_token_len_x100,
+       CAST(greatest(0, 500 - abs(avg_token_len_x100 - 500))
+            + least(n_tokens * 25, 500) AS BIGINT) AS quality_x1000,
+       (""" + _LANG_CASES_SQL + r""") AS lang_pred,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM scored
+ORDER BY doc_id
+"""
+
+
+def dedup_exact_q(spark, sf_dir):
+    return dedup_exact(load(spark, sf_dir, "documents")).orderBy("fp")
+
+
+DEDUP_EXACT_SQL = r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS n_dups
+FROM documents
+GROUP BY 1
+ORDER BY fp
+"""
+
+_SHINGLES_CTE = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(ts) - 2, 0) + 1),
+                                      i -> array_to_string(ts[i:i+2], ' '))) AS shingles
+  FROM base
+)
+"""
+
+
+def minhash_lsh_q(spark, sf_dir):
+    return minhash_lsh_candidates(load(spark, sf_dir, "documents")).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+MINHASH_SQL = _SHINGLES_CTE + r"""
+, sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 8),
+             j -> list_min(list_transform(shingles,
+                  x -> md5(CAST(j AS VARCHAR) || ':' || x)))) AS sig
+  FROM sh
+  WHERE len(shingles) > 0
+), bands AS (
+  SELECT doc_id, b, md5(array_to_string(sig[b*2+1 : b*2+2], '|')) AS bucket
+  FROM sig, unnest(range(0, 4)) AS t(b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+FROM bands a
+JOIN bands b2 ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+def ngram_jaccard_q(spark, sf_dir):
+    return ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold_x1000=300
+    ).orderBy("doc_a", "doc_b")
+
+
+NGRAM_JACCARD_SQL = _SHINGLES_CTE + r"""
+, ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(floor(common * 1000.0 / (sa.n_sh + sb.n_sh - common)) AS BIGINT)
+           AS jaccard_x1000
+FROM common
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE floor(common * 1000.0 / (sa.n_sh + sb.n_sh - common)) >= 300
+ORDER BY doc_a, doc_b
+"""
+
+
+def spans_explode(spark, sf_dir):
+    """Span-array ops over synthesized spans: build (kind,text,offset)
+    spans from documents.text, posexplode, running char offsets via a
+    per-doc ordered window (SURVEY.md §2.5 span-ordering family)."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return words.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.lit("text").alias("kind"),
+        F.col("w").alias("text"),
+        F.coalesce(F.sum(F.length("w") + 1).over(win), F.lit(0)).cast("long").alias("offset"),
+    ).orderBy("doc_id", "pos")
+
+
+SPANS_EXPLODE_SQL = """
+WITH ex AS (
+  SELECT doc_id, u.w AS text, u.i - 1 AS pos
+  FROM (
+    SELECT doc_id,
+           list_transform(string_split(text, ' '), (x, i) -> {'w': x, 'i': i}) AS arr
+    FROM documents
+  ), unnest(arr) AS t(u)
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, 'text' AS kind, text,
+       CAST(coalesce(sum(length(text) + 1) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset
+FROM ex
+ORDER BY doc_id, pos
+"""
+
+
+def ann_cosine_topk(spark, sf_dir):
+    return brute_force_topk(
+        load(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5
+    ).orderBy("query_id", "rank")
+
+
+ANN_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS q FROM v WHERE vec_id < 10
+), scored AS (
+  SELECT q.query_id, v.vec_id AS nbr_id,
+         list_dot_product(q.q, v.v)
+           / (sqrt(list_dot_product(q.q, q.q)) * sqrt(list_dot_product(v.v, v.v)))
+           AS cos
+  FROM v, q WHERE v.vec_id != q.query_id
+)
+SELECT query_id, nbr_id, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT query_id, nbr_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, nbr_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible operators (rows-only driver check)
+# ---------------------------------------------------------------------------
+
+
+def extract_pdf_spans(spark, sf_dir):
+    """The flagship extraction pipeline on the deterministic fixture corpus
+    (sf_dir-independent input: fixtures are generated, not read).  Exploded
+    to rows so the driver sees a stable scalar schema."""
+    from .operators.extraction import extract_documents
+    from .sources.raw_docs import fixture_corpus_df
+
+    raw = fixture_corpus_df(spark, replicas=2)
+    out = extract_documents(raw, num_partitions=8)
+    return out.select(
+        "doc_id", "pages", "decode_failures", F.posexplode("spans").alias("pos", "s")
+    ).select(
+        "doc_id",
+        "pages",
+        "decode_failures",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").cast("long").alias("offset"),
+    ).orderBy("doc_id", "pos")
+
+
+def simhash_pairs(spark, sf_dir):
+    return simhash_near_pairs(
+        load(spark, sf_dir, "documents"), max_hamming=8
+    ).orderBy("doc_a", "doc_b")
+
+
+def ann_lsh_topk(spark, sf_dir):
+    return lsh_topk(
+        load(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5
+    ).orderBy("query_id", "rank")
+
+
+def media_features(spark, sf_dir):
+    """Multimodal plumbing: fixture PDFs as opaque binary media rows ->
+    Arrow-batched stub feature extraction."""
+    from .operators.multimodal import extract_media_features
+    from .sources.raw_docs import fixture_corpus_df
+
+    media = fixture_corpus_df(spark, replicas=1).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_kind"),
+        F.col("content").alias("payload"),
+    )
+    return (
+        extract_media_features(media, num_partitions=4)
+        .select("media_id", "media_kind", "byte_len", "sha256", "width", "height")
+        .orderBy("media_id")
+    )
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_urgent_revenue": q3_top_urgent_revenue,
+    "q5_nation_revenue": q5_nation_revenue,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "top3_orders_per_customer": top3_orders_per_customer,
+    "events_sessionize": events_sessionize,
+    "events_hourly_rollup": events_hourly_rollup,
+    "doc_stats": doc_stats,
+    "dedup_exact": dedup_exact_q,
+    "minhash_lsh_candidates": minhash_lsh_q,
+    "ngram_jaccard_pairs": ngram_jaccard_q,
+    "spans_explode": spans_explode,
+    "ann_cosine_topk": ann_cosine_topk,
+    "extract_pdf_spans": extract_pdf_spans,
+    "simhash_pairs": simhash_pairs,
+    "ann_lsh_topk": ann_lsh_topk,
+    "media_features": media_features,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_top_urgent_revenue": Q3_SQL,
+    "q5_nation_revenue": Q5_SQL,
+    "q6_forecast_revenue": Q6_SQL,
+    "top3_orders_per_customer": TOP3_SQL,
+    "events_sessionize": SESSIONIZE_SQL,
+    "events_hourly_rollup": HOURLY_SQL,
+    "doc_stats": DOC_STATS_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "minhash_lsh_candidates": MINHASH_SQL,
+    "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
+    "spans_explode": SPANS_EXPLODE_SQL,
+    "ann_cosine_topk": ANN_SQL,
+    # extract_pdf_spans / simhash_pairs / ann_lsh_topk / media_features:
+    # non-SQL-expressible -> rows-only check
+}
