@@ -59,7 +59,7 @@ def main() -> None:
     from pdf_extract_spark.operators.extraction import extract_documents
     from pdf_extract_spark.plans.session import get_spark
     from pdf_extract_spark.queries import QUERIES
-    from pdf_extract_spark.sources.raw_docs import fixture_corpus_df
+    from pdf_extract_spark.sources.raw_docs import synthetic_corpus_df
 
     spark = get_spark(
         app_name="bench",
@@ -78,9 +78,10 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         del n
 
-    # extraction throughput: fixture corpus replicated to sf scale
-    replicas = extraction_replicas(sf)
-    raw = fixture_corpus_df(spark, replicas=replicas).cache()
+    # extraction throughput: deterministic mixed corpus (5% multi-page
+    # docs for skew), generated executor-side, scaled by sf
+    n_target = extraction_replicas(sf) * 16
+    raw = synthetic_corpus_df(spark, n_target, pct_large=0.05).cache()
     n_docs = raw.count()  # materialize input outside the timed region
     t0 = time.perf_counter()
     out = extract_documents(raw, num_partitions=cpus * 2)

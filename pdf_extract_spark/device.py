@@ -27,8 +27,6 @@ from __future__ import annotations
 
 import math
 
-from .interpreter import mat_mul, transform_vector
-
 
 class PlainTextSpanDevice:
     def __init__(self):
@@ -39,13 +37,15 @@ class PlainTextSpanDevice:
         self.last_end = 100000.0
         self.last_y = 0.0
         self.first_char = False
+        self._flip_h = 0.0
         self.flip_ctm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 
     # -- OutputDev surface ---------------------------------------------------
 
     def begin_page(self, page_num: int, media_box):
         llx, lly, urx, ury = media_box
-        self.flip_ctm = (1.0, 0.0, 0.0, -1.0, 0.0, ury - lly)
+        self._flip_h = ury - lly
+        self.flip_ctm = (1.0, 0.0, 0.0, -1.0, 0.0, self._flip_h)
 
     def end_page(self):
         pass
@@ -60,11 +60,16 @@ class PlainTextSpanDevice:
         pass  # no-op in plain text (lib.rs:2195-2199)
 
     def output_character(self, trm, width: float, _spacing: float, font_size: float, char: str):
-        position = mat_mul(trm, self.flip_ctm)
-        vx, vy = transform_vector(trm, font_size, font_size)
+        # scalar expansion of mat_mul(trm, flip_ctm) with
+        # flip_ctm = (1,0,0,-1,0,H): position = (e, H - f); the tfs vector
+        # uses trm's linear part only (transform_vector semantics)
+        a, b, c, d, e, f = trm
+        vx = font_size * (a + c)
+        vy = font_size * (b + d)
         prod = vx * vy
         tfs = math.sqrt(prod) if prod >= 0 else math.nan
-        x, y = position[4], position[5]
+        x = e
+        y = self._flip_h - f
         if self.first_char:
             if abs(y - self.last_y) > tfs * 1.5:
                 self._newline()
@@ -76,6 +81,30 @@ class PlainTextSpanDevice:
         self.first_char = False
         self.last_y = y
         self.last_end = x + width * tfs
+
+    def output_string(self, trm, text: str, last_w0: float, font_size: float,
+                      dx_last: float, dy_last: float):
+        """String-level fast path: equivalent to output_character over every
+        char of a shown string — heuristics fire on the first char only
+        (begin_word gate), last_end/last_y take the LAST char's position."""
+        a, b, c, d, e, f = trm
+        vx = font_size * (a + c)
+        vy = font_size * (b + d)
+        prod = vx * vy
+        tfs = math.sqrt(prod) if prod >= 0 else math.nan
+        x = e
+        y = self._flip_h - f
+        if self.first_char:
+            if abs(y - self.last_y) > tfs * 1.5:
+                self._newline()
+            if x < self.last_end and abs(y - self.last_y) > tfs * 0.5:
+                self._newline()
+            if x > self.last_end + tfs * 0.1:
+                self._write(" ")
+        self._write(text)
+        self.first_char = False
+        self.last_y = self._flip_h - (f + dy_last)
+        self.last_end = (x + dx_last) + last_w0 * tfs
 
     def media(self, name: str):
         self.spans.append(

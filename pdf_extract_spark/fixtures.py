@@ -354,6 +354,28 @@ def fx_char_spacing_gap() -> tuple[bytes, str]:
     return _simple_doc([(content, f"<< /Font {_HELV} >>")]), "\n\nab cd"
 
 
+def fx_large(pages: int = 30, lines: int = 40) -> tuple[bytes, str]:
+    """Multi-page document for throughput/skew benchmarks: `pages` pages of
+    `lines` Tj lines each, Flate-compressed.  Golden derived by the same
+    hand-derivation rules as the small fixtures: 14pt leading at 10pt font
+    -> rule-2 newline per line; page jumps fire rules 1+2 -> blank line."""
+    page_list = []
+    expected_pages = []
+    for p in range(pages):
+        ops = [b"BT /F1 10 Tf 72 760 Td"]
+        texts = []
+        for i in range(lines):
+            t = f"page {p:03d} line {i:03d} of deterministic bench corpus"
+            ops.append(b"(" + t.encode("latin-1") + b") Tj 0 -14 Td")
+            texts.append(t)
+        ops.append(b"ET")
+        page_list.append((b" ".join(ops), f"<< /Font {_HELV} >>"))
+        expected_pages.append("\n".join(texts))
+    # doc start: rules 1+2 -> "\n\n"; between pages: rules 1+2 -> "\n\n"
+    expected = "\n\n" + "\n\n".join(expected_pages)
+    return _simple_doc(page_list, compress=True), expected
+
+
 FIXTURES: dict[str, callable] = {
     "simple_tj": fx_simple_tj,
     "tj_kerning": fx_tj_kerning,

@@ -308,15 +308,57 @@ class SimpleFont:
         self.encoding = table
         self.unicode_map = unicode_map
         self.base_name = base_name
+        self._build_tables()
+
+    def _build_tables(self):
+        """Single-byte fonts decode at most 256 distinct codes — precompute
+        the decode_char/get_width chains into flat lists (the per-glyph hot
+        path).  None marks the reference's panic case (missing unicode map
+        entry with no encoding, lib.rs:838) — raised lazily at use."""
+        um, enc = self.unicode_map, self.encoding
+        dc: list = []
+        for code in range(256):
+            if um is not None:
+                hit = um.get(code)
+                if hit is not None:
+                    dc.append(hit)
+                elif enc is None:
+                    dc.append(None)
+                else:
+                    dc.append(chr(enc[code]))
+            else:
+                e = enc if enc is not None else PDF_DOC_ENCODING
+                dc.append(chr(e[code]))
+        self._decode_table = dc
+        w = self.widths
+        mwid = self.missing_width
+        self._width_table = [w.get(c, mwid) for c in range(256)]
+        # vectorized fast path: width vector (pre-divided by 1000) and a
+        # str.translate map; disabled when any code would raise (None
+        # entry) or when get_width has raise semantics (Type3 override)
+        import numpy as np
+
+        self._np_w1000 = np.asarray(self._width_table, dtype=np.float64) / 1000.0
+        if all(x is not None for x in dc) and type(self).get_width is SimpleFont.get_width:
+            self._trans = {c: dc[c] for c in range(256)}
+        else:
+            self._trans = None
 
     def char_codes(self, s: bytes):
         for b in s:
             yield b, 1
 
     def get_width(self, code: int) -> float:
+        if 0 <= code < 256:
+            return self._width_table[code]
         return self.widths.get(code, self.missing_width)
 
     def decode_char(self, code: int) -> str:
+        if 0 <= code < 256:
+            hit = self._decode_table[code]
+            if hit is None:
+                raise ValueError("missing unicode map and encoding")
+            return hit
         if self.unicode_map is not None:
             hit = self.unicode_map.get(code)
             if hit is not None:
@@ -350,6 +392,7 @@ class Type3Font(SimpleFont):
         self.unicode_map = unicode_map
         self.missing_width = 0.0
         self.base_name = _name_str(doc.deref(font.get("BaseFont")))
+        self._build_tables()
 
     def get_width(self, code: int) -> float:
         if code in self.widths:

@@ -214,16 +214,75 @@ class Processor:
         if font is None:
             return
         output.begin_word()
+        # Hot loop: maintain M = tm x ctm incrementally.  A text-space
+        # translate T(tx,0) pre-composed into tm shifts M's translation by
+        # (tx*Ma, tx*Mb) and leaves everything else unchanged, so per glyph
+        # we do scalar float ops only — no tuple allocations.  trm =
+        # tsm x M with tsm = (h,0,0,1,0,rise) expands to the closed form
+        # below (same math as mat_mul(tsm, mat_mul(tm, ctm))).
+        h = ts.horizontal_scaling
+        rise = ts.rise
+        fs = ts.font_size
+        char_spacing = ts.character_spacing
+        word_spacing = ts.word_spacing
+        ma, mb, mc, md, me, mf = mat_mul(ts.tm, gs.ctm)
+        ta, tb, tc, td, te, tf = ts.tm
+
+        trans = getattr(font, "_trans", None)
+        out_str = getattr(output, "output_string", None)
+        if trans is not None and out_str is not None and s:
+            # Vectorized path (single-byte fonts, string-capable device):
+            # only the FIRST char's position feeds the whitespace
+            # heuristics and only the LAST char's end feeds the next ones
+            # (lib.rs:2161-2190), so per-char work collapses to a numpy
+            # width gather + one str.translate.
+            import numpy as np
+
+            codes = np.frombuffer(s, dtype=np.uint8)
+            w0s = font._np_w1000[codes]
+            sp = np.full(len(s), char_spacing, dtype=np.float64)
+            if word_spacing:
+                sp[codes == 32] += word_spacing
+            txs = h * (w0s * fs + sp)
+            total = float(txs.sum())
+            cum_last = total - float(txs[-1])
+            out_str(
+                (h * ma, h * mb, mc, md, rise * mc + me, rise * md + mf),
+                s.decode("latin-1").translate(trans),
+                float(w0s[-1]),
+                fs,
+                cum_last * ma,
+                cum_last * mb,
+            )
+            me += total * ma
+            mf += total * mb
+            te += total * ta
+            tf += total * tb
+            ts.tm = (ta, tb, tc, td, te, tf)
+            output.end_word()
+            return
+
+        get_width = font.get_width
+        decode_char = font.decode_char
+        out_char = output.output_character
         for code, length in font.char_codes(s):
-            tsm = (ts.horizontal_scaling, 0.0, 0.0, 1.0, 0.0, ts.rise)
-            trm = mat_mul(tsm, mat_mul(ts.tm, gs.ctm))
-            w0 = font.get_width(code) / 1000.0
-            spacing = ts.character_spacing
+            w0 = get_width(code) / 1000.0
+            spacing = char_spacing
             if code == 32 and length == 1:
-                spacing += ts.word_spacing
-            output.output_character(trm, w0, spacing, ts.font_size, font.decode_char(code))
-            tx = ts.horizontal_scaling * (w0 * ts.font_size + spacing)
-            ts.tm = mat_mul(translate(tx, 0.0), ts.tm)
+                spacing += word_spacing
+            out_char(
+                (h * ma, h * mb, mc, md, rise * mc + me, rise * md + mf),
+                w0,
+                spacing,
+                fs,
+                decode_char(code),
+            )
+            tx = h * (w0 * fs + spacing)
+            me += tx * ma
+            mf += tx * mb
+            te += tx * ta
+            tf += tx * tb
+        ts.tm = (ta, tb, tc, td, te, tf)
         output.end_word()
 
 

@@ -289,7 +289,7 @@ class Document:
         out: list[dict] = []
         seen: set[int] = set()
 
-        def walk(node, parent):
+        def walk(node):
             if node is None or len(out) > 100000:
                 return
             node = self.deref(node)
@@ -301,28 +301,26 @@ class Document:
             seen.add(nid)
             ntype = node.get("Type")
             if ntype == "Page" or ("Kids" not in node and ntype != "Pages"):
-                node.setdefault("__parent__", parent)
                 out.append(node)
                 return
             kids = self.deref(node.get("Kids")) or []
             for kid in kids:
-                walk(kid, node)
+                walk(kid)
 
-        walk(pages_root, None)
+        walk(pages_root)
         return out
 
     def get_inherited(self, page: dict, key: str):
         """Walk Parent chain for inheritable attributes
-        (get_inherited, lib.rs:2352-2362)."""
+        (get_inherited, lib.rs:2352-2362).  Uses the spec's /Parent refs —
+        no synthetic back-pointers, which keeps the object graph acyclic
+        (refcount-only cleanup; no cyclic-GC load in the hot pipeline)."""
         node = page
         depth = 0
         while isinstance(node, dict) and depth < 64:
             if key in node:
                 return self.deref(node[key])
-            parent = node.get("__parent__")
-            if parent is None:
-                parent = self.deref(node.get("Parent"))
-            node = parent
+            node = self.deref(node.get("Parent"))
             depth += 1
         return None
 

@@ -36,10 +36,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # PDF rows are MB-scale: keep Arrow batches small so executor
-        # memory stays bounded (maxRecordsPerBatch is the spill guard for
-        # a binary-payload pipeline).
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        # PDF rows are MB-scale: bound Arrow batches by BYTES (the real
+        # memory guard for a binary-payload pipeline), not by a tiny row
+        # count — row-count-64 batches serialize 3-7x slower at high task
+        # parallelism (measured: 358 -> 2539 docs/s at local[32]).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -76,6 +76,134 @@ def golden_spans_df(spark: SparkSession, replicas: int = 1) -> DataFrame:
     return spark.createDataFrame(rows, DOCUMENTS_SPANS_SCHEMA)
 
 
+def synthetic_corpus_df(
+    spark: SparkSession,
+    n_docs: int,
+    pct_large: float = 0.05,
+    num_partitions: int | None = None,
+    large_pages: tuple = (10, 20, 30, 40, 80),
+) -> DataFrame:
+    """Deterministic benchmark corpus generated ON THE EXECUTORS — the
+    driver ships only a range of ids, so corpus size is unbounded by driver
+    memory (the pattern a 10^12-doc backfill would use: ids from a
+    manifest, bytes fetched executor-side).
+
+    Composition: `pct_large` multi-page docs with page counts cycling
+    10/20/30/40/80 (deliberate skew for the salting path), remainder
+    cycling the 16 small fixture families.  Same id -> same bytes, always.
+    """
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    large_every = max(2, int(round(1.0 / pct_large))) if pct_large > 0 else 0
+
+    def gen(batches):
+        import pandas as pd
+
+        from ..fixtures import FIXTURES, fx_large
+
+        fam_names = sorted(FIXTURES)
+        cache: dict = {}
+
+        def small(i: int):
+            name = fam_names[i % len(fam_names)]
+            if name not in cache:
+                pdf, _ = FIXTURES[name]()
+                cache[name] = pdf
+            return name, cache[name]
+
+        def large(i: int):
+            # cycle by large-doc ordinal, not raw id (raw ids of large docs
+            # are all multiples of large_every, so i % k would be constant)
+            pages = large_pages[(i // large_every) % len(large_pages)]
+            key = f"large{pages}"
+            if key not in cache:
+                pdf, _ = fx_large(pages=pages)
+                cache[key] = pdf
+            return key, cache[key]
+
+        for pdf_batch in batches:
+            rows = {"doc_id": [], "content": [], "byte_len": [], "source": []}
+            for i in pdf_batch["id"]:
+                i = int(i)
+                if large_every and i % large_every == 0:
+                    name, content = large(i)
+                else:
+                    name, content = small(i)
+                rows["doc_id"].append(f"{name}-{i:09d}")
+                rows["content"].append(content)
+                rows["byte_len"].append(len(content))
+                rows["source"].append(name)
+            yield pd.DataFrame(rows)
+
+    return (
+        spark.range(n_docs)
+        .repartition(num_partitions)
+        .mapInPandas(gen, RAW_DOCS_SCHEMA)
+    )
+
+
+def balanced_corpus_df(
+    spark: SparkSession,
+    n_docs: int,
+    num_partitions: int,
+    pct_large: float = 0.10,
+    large_pages: tuple = (40, 80, 120, 160, 200),
+) -> DataFrame:
+    """Benchmark corpus with BYTE-BALANCED partitions: every partition gets
+    the same count of every document size class, dealt deterministically.
+
+    This models what a well-laid-out source gives you for free at cluster
+    scale — parquet/binaryFile splits are balanced by BYTES
+    (spark.sql.files.maxPartitionBytes), and extraction cost ~ bytes, so
+    size-balanced splits are cost-balanced tasks with NO pre-shuffle: the
+    extraction stage runs narrow (zero shuffle before the UDF).
+    """
+    every = max(2, int(round(1.0 / pct_large))) if pct_large > 0 else 0
+    block = (n_docs + num_partitions - 1) // num_partitions or 1
+
+    def gen(batches):
+        import pandas as pd
+
+        from ..fixtures import FIXTURES, fx_large
+
+        fams = sorted(FIXTURES)
+        cache: dict = {}
+
+        def small(i):
+            name = fams[i % len(fams)]
+            if name not in cache:
+                cache[name] = FIXTURES[name]()[0]
+            return name, cache[name]
+
+        def large(ordinal):
+            pages = large_pages[ordinal % len(large_pages)]
+            key = f"large{pages}"
+            if key not in cache:
+                cache[key] = fx_large(pages=pages)[0]
+            return key, cache[key]
+
+        for b in batches:
+            rows = {"doc_id": [], "content": [], "byte_len": [], "source": []}
+            for i in b["id"]:
+                i = int(i)
+                part = i // block  # spark.range gives contiguous blocks
+                j = i % block  # local ordinal within the partition
+                if every and j % every == 0:
+                    # offset the page-size deal by partition id so every
+                    # partition carries the same page-size mix
+                    name, c = large(part + j // every)
+                else:
+                    name, c = small(i)
+                rows["doc_id"].append(f"{name}-{i:09d}")
+                rows["content"].append(c)
+                rows["byte_len"].append(len(c))
+                rows["source"].append(name)
+            yield pd.DataFrame(rows)
+
+    ids = spark.range(0, n_docs, 1, num_partitions)
+    return ids.mapInPandas(gen, RAW_DOCS_SCHEMA)
+
+
 def read_pdf_dir(spark: SparkSession, path: str) -> DataFrame:
     """Cluster ingest: a directory (or glob) of PDF files via the
     binaryFile source; pushdown-friendly (pathGlobFilter prunes listings)."""
