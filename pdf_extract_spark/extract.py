@@ -53,6 +53,80 @@ def extract_text_from_mem(data: bytes) -> str:
     return spans_to_text(device.finish())
 
 
+def extract_text_from_mem_encrypted(data: bytes, password: str | bytes) -> str:
+    """Password variant (extract_text_from_mem_encrypted, lib.rs:2270-2281)."""
+    pw = password.encode("latin-1") if isinstance(password, str) else password
+    doc = Document(data, password=pw)
+    device = PlainTextSpanDevice()
+    output_doc(doc, device)
+    return spans_to_text(device.finish())
+
+
+def extract_spans_page_range(data: bytes, lo: int, hi: int) -> list[tuple[int, list[dict]]]:
+    """Extract pages lo..hi (1-based, inclusive) with a fresh device +
+    Processor per page — by-pages semantics (extract_text_by_pages,
+    lib.rs:2295-2307: fresh Processor per page, lib.rs:2396).  Used by the
+    page-exploded path for giant documents."""
+    doc = load_mem(data)
+    pages = doc.get_pages()
+    out = []
+    for page_num in range(lo, min(hi, len(pages)) + 1):
+        page = pages[page_num - 1]
+        device = PlainTextSpanDevice()
+        processor = Processor(doc)
+        resources = doc.get_inherited(page, "Resources") or {}
+        mb = doc.get_inherited(page, "MediaBox")
+        if not isinstance(mb, list) or len(mb) != 4:
+            raise ValueError("MediaBox required")
+        media_box = tuple(float(doc.deref(v)) for v in mb)
+        device.begin_page(page_num, media_box)
+        processor.process_stream(doc.get_page_content(page), resources, media_box, device)
+        device.end_page()
+        out.append((page_num, device.finish()))
+    return out
+
+
+def page_count_of(data: bytes) -> int:
+    """Cheap page count (xref + page tree only; no content interpretation)."""
+    return len(load_mem(data).get_pages())
+
+
+def doc_metadata(data: bytes) -> dict:
+    """Document metadata (print_metadata, lib.rs:2203-2216): version, page
+    count, and the Info dictionary's common string fields."""
+    from .encodings_data import pdf_to_utf8
+    from .pdfmini.objects import PdfString
+
+    doc = load_mem(data)
+    info = doc.info()
+    out = {"version": doc.version(), "page_count": doc.page_count()}
+    for k in ("Title", "Author", "Subject", "Producer", "Creator"):
+        v = doc.deref(info.get(k))
+        out[k.lower()] = pdf_to_utf8(bytes(v)) if isinstance(v, PdfString) else None
+    return out
+
+
+def extract_html_from_mem(data: bytes) -> str:
+    """bytes -> positioned-div HTML (HTMLOutput parity, lib.rs:1891-1993)."""
+    from .devices_html import HTMLDevice
+
+    doc = load_mem(data)
+    device = HTMLDevice()
+    output_doc(doc, device)
+    return device.finish()
+
+
+def extract_svg_from_mem(data: bytes) -> str:
+    """bytes -> per-page SVG with vector-path fills (SVGOutput parity,
+    lib.rs:1995-2087)."""
+    from .devices_html import SVGDevice
+
+    doc = load_mem(data)
+    device = SVGDevice()
+    output_doc(doc, device)
+    return device.finish()
+
+
 def extract_spans_by_pages(data: bytes) -> list[list[dict]]:
     """Per-page span arrays (extract_text_by_pages, lib.rs:2295-2307).
     Parity quirk: the reference builds a fresh Processor per page

@@ -40,7 +40,7 @@ class PdfBuilder:
         )
         return self.add(body)
 
-    def build(self, root: int) -> bytes:
+    def build(self, root: int, extra_trailer: str = "") -> bytes:
         out = bytearray(b"%PDF-1.4\n%\xc7\xec\x8f\xa2\n")
         offsets = [0]
         for i, body in enumerate(self.objects, start=1):
@@ -53,7 +53,8 @@ class PdfBuilder:
         for off in offsets[1:]:
             out += f"{off:010d} 00000 n \n".encode("latin-1")
         out += (
-            f"trailer\n<< /Size {n} /Root {root} 0 R >>\nstartxref\n{xref_pos}\n%%EOF"
+            f"trailer\n<< /Size {n} /Root {root} 0 R {extra_trailer} >>\n"
+            f"startxref\n{xref_pos}\n%%EOF"
         ).encode("latin-1")
         return bytes(out)
 
@@ -327,6 +328,138 @@ def fx_asciihex_stream() -> tuple[bytes, str]:
     return b.build(catalog), "\n\nhexed"
 
 
+def lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Minimal LZW encoder (writer-side; PDF spec §7.4.4 semantics)."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out_bits = [(256, width)]
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w = w + c
+        else:
+            out_bits.append((table[w], width))
+            table[w + c] = next_code
+            next_code += 1
+            if next_code + early - 1 >= (1 << width) and width < 12:
+                width += 1
+            w = c
+    if w:
+        out_bits.append((table[w], width))
+    out_bits.append((257, width))
+    buf = 0
+    nbits = 0
+    out = bytearray()
+    for code, cw in out_bits:
+        buf = (buf << cw) | code
+        nbits += cw
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def fx_lzw_stream() -> tuple[bytes, str]:
+    content = b"BT /F1 12 Tf 72 720 Td (lzw coded) Tj ET"
+    b = PdfBuilder()
+    c = b.add_stream("", lzw_encode(content), filt="/LZWDecode")
+    page = b.add(b"")
+    pages = b.add(
+        (
+            f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 /MediaBox [0 0 612 792] >>"
+        ).encode("latin-1")
+    )
+    b.objects[page - 1] = (
+        f"<< /Type /Page /Parent {pages} 0 R /Contents {c} 0 R "
+        f"/Resources << /Font {_HELV} >> >>"
+    ).encode("latin-1")
+    catalog = b.add(f"<< /Type /Catalog /Pages {pages} 0 R >>".encode("latin-1"))
+    return b.build(catalog), "\n\nlzw coded"
+
+
+def fx_cid_embedded_cmap() -> tuple[bytes, str]:
+    """Type0 font with an EMBEDDED CMap stream (not Identity-H): 1-byte
+    codespace, cidrange remap code+100 (the reference ADDS dst_CID_lo,
+    lib.rs:1075), ToUnicode keyed by the remapped CID."""
+    encoding_cmap = (
+        b"begincmap\n"
+        b"1 begincodespacerange <00> <ff> endcodespacerange\n"
+        b"1 begincidrange <41> <5a> 100 endcidrange\n"
+        b"endcmap\n"
+    )
+    # code 0x41 -> cid 0x41+100 = 165; ToUnicode: 165(<00a5>) -> 'Q'
+    tounicode = (
+        b"begincmap\n"
+        b"1 begincodespacerange <0000> <ffff> endcodespacerange\n"
+        b"1 beginbfchar <00a5> <0051> endbfchar\n"
+        b"endcmap\n"
+    )
+    b = PdfBuilder()
+    enc = b.add_stream("", encoding_cmap)
+    tu = b.add_stream("", tounicode)
+    desc = b.add(b"<< /Type /FontDescriptor /FontName /FakeCID /Flags 4 >>")
+    cidfont = b.add(
+        (
+            f"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /FakeCID "
+            f"/FontDescriptor {desc} 0 R /DW 600 /W [165 [500]] "
+            f"/CIDSystemInfo << /Registry (T) /Ordering (T) /Supplement 0 >> >>"
+        ).encode("latin-1")
+    )
+    font = b.add(
+        (
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /FakeCID "
+            f"/Encoding {enc} 0 R /DescendantFonts [{cidfont} 0 R] "
+            f"/ToUnicode {tu} 0 R >>"
+        ).encode("latin-1")
+    )
+    c = b.add_stream("", b"BT /F1 12 Tf 72 720 Td (A) Tj ET")
+    page = b.add(b"")
+    pages = b.add(
+        (
+            f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 /MediaBox [0 0 612 792] >>"
+        ).encode("latin-1")
+    )
+    b.objects[page - 1] = (
+        f"<< /Type /Page /Parent {pages} 0 R /Contents {c} 0 R "
+        f"/Resources << /Font << /F1 {font} 0 R >> >> >>"
+    ).encode("latin-1")
+    catalog = b.add(f"<< /Type /Catalog /Pages {pages} 0 R >>".encode("latin-1"))
+    return b.build(catalog), "\n\nQ"
+
+
+def fx_type3_font() -> tuple[bytes, str]:
+    """Type3 font: Differences-only encoding, required Widths
+    (lib.rs:693-765); glyph drawing procs are irrelevant to text."""
+    b = PdfBuilder()
+    proc = b.add_stream("", b"720 0 d0")
+    font = b.add(
+        (
+            f"<< /Type /Font /Subtype /Type3 /FontBBox [0 0 720 720] "
+            f"/FontMatrix [0.001 0 0 0.001 0 0] "
+            f"/CharProcs << /glyphA {proc} 0 R >> "
+            f"/Encoding << /Differences [65 /A 66 /B] >> "
+            f"/FirstChar 65 /LastChar 66 /Widths [720 680] >>"
+        ).encode("latin-1")
+    )
+    c = b.add_stream("", b"BT /F1 12 Tf 72 720 Td (AB) Tj ET")
+    page = b.add(b"")
+    pages = b.add(
+        (
+            f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 /MediaBox [0 0 612 792] >>"
+        ).encode("latin-1")
+    )
+    b.objects[page - 1] = (
+        f"<< /Type /Page /Parent {pages} 0 R /Contents {c} 0 R "
+        f"/Resources << /Font << /F1 {font} 0 R >> >> >>"
+    ).encode("latin-1")
+    catalog = b.add(f"<< /Type /Catalog /Pages {pages} 0 R >>".encode("latin-1"))
+    return b.build(catalog), "\n\nAB"
+
+
 def fx_multipage() -> tuple[bytes, str]:
     p1 = b"BT /F1 12 Tf 72 720 Td (page one) Tj ET"
     p2 = b"BT /F1 12 Tf 72 720 Td (page two) Tj ET"
@@ -352,6 +485,84 @@ def fx_char_spacing_gap() -> tuple[bytes, str]:
     # after (ab): last_end = x_b + w_b*12; next x starts at last advance
     # incl. +2pt spacing -> x - last_end = 2 > 1.2 -> space
     return _simple_doc([(content, f"<< /Font {_HELV} >>")]), "\n\nab cd"
+
+
+def _encrypted_doc(cfm: str) -> tuple[bytes, str]:
+    """One-page encrypted PDF (empty user password), RC4 (V2/R3) or
+    AESV2 (V4/R4) — covers the reference's maybe_decrypt path
+    (lib.rs:2230-2244)."""
+    from .pdfmini.crypt import (
+        aes_cbc_encrypt,
+        compute_file_key,
+        compute_owner_value,
+        compute_user_value,
+        rc4,
+    )
+    import hashlib
+    import struct
+
+    doc_id = bytes(range(16))
+    p = -1
+    r = 3 if cfm == "V2" else 4
+    n = 16
+    o = compute_owner_value(r=r, n=n)
+    key = compute_file_key(b"", o, p, doc_id, r=r, n=n)
+    u = compute_user_value(key, doc_id, r=r)
+
+    def obj_key(num: int, gen: int = 0) -> bytes:
+        h = hashlib.md5()
+        h.update(key)
+        h.update(struct.pack("<I", num)[:3])
+        h.update(struct.pack("<I", gen)[:2])
+        if cfm == "AESV2":
+            h.update(b"sAlT")
+        return h.digest()[: min(n + 5, 16)]
+
+    def enc(num: int, data: bytes) -> bytes:
+        if cfm == "AESV2":
+            return aes_cbc_encrypt(obj_key(num), bytes(range(16)), data)
+        return rc4(obj_key(num), data)
+
+    content = b"BT /F1 12 Tf 72 720 Td (secret text) Tj ET"
+    b = PdfBuilder()
+    c = b.add_stream("", enc(1, content))  # content stream = obj 1
+    page = b.add(b"")
+    pages = b.add(
+        (
+            f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 /MediaBox [0 0 612 792] >>"
+        ).encode("latin-1")
+    )
+    b.objects[page - 1] = (
+        f"<< /Type /Page /Parent {pages} 0 R /Contents {c} 0 R "
+        f"/Resources << /Font {_HELV} >> >>"
+    ).encode("latin-1")
+    catalog = b.add(f"<< /Type /Catalog /Pages {pages} 0 R >>".encode("latin-1"))
+    if cfm == "V2":
+        enc_body = (
+            f"<< /Filter /Standard /V 2 /R 3 /Length 128 /P {p} "
+            f"/O <{o.hex()}> /U <{u.hex()}> >>"
+        )
+    else:
+        enc_body = (
+            f"<< /Filter /Standard /V 4 /R 4 /Length 128 /P {p} "
+            f"/O <{o.hex()}> /U <{u.hex()}> "
+            f"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+            f"/StmF /StdCF /StrF /StdCF >>"
+        )
+    enc_obj = b.add(enc_body.encode("latin-1"))
+    pdf = b.build(
+        catalog,
+        extra_trailer=f"/Encrypt {enc_obj} 0 R /ID [<{doc_id.hex()}> <{doc_id.hex()}>]",
+    )
+    return pdf, "\n\nsecret text"
+
+
+def fx_encrypted_rc4() -> tuple[bytes, str]:
+    return _encrypted_doc("V2")
+
+
+def fx_encrypted_aes() -> tuple[bytes, str]:
+    return _encrypted_doc("AESV2")
 
 
 def fx_large(pages: int = 30, lines: int = 40) -> tuple[bytes, str]:
@@ -393,6 +604,11 @@ FIXTURES: dict[str, callable] = {
     "multipage": fx_multipage,
     "word_spacing": fx_word_spacing,
     "char_spacing_gap": fx_char_spacing_gap,
+    "encrypted_rc4": fx_encrypted_rc4,
+    "encrypted_aes": fx_encrypted_aes,
+    "lzw_stream": fx_lzw_stream,
+    "cid_embedded_cmap": fx_cid_embedded_cmap,
+    "type3_font": fx_type3_font,
 }
 
 

@@ -111,6 +111,8 @@ class Processor:
         gs = GraphicsState()
         gs_stack: list[GraphicsState] = []
         tlm = IDENTITY
+        path: list[tuple] = []
+        current_point = (0.0, 0.0)
 
         for op, operands in ops:
             if op in ("BT", "ET"):
@@ -188,6 +190,43 @@ class Processor:
                     if isinstance(state, dict):
                         smask = doc.deref(state.get("SMask"))
                         gs.smask = None if smask in (None, "None") else smask
+            elif op in ("m", "l", "c", "v", "y", "h", "re"):
+                nums = [_num(x) for x in operands]
+                if op == "m" and len(nums) >= 2:
+                    path.append(("m", nums[0], nums[1]))
+                    current_point = (nums[0], nums[1])
+                elif op == "l" and len(nums) >= 2:
+                    path.append(("l", nums[0], nums[1]))
+                    current_point = (nums[0], nums[1])
+                elif op == "c" and len(nums) >= 6:
+                    path.append(("c", *nums[:6]))
+                    current_point = (nums[4], nums[5])
+                elif op == "v" and len(nums) >= 4:
+                    # v completes the cubic from the current point
+                    # (lib.rs:1812-1821)
+                    cx, cy = current_point
+                    path.append(("c", cx, cy, nums[0], nums[1], nums[2], nums[3]))
+                    current_point = (nums[2], nums[3])
+                elif op == "y" and len(nums) >= 4:
+                    path.append(("c", nums[0], nums[1], nums[2], nums[3], nums[2], nums[3]))
+                    current_point = (nums[2], nums[3])
+                elif op == "h":
+                    path.append(("h",))
+                elif op == "re" and len(nums) >= 4:
+                    path.append(("re", *nums[:4]))
+                    current_point = (nums[0], nums[1])
+            elif op == "S":
+                stroke = getattr(output, "stroke", None)
+                if stroke is not None:
+                    stroke(gs.ctm, list(path))
+                path = []
+            elif op in ("F", "f"):
+                fill = getattr(output, "fill", None)
+                if fill is not None:
+                    fill(gs.ctm, list(path))
+                path = []
+            elif op == "n":
+                path = []
             elif op == "Do":
                 xobjects = doc.deref(resources.get("XObject"))
                 if not isinstance(xobjects, dict) or not operands:

@@ -202,6 +202,151 @@ def extract_documents(
     return normal_out.unionByName(giant_out)
 
 
+PAGE_FLAT_SCHEMA = (
+    "doc_id string, page_num int, "
+    "kind array<string>, text array<string>, media_ref array<string>, "
+    "offset array<int>"
+)
+
+PAGE_SCHEMA = f"doc_id string, page_num int, spans {SPANS_STRUCT_SQL}"
+
+
+def extract_documents_paged(
+    raw_docs: DataFrame,
+    pages_per_task: int = 16,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Page-exploded extraction: (doc_id, page_num, spans) with by-pages
+    semantics (fresh interpreter per page — extract_text_by_pages parity,
+    lib.rs:2295-2307/2396).
+
+    This is the scale path for multi-GB documents: stage 1 splits each doc
+    into page RANGES (content bytes replicated once per range, so a
+    500-page doc becomes ~32 independent tasks instead of one straggler);
+    stage 2 extracts ranges in parallel.  Output granularity is the page,
+    so downstream reassembly is an ordered collect_list per doc_id.
+    """
+    spark = raw_docs.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def split_ranges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..extract import page_count_of
+
+        for b in batches:
+            rows = {"doc_id": [], "content": [], "lo": [], "hi": []}
+            for doc_id, content in zip(b["doc_id"], b["content"]):
+                data = bytes(content) if content is not None else b""
+                try:
+                    n = page_count_of(data)
+                except Exception:
+                    n = 0
+                lo = 1
+                while lo <= n:
+                    hi = min(lo + pages_per_task - 1, n)
+                    rows["doc_id"].append(doc_id)
+                    rows["content"].append(data)
+                    rows["lo"].append(lo)
+                    rows["hi"].append(hi)
+                    lo = hi + 1
+            yield pd.DataFrame(rows)
+
+    def extract_ranges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..extract import extract_spans_page_range
+
+        for b in batches:
+            rows = {
+                "doc_id": [], "page_num": [],
+                "kind": [], "text": [], "media_ref": [], "offset": [],
+            }
+            for doc_id, content, lo, hi in zip(
+                b["doc_id"], b["content"], b["lo"], b["hi"]
+            ):
+                try:
+                    pages = extract_spans_page_range(bytes(content), int(lo), int(hi))
+                except Exception:
+                    pages = []
+                for page_num, spans in pages:
+                    rows["doc_id"].append(doc_id)
+                    rows["page_num"].append(page_num)
+                    rows["kind"].append([s["kind"] for s in spans])
+                    rows["text"].append([s["text"] for s in spans])
+                    rows["media_ref"].append([s["media_ref"] for s in spans])
+                    rows["offset"].append([s["offset"] for s in spans])
+            yield pd.DataFrame(rows)
+
+    ranges = raw_docs.select("doc_id", "content").mapInPandas(
+        split_ranges, "doc_id string, content binary, lo int, hi int"
+    )
+    flat = (
+        ranges.repartition(num_partitions, F.xxhash64("doc_id", "lo"))
+        .mapInPandas(extract_ranges, PAGE_FLAT_SCHEMA)
+    )
+    return flat.select(
+        "doc_id",
+        "page_num",
+        F.arrays_zip("kind", "text", "media_ref", "offset")
+        .cast(SPANS_STRUCT_SQL)
+        .alias("spans"),
+    )
+
+
+def reassemble_doc_spans(paged: DataFrame) -> DataFrame:
+    """(doc_id, page_num, spans) -> (doc_id, spans) in page order via
+    sort_array over (page_num, spans) structs — ordered reassembly without
+    a window (one shuffle, the span-ordering family of SURVEY.md §2.5)."""
+    return (
+        paged.groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("page_num", "spans"))),
+                    lambda s: s["spans"],
+                )
+            ).alias("spans")
+        )
+    )
+
+
+def extract_metadata(raw_docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """print_metadata equivalent (lib.rs:2203-2216) as a side-output table:
+    doc_id, version, page_count, title/author/subject/producer/creator."""
+    spark = raw_docs.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..extract import doc_metadata
+
+        for b in batches:
+            rows = {
+                "doc_id": [], "version": [], "page_count": [],
+                "title": [], "author": [], "subject": [],
+                "producer": [], "creator": [], "error": [],
+            }
+            for doc_id, content in zip(b["doc_id"], b["content"]):
+                try:
+                    m = doc_metadata(bytes(content) if content is not None else b"")
+                    err = None
+                except Exception as e:  # noqa: BLE001 - per-doc isolation
+                    m = {}
+                    err = f"{type(e).__name__}: {e}"
+                rows["doc_id"].append(doc_id)
+                rows["version"].append(m.get("version"))
+                rows["page_count"].append(m.get("page_count"))
+                for k in ("title", "author", "subject", "producer", "creator"):
+                    rows[k].append(m.get(k))
+                rows["error"].append(err)
+            yield pd.DataFrame(rows)
+
+    return raw_docs.select("doc_id", "content").mapInPandas(
+        meta_batches,
+        "doc_id string, version string, page_count int, title string, "
+        "author string, subject string, producer string, creator string, "
+        "error string",
+    )
+
+
 def resume_filter(raw_docs: DataFrame, lineage: DataFrame | None) -> DataFrame:
     """Drop docs already extracted OK in a previous run (checkpoint resume):
     left_anti join against lineage — Catalyst picks broadcast when the done

@@ -210,6 +210,65 @@ class StandardDecryptor:
         return rc4(key, data)
 
 
+# --------------------------------------------------------------------------
+# Writer-side helpers (used by the deterministic encrypted fixtures)
+# --------------------------------------------------------------------------
+
+
+def compute_owner_value(user_pw: bytes = b"", owner_pw: bytes | None = None,
+                        r: int = 3, n: int = 16) -> bytes:
+    """Algorithm 3: the /O entry."""
+    opw = owner_pw if owner_pw else user_pw
+    h = hashlib.md5((opw + PAD)[:32]).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    key = h[:n]
+    out = rc4(key, (user_pw + PAD)[:32])
+    if r >= 3:
+        for i in range(1, 20):
+            out = rc4(bytes(b ^ i for b in key), out)
+    return out
+
+
+def compute_file_key(user_pw: bytes, o: bytes, p: int, doc_id: bytes,
+                     r: int = 3, n: int = 16, encrypt_metadata: bool = True) -> bytes:
+    """Algorithm 2: the file encryption key."""
+    h = hashlib.md5()
+    h.update((user_pw + PAD)[:32])
+    h.update(o[:32])
+    h.update(struct.pack("<I", p & 0xFFFFFFFF))
+    h.update(doc_id)
+    if r >= 4 and not encrypt_metadata:
+        h.update(b"\xff\xff\xff\xff")
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+        return key[:n]
+    return key[:5]
+
+
+def compute_user_value(key: bytes, doc_id: bytes, r: int = 3) -> bytes:
+    """Algorithm 4/5: the /U entry."""
+    if r == 2:
+        return rc4(key, PAD)
+    out = rc4(key, hashlib.md5(PAD + doc_id).digest())
+    for i in range(1, 20):
+        out = rc4(bytes(b ^ i for b in key), out)
+    return out + b"\x00" * 16
+
+
+def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """AES-CBC with PKCS#5 padding, IV prepended (writer side)."""
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+
+    padlen = 16 - len(data) % 16
+    data = data + bytes([padlen]) * padlen
+    enc = Cipher(algorithms.AES(key), modes.CBC(iv)).encryptor()
+    return iv + enc.update(data) + enc.finalize()
+
+
 def make_decryptor(encrypt: dict, doc_id_first: bytes, password: bytes = b""):
     filt = str(encrypt.get("Filter", "Standard"))
     if filt != "Standard":

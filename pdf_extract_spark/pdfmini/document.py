@@ -26,7 +26,7 @@ class EncryptedPdfError(PdfError):
 class Document:
     """Parsed PDF: object table + trailer; lazy object loading."""
 
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, password: bytes = b""):
         self.data = data
         self.trailer: dict = {}
         self._offsets: dict[int, int] = {}          # obj num -> byte offset
@@ -34,12 +34,34 @@ class Document:
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, dict[int, object]] = {}
         self._decoded_cache: dict[int, bytes] = {}
+        self._decryptor = None
+        self._encrypt_num = None
         self._parse_xref_chain()
         if "Encrypt" in self.trailer:
-            # Parity: reference errors on encrypted docs w/o password
-            # (maybe_decrypt, lib.rs:2230-2244). Empty-password RC4/AES is a
-            # later-round feature; surface a typed error -> decode_failures.
-            raise EncryptedPdfError("encrypted PDF (no password support yet)")
+            self._setup_decryption(password)
+
+    def _setup_decryption(self, password: bytes):
+        """Empty-password decrypt like the reference's maybe_decrypt
+        (lib.rs:2230-2244); password-required surfaces a typed error that
+        the pipeline records as a decode_failure."""
+        from .crypt import WrongPasswordError, make_decryptor
+
+        enc_ref = self.trailer.get("Encrypt")
+        if isinstance(enc_ref, Ref):
+            self._encrypt_num = enc_ref.num
+        encrypt = self.deref(enc_ref)
+        if not isinstance(encrypt, dict):
+            raise EncryptedPdfError("malformed Encrypt dictionary")
+        doc_id = self.trailer.get("ID")
+        first_id = b""
+        if isinstance(doc_id, list) and doc_id:
+            first = doc_id[0]
+            if isinstance(first, (bytes, bytearray)):
+                first_id = bytes(first)
+        try:
+            self._decryptor = make_decryptor(encrypt, first_id, password)
+        except WrongPasswordError as e:
+            raise EncryptedPdfError(str(e)) from e
 
     # -- xref --------------------------------------------------------------
 
@@ -178,12 +200,15 @@ class Document:
         obj = None
         if num in self._offsets:
             lex = Lexer(self.data, self._offsets[num])
+            gen = 0
             try:
-                onum, _gen, obj = lex.read_indirect_object()
+                onum, gen, obj = lex.read_indirect_object()
                 if onum != num:
                     obj = self._scan_for(num)
             except Exception:
                 obj = self._scan_for(num)
+            if self._decryptor is not None and num != self._encrypt_num:
+                obj = self._decrypt_object(obj, num, gen)
             if isinstance(obj, Stream) and not isinstance(obj.dict.get("Length"), int):
                 length = self.deref(obj.dict.get("Length"))
                 if isinstance(length, int):
@@ -194,6 +219,25 @@ class Document:
             objs = self._load_objstm(stm_num)
             obj = objs.get(num)
         self._cache[num] = obj
+        return obj
+
+    def _decrypt_object(self, obj, num: int, gen: int):
+        """Recursively decrypt strings and stream bodies of a directly-stored
+        object (objects inside object streams are covered by the container's
+        encryption; XRef streams are never encrypted)."""
+        from .objects import PdfString
+
+        if isinstance(obj, PdfString):
+            return PdfString(self._decryptor.decrypt(bytes(obj), num, gen))
+        if isinstance(obj, Stream):
+            d = {k: self._decrypt_object(v, num, gen) for k, v in obj.dict.items()}
+            if obj.dict.get("Type") == "XRef":
+                return Stream(d, obj.raw)
+            return Stream(d, self._decryptor.decrypt(obj.raw, num, gen))
+        if isinstance(obj, list):
+            return [self._decrypt_object(v, num, gen) for v in obj]
+        if isinstance(obj, dict):
+            return {k: self._decrypt_object(v, num, gen) for k, v in obj.items()}
         return obj
 
     def _scan_for(self, num: int):

@@ -500,6 +500,59 @@ def extract_pdf_spans(spark, sf_dir):
     ).orderBy("doc_id", "pos")
 
 
+def doc_metadata_q(spark, sf_dir):
+    """print_metadata parity (lib.rs:2203-2216) over the fixture corpus."""
+    from .operators.extraction import extract_metadata
+    from .sources.raw_docs import fixture_corpus_df
+
+    raw = fixture_corpus_df(spark, replicas=1)
+    return extract_metadata(raw, num_partitions=4).orderBy("doc_id")
+
+
+def extract_paged_spans(spark, sf_dir):
+    """Page-exploded extraction (by-pages semantics, lib.rs:2295-2307)."""
+    from .operators.extraction import extract_documents_paged
+    from .sources.raw_docs import fixture_corpus_df
+
+    raw = fixture_corpus_df(spark, replicas=1)
+    paged = extract_documents_paged(raw, pages_per_task=4, num_partitions=8)
+    return paged.select(
+        "doc_id", "page_num", F.size("spans").cast("long").alias("n_spans")
+    ).orderBy("doc_id", "page_num")
+
+
+def render_html(spark, sf_dir):
+    """HTML device over the corpus (HTMLOutput parity, lib.rs:1891-1993);
+    returns stable digests, not megabytes of markup."""
+    from .sources.raw_docs import fixture_corpus_df
+
+    def html_batches(batches):
+        import hashlib
+
+        import pandas as pd
+
+        from .extract import extract_html_from_mem
+
+        for b in batches:
+            rows = {"doc_id": [], "html_len": [], "html_md5": []}
+            for doc_id, content in zip(b["doc_id"], b["content"]):
+                try:
+                    h = extract_html_from_mem(bytes(content))
+                except Exception:
+                    h = ""
+                rows["doc_id"].append(doc_id)
+                rows["html_len"].append(len(h))
+                rows["html_md5"].append(hashlib.md5(h.encode()).hexdigest())
+            yield pd.DataFrame(rows)
+
+    raw = fixture_corpus_df(spark, replicas=1)
+    return (
+        raw.select("doc_id", "content")
+        .mapInPandas(html_batches, "doc_id string, html_len long, html_md5 string")
+        .orderBy("doc_id")
+    )
+
+
 def simhash_pairs(spark, sf_dir):
     return simhash_near_pairs(
         load(spark, sf_dir, "documents"), max_hamming=8
@@ -548,6 +601,9 @@ QUERIES = {
     "simhash_pairs": simhash_pairs,
     "ann_lsh_topk": ann_lsh_topk,
     "media_features": media_features,
+    "doc_metadata": doc_metadata_q,
+    "extract_paged_spans": extract_paged_spans,
+    "render_html": render_html,
 }
 
 ORACLES = {

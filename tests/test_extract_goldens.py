@@ -92,3 +92,55 @@ def test_offsets_are_char_offsets_into_plain_text():
     for s in r.spans:
         if s["kind"] == "text":
             assert text[s["offset"] : s["offset"] + len(s["text"])] == s["text"]
+
+
+def test_encrypted_wrong_password_is_typed_error():
+    """A doc with a NON-empty user password must fail with a typed error
+    (maybe_decrypt parity, lib.rs:2230-2244) -> decode_failure, not crash."""
+    import hashlib
+    import struct
+
+    from pdf_extract_spark.pdfmini.crypt import (
+        compute_file_key,
+        compute_owner_value,
+        compute_user_value,
+        rc4,
+    )
+    from pdf_extract_spark.fixtures import PdfBuilder, _HELV
+
+    doc_id = bytes(range(16))
+    o = compute_owner_value(user_pw=b"letmein", r=3, n=16)
+    key = compute_file_key(b"letmein", o, -1, doc_id, r=3, n=16)
+    u = compute_user_value(key, doc_id, r=3)
+    okey = hashlib.md5(
+        key + struct.pack("<I", 1)[:3] + struct.pack("<I", 0)[:2]
+    ).digest()[:16]
+    b = PdfBuilder()
+    c = b.add_stream("", rc4(okey, b"BT /F1 12 Tf 72 720 Td (hidden) Tj ET"))
+    page = b.add(b"")
+    pages = b.add(
+        (
+            f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 /MediaBox [0 0 612 792] >>"
+        ).encode("latin-1")
+    )
+    b.objects[page - 1] = (
+        f"<< /Type /Page /Parent {pages} 0 R /Contents {c} 0 R "
+        f"/Resources << /Font {_HELV} >> >>"
+    ).encode("latin-1")
+    catalog = b.add(f"<< /Type /Catalog /Pages {pages} 0 R >>".encode("latin-1"))
+    enc_obj = b.add(
+        (
+            f"<< /Filter /Standard /V 2 /R 3 /Length 128 /P -1 "
+            f"/O <{o.hex()}> /U <{u.hex()}> >>"
+        ).encode("latin-1")
+    )
+    pdf = b.build(
+        catalog,
+        extra_trailer=f"/Encrypt {enc_obj} 0 R /ID [<{doc_id.hex()}> <{doc_id.hex()}>]",
+    )
+    r = extract_spans_from_mem(pdf)
+    assert r.error is not None and "EncryptedPdfError" in r.error
+    # with the right password it extracts
+    from pdf_extract_spark.extract import extract_text_from_mem_encrypted
+
+    assert extract_text_from_mem_encrypted(pdf, "letmein") == "\n\nhidden"

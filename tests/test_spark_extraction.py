@@ -111,3 +111,39 @@ def test_spans_sink_bucketed(spark, tmp_path):
     import os
 
     assert any(d.startswith("bucket=") for d in os.listdir(path))
+
+
+def test_paged_extraction_matches_by_pages(spark):
+    """Page-exploded operator == per-doc by-pages API output."""
+    from pdf_extract_spark.extract import extract_spans_by_pages
+    from pdf_extract_spark.fixtures import corpus
+    from pdf_extract_spark.operators.extraction import (
+        extract_documents_paged,
+        reassemble_doc_spans,
+    )
+
+    raw = fixture_corpus_df(spark, replicas=1)
+    paged = extract_documents_paged(raw, pages_per_task=1, num_partitions=4).cache()
+    got = {
+        (r["doc_id"], r["page_num"]): [tuple(s) for s in r["spans"]]
+        for r in paged.collect()
+    }
+    for doc_id, pdf, _exp in corpus(1):
+        pages = extract_spans_by_pages(pdf)
+        assert len([k for k in got if k[0] == doc_id]) == len(pages)
+        for i, spans in enumerate(pages, start=1):
+            expect = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+            assert got[(doc_id, i)] == expect, (doc_id, i)
+    # reassembly: one row per doc, spans in page order
+    whole = reassemble_doc_spans(paged)
+    assert whole.count() == raw.count()
+
+
+def test_extract_metadata(spark):
+    from pdf_extract_spark.operators.extraction import extract_metadata
+
+    raw = fixture_corpus_df(spark, replicas=1)
+    m = {r["doc_id"]: r for r in extract_metadata(raw, num_partitions=4).collect()}
+    assert m["multipage-000000"]["page_count"] == 2
+    assert m["simple_tj-000000"]["version"].startswith("1.")
+    assert all(r["error"] is None for r in m.values())
