@@ -1,0 +1,88 @@
+"""Cluster extraction job — the spark-submit entry point.
+
+Usage (local sandbox):
+    python tools/package_pyfiles.py   # builds dist/pdf_extract_spark.zip
+    spark-submit --master local[8] \
+        --py-files dist/pdf_extract_spark.zip \
+        jobs/extract_job.py --input <raw_docs parquet|pdf dir> \
+        --output /tmp/out --run-id run1
+
+On a cluster the same invocation runs against Iceberg tables; --input may
+be a parquet raw_docs table, a directory of PDFs (binaryFile source), or
+'synthetic:N' for the deterministic benchmark corpus.
+
+The job is checkpoint-resumable: lineage rows from previous runs at
+--output/lineage are anti-joined away before extraction.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--run-id", default=f"run-{int(time.time())}")
+    p.add_argument("--num-partitions", type=int, default=None)
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--resume", action="store_true")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from pdf_extract_spark.operators.extraction import (
+        extract_documents,
+        lineage_rows,
+        metrics_rows,
+        resume_filter,
+        run_metrics,
+    )
+    from pdf_extract_spark.sources.raw_docs import (
+        read_pdf_dir,
+        synthetic_corpus_df,
+        write_spans,
+    )
+
+    spark = SparkSession.builder.appName("pdf_extract_spark.extract").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.input.startswith("synthetic:"):
+        raw = synthetic_corpus_df(spark, int(args.input.split(":", 1)[1]))
+    elif args.input.endswith(".parquet") or "parquet" in args.input:
+        raw = spark.read.parquet(args.input)
+    else:
+        raw = read_pdf_dir(spark, args.input)
+
+    lineage_path = f"{args.output}/lineage"
+    if args.resume:
+        try:
+            done = spark.read.parquet(lineage_path)
+        except Exception:
+            done = None
+        raw = resume_filter(raw, done)
+
+    extracted = extract_documents(raw, num_partitions=args.num_partitions).cache()
+    try:
+        write_spans(
+            extracted.select("doc_id", "spans"),
+            f"{args.output}/documents_spans",
+            buckets=args.buckets,
+        )
+        lineage_rows(extracted, args.run_id).write.mode("append").parquet(lineage_path)
+        metrics_rows(extracted).write.mode("append").parquet(f"{args.output}/metrics")
+        summary = run_metrics(extracted, args.run_id).collect()
+        docs = sum(r["docs"] for r in summary)
+        spans = sum(r["spans"] for r in summary)
+        failures = sum(r["decode_failures"] for r in summary)
+        print(f"run={args.run_id} docs={docs} spans={spans} decode_failures={failures}")
+    finally:
+        extracted.unpersist()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

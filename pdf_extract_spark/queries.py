@@ -472,6 +472,197 @@ ORDER BY query_id, rank
 """
 
 
+def events_asof_orders(spark, sf_dir):
+    """As-of join: for each event, the customer's most recent order placed
+    at or before the event time (custom operator — union + carry-forward
+    window, operators/joins.py).  Orders predate all events in the
+    synthetic data, so every event carries a real match — the join logic
+    is exercised, not just the null path."""
+    from .operators.joins import asof_join
+
+    events = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate"),
+        F.col("o_orderkey"),
+        F.col("o_totalprice"),
+    )
+    joined = asof_join(
+        events, orders, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.round("o_totalprice", 2).alias("last_price"),
+    ).orderBy("event_id")
+
+
+ASOF_SQL = """
+SELECT event_id, e.user_id AS user_id, o_orderkey AS last_orderkey,
+       round(o_totalprice, 2) AS last_price
+FROM (SELECT event_id, user_id, ts FROM events) e
+ASOF LEFT JOIN (SELECT o_custkey AS user_id, o_orderdate, o_orderkey,
+                       o_totalprice FROM orders) o
+  ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+ORDER BY event_id
+"""
+
+
+def lineitem_rollup(spark, sf_dir):
+    """ROLLUP subtotals (grouping-sets family) for the metrics layer."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 2) AS qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def custkeys_without_urgent_orders(spark, sf_dir):
+    """Set op (EXCEPT): customers having no 1-URGENT order."""
+    customer = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return customer.subtract(urgent).orderBy("custkey")
+
+
+EXCEPT_SQL = """
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+ORDER BY custkey
+"""
+
+
+def embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (cos >= 0.3), integer-scaled.
+    Dot products via a sequential fold on both engines so the floats are
+    bit-identical."""
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        F.col("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    a, b = vecs.alias("a"), vecs.alias("b")
+
+    def dot(x, y):
+        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, t: acc + t)
+
+    pairs = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            (
+                dot(F.col("a.v"), F.col("b.v"))
+                / (F.sqrt(dot(F.col("a.v"), F.col("a.v"))) * F.sqrt(dot(F.col("b.v"), F.col("b.v"))))
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.3)
+        .select("id_a", "id_b", F.floor(F.col("cos") * 1000).cast("long").alias("cos_x1000"))
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+NEAR_DUP_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_reduce(list_transform(range(1, len(a.v) + 1),
+                                    i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+           / (sqrt(list_reduce(list_transform(range(1, len(a.v) + 1),
+                                    i -> a.v[i] * a.v[i]), (x, y) -> x + y))
+            * sqrt(list_reduce(list_transform(range(1, len(b.v) + 1),
+                                    i -> b.v[i] * b.v[i]), (x, y) -> x + y)))
+           AS cos
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, CAST(floor(cos * 1000) AS BIGINT) AS cos_x1000
+FROM p WHERE cos >= 0.3
+ORDER BY id_a, id_b
+"""
+
+_BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def doc_token_bpe(spark, sf_dir):
+    """BPE-style pre-tokenizer counts (GPT-2-ish word/number/punct split)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_BPE_PATTERN)).cast("long").alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+BPE_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT)
+           AS n_bpe_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def doc_winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints: rolling 8-gram hash, window-4
+    minimum, distinct survivors — the classic local fingerprinting scheme
+    for plagiarism/near-dup detection."""
+    docs = load(spark, sf_dir, "documents")
+    # expressed as SQL (substr with a column start position)
+    fps = F.expr(
+        """
+        array_distinct(
+          transform(
+            sequence(1, greatest(size(transform(sequence(1, greatest(length(text) - 7, 1)),
+                                i -> md5(encode(substr(text, i, 8), 'utf-8')))) - 3, 1)),
+            j -> array_min(slice(transform(sequence(1, greatest(length(text) - 7, 1)),
+                                i -> md5(encode(substr(text, i, 8), 'utf-8'))), j, 4))
+          )
+        )
+        """
+    )
+    return (
+        docs.select("doc_id", F.explode(fps).alias("fp"))
+        .distinct()
+        .orderBy("doc_id", "fp")
+    )
+
+
+WINNOW_SQL = r"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+                        i -> md5(text[i : i + 7])) AS hs
+  FROM documents
+), w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+                                      j -> list_min(hs[j : j + 3]))) AS fps
+  FROM h
+)
+SELECT DISTINCT doc_id, unnest(fps) AS fp FROM w
+ORDER BY doc_id, fp
+"""
+
+
 # ---------------------------------------------------------------------------
 # Non-SQL-expressible operators (rows-only driver check)
 # ---------------------------------------------------------------------------
@@ -604,6 +795,12 @@ QUERIES = {
     "doc_metadata": doc_metadata_q,
     "extract_paged_spans": extract_paged_spans,
     "render_html": render_html,
+    "events_asof_orders": events_asof_orders,
+    "lineitem_rollup": lineitem_rollup,
+    "custkeys_without_urgent_orders": custkeys_without_urgent_orders,
+    "embedding_near_dup": embedding_near_dup,
+    "doc_token_bpe": doc_token_bpe,
+    "doc_winnow_fingerprints": doc_winnow_fingerprints,
 }
 
 ORACLES = {
@@ -620,6 +817,12 @@ ORACLES = {
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "spans_explode": SPANS_EXPLODE_SQL,
     "ann_cosine_topk": ANN_SQL,
+    "events_asof_orders": ASOF_SQL,
+    "lineitem_rollup": ROLLUP_SQL,
+    "custkeys_without_urgent_orders": EXCEPT_SQL,
+    "embedding_near_dup": NEAR_DUP_SQL,
+    "doc_token_bpe": BPE_SQL,
+    "doc_winnow_fingerprints": WINNOW_SQL,
     # extract_pdf_spans / simhash_pairs / ann_lsh_topk / media_features:
     # non-SQL-expressible -> rows-only check
 }

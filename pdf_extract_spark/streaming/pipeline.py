@@ -78,6 +78,12 @@ def windowed_event_counts(
 ) -> DataFrame:
     """Streaming windowed aggregation with late-data watermarking — the
     standard tumbling-window rollup (batch mirror: events_hourly_rollup)."""
+    # watermarks require TIMESTAMP (LTZ); session TZ is pinned to UTC so
+    # NTZ event times cast losslessly
+    if dict(events_stream.dtypes).get("ts") == "timestamp_ntz":
+        events_stream = events_stream.withColumn(
+            "ts", F.col("ts").cast("timestamp_ltz")
+        )
     return (
         events_stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window_duration).alias("w"), "event_type")

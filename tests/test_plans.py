@@ -1,0 +1,77 @@
+"""Physical-plan quality gates: the plans we ship must stay the plans we
+designed — filters pushed to the parquet scan, columns pruned, small dims
+broadcast, no Python in JVM-expressible pipelines."""
+
+import re
+
+from pdf_extract_spark.queries import (
+    dedup_exact_q,
+    doc_stats,
+    q1_pricing_summary,
+    q5_nation_revenue,
+    spans_explode,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    txt = formatted(q1_pricing_summary(spark, SF))
+    assert "PushedFilters" in txt
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", txt)
+    assert m and "l_shipdate" in m.group(1), m.group(0) if m else txt[:500]
+
+
+def test_q1_column_pruning(spark):
+    txt = formatted(q1_pricing_summary(spark, SF))
+    m = re.search(r"ReadSchema: ([^\n]*)", txt)
+    assert m is not None
+    # only the 5 needed columns are read, not all 11
+    assert "l_partkey" not in m.group(1)
+    assert "l_orderkey" not in m.group(1)
+    assert "l_quantity" in m.group(1)
+
+
+def test_q5_broadcasts_small_dims(spark):
+    txt = plan_of(q5_nation_revenue(spark, SF))
+    assert "BroadcastHashJoin" in txt
+    # never a cartesian / nested-loop on the fact table
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_doc_stats_is_jvm_only(spark):
+    """Text analysis must stay in codegen: no Python UDF nodes."""
+    df = doc_stats(spark, SF)
+    txt = plan_of(df)
+    assert "BatchEvalPython" not in txt
+    assert "ArrowEvalPython" not in txt
+    # AQE finalizes the plan on execution; codegen spans appear then
+    df.collect()
+    final = plan_of(df)
+    # '*(N)' is the whole-stage-codegen marker in the final plan string
+    assert "*(" in final
+
+
+def test_dedup_exact_partial_aggregation(spark):
+    """groupBy must produce map-side partial agg (two HashAggregate nodes)."""
+    txt = plan_of(dedup_exact_q(spark, SF))
+    assert txt.count("HashAggregate") >= 2
+
+
+def test_spans_explode_single_shuffle(spark):
+    """The span-ordering window should cost exactly one exchange."""
+    txt = plan_of(spans_explode(spark, SF))
+    # one shuffle for the window partitioning + possibly one for orderBy
+    # sampling; never more than 2 data exchanges
+    assert txt.count("Exchange") <= 2

@@ -45,3 +45,42 @@ def test_streaming_extraction_availablenow(spark, tmp_path):
     q2.awaitTermination(120)
     assert spark.read.parquet(spans).select("doc_id").distinct().count() == n
     assert spark.read.parquet(lineage).count() == n
+
+
+def test_streaming_windowed_event_counts(spark, tmp_path):
+    """Watermarked tumbling-window agg over a streamed events table; result
+    must match the batch date_trunc rollup."""
+    from pyspark.sql import functions as F
+
+    from pdf_extract_spark.streaming.pipeline import windowed_event_counts
+
+    src = str(tmp_path / "events_in")
+    out = str(tmp_path / "events_out")
+    ckpt = str(tmp_path / "events_ckpt")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = windowed_event_counts(stream, "1 hour", "2 hours")
+    q = (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    got = spark.read.parquet(out)
+    batch = (
+        events.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    # append mode emits only windows older than the watermark; every
+    # emitted window must match the batch rollup exactly
+    assert got.count() > 0
+    matched = got.alias("g").join(
+        batch.alias("b"), ["hour", "event_type"]
+    ).filter(F.col("g.n") != F.col("b.n"))
+    assert matched.count() == 0
