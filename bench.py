@@ -30,10 +30,15 @@ HEADLINE = [
     "top3_orders_per_customer",
     "events_sessionize",
     "events_hourly_rollup",
+    "events_asof_orders",
+    "lineitem_rollup",
     "doc_stats",
+    "doc_token_bpe",
+    "doc_winnow_fingerprints",
     "dedup_exact",
     "minhash_lsh_candidates",
     "ngram_jaccard_pairs",
+    "embedding_near_dup",
     "spans_explode",
     "ann_cosine_topk",
 ]

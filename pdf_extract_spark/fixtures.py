@@ -460,6 +460,53 @@ def fx_type3_font() -> tuple[bytes, str]:
     return b.build(catalog), "\n\nAB"
 
 
+def fx_type1_embedded_encoding() -> tuple[bytes, str]:
+    """Type1 font with NO /Encoding dict: the builtin encoding comes from
+    the embedded font program's cleartext dup/put table (the
+    type1-encoding-parser path, lib.rs:386-395 + 546-556)."""
+    font_program = (
+        b"%!PS-AdobeFont-1.0: TestFont\n"
+        b"/FontName /TestFont def\n"
+        b"/Encoding 256 array\n"
+        b"0 1 255 {1 index exch /.notdef put} for\n"
+        b"dup 65 /emdash put\n"
+        b"dup 66 /B put\n"
+        b"dup 67 /ydieresis put\n"
+        b"readonly def\n"
+        b"currentdict end\n"
+        b"currentfile eexec\n" + b"\x00" * 32
+    )
+    b = PdfBuilder()
+    ff = b.add_stream("/Length1 100 /Length2 32 /Length3 0", font_program)
+    desc = b.add(
+        (
+            f"<< /Type /FontDescriptor /FontName /TestFont /Flags 4 "
+            f"/FontFile {ff} 0 R >>"
+        ).encode("latin-1")
+    )
+    font = b.add(
+        (
+            f"<< /Type /Font /Subtype /Type1 /BaseFont /TestFont "
+            f"/FontDescriptor {desc} 0 R "
+            f"/FirstChar 65 /LastChar 67 /Widths [500 500 500] >>"
+        ).encode("latin-1")
+    )
+    c = b.add_stream("", b"BT /F1 12 Tf 72 720 Td (ABC) Tj ET")
+    page = b.add(b"")
+    pages = b.add(
+        (
+            f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 /MediaBox [0 0 612 792] >>"
+        ).encode("latin-1")
+    )
+    b.objects[page - 1] = (
+        f"<< /Type /Page /Parent {pages} 0 R /Contents {c} 0 R "
+        f"/Resources << /Font << /F1 {font} 0 R >> >> >>"
+    ).encode("latin-1")
+    catalog = b.add(f"<< /Type /Catalog /Pages {pages} 0 R >>".encode("latin-1"))
+    # 65->emdash, 66->B, 67->ydieresis via the font program's encoding
+    return b.build(catalog), "\n\n—Bÿ"
+
+
 def fx_multipage() -> tuple[bytes, str]:
     p1 = b"BT /F1 12 Tf 72 720 Td (page one) Tj ET"
     p2 = b"BT /F1 12 Tf 72 720 Td (page two) Tj ET"
@@ -609,6 +656,7 @@ FIXTURES: dict[str, callable] = {
     "lzw_stream": fx_lzw_stream,
     "cid_embedded_cmap": fx_cid_embedded_cmap,
     "type3_font": fx_type3_font,
+    "type1_embedded_encoding": fx_type1_embedded_encoding,
 }
 
 

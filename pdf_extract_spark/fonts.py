@@ -258,16 +258,33 @@ class SimpleFont:
             doc, font, PDF_DOC_ENCODING
         )
         if table is None and encoding_obj is None:
-            # No /Encoding: Type1 builtin encodings would come from the
-            # embedded font program (the reference parses FontFile via the
-            # type1-encoding-parser crate, lib.rs:386-395; we approximate
-            # with StandardEncoding); TrueType defaults to WinAnsi
-            # (lib.rs:557-561).
+            # No /Encoding: Type1 builtin encoding comes from the embedded
+            # font program's cleartext /Encoding section (replacing the
+            # type1-encoding-parser crate, lib.rs:386-395, applied at
+            # lib.rs:546-556 over a PDFDocEncoding base); TrueType defaults
+            # to WinAnsi (lib.rs:557-561).
             descriptor = doc.deref(font.get("FontDescriptor"))
             if subtype == "TrueType":
                 table = encoding_to_unicode_table("WinAnsiEncoding")
             elif subtype == "Type1" and isinstance(descriptor, dict) and "FontFile" in descriptor:
-                table = encoding_to_unicode_table("StandardEncoding")
+                from .pdfmini.objects import Stream as _Stream
+                from .pdfmini.type1 import get_encoding_map
+
+                ff = doc.deref(descriptor.get("FontFile"))
+                t1map = None
+                if isinstance(ff, _Stream):
+                    try:
+                        t1map = get_encoding_map(doc.get_stream_content(ff))
+                    except Exception:
+                        t1map = None
+                if t1map:
+                    table = list(PDF_DOC_ENCODING)
+                    for code, gname in t1map.items():
+                        uni = name_to_unicode(gname)
+                        if uni is not None:
+                            table[code] = uni
+                else:
+                    table = encoding_to_unicode_table("StandardEncoding")
 
         widths: dict[int, float] = {}
         first = doc.deref(font.get("FirstChar"))

@@ -68,6 +68,61 @@ def brute_force_topk(
     )
 
 
+def all_pairs_cosine(
+    emb: DataFrame,
+    min_cos: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_broadcast_rows: int = 2_000_000,
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup: block x broadcast matrix multiply.
+
+    One side of the O(n^2) comparison is broadcast as a dense numpy matrix;
+    each task multiplies its row block against it (BLAS), emitting pairs
+    with cos >= min_cos and id_a < id_b.  A row-pair equi/theta join with
+    per-pair HOF folds is ~100x slower (measured: hang at 2k vectors vs
+    seconds here).  Exact all-pairs is only sane while the matrix fits in
+    executor memory (guarded); beyond that, candidate generation belongs to
+    LSH (lsh_topk / minhash) and this kernel re-ranks candidates.
+    """
+    import numpy as np
+
+    spark = emb.sparkSession
+    rows = emb.select(id_col, vec_col).collect()
+    if len(rows) > max_broadcast_rows:
+        raise ValueError(
+            f"{len(rows)} vectors exceed the exact all-pairs broadcast guard; "
+            "use lsh_topk/minhash candidates + re-rank"
+        )
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def block_pairs(batches):
+        import pandas as pd
+
+        b_ids, b_mat, b_norms = bc.value
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            if len(pdf):
+                block = np.array(list(pdf[vec_col]), dtype=np.float64)
+                bids = pdf[id_col].to_numpy(dtype=np.int64)
+                bn = np.sqrt((block * block).sum(axis=1))
+                sims = (block @ b_mat.T) / np.outer(bn, b_norms)
+                for i in range(len(bids)):
+                    mask = (sims[i] >= min_cos) & (b_ids > bids[i])
+                    for j in np.nonzero(mask)[0]:
+                        out_a.append(int(bids[i]))
+                        out_b.append(int(b_ids[j]))
+                        out_c.append(int(np.floor(sims[i, j] * 1000)))
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos_x1000": out_c})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        block_pairs, "id_a long, id_b long, cos_x1000 long"
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes: component (p, i) derives
     from md5(p:i) mapped to [-1, 1).  Stateless — identical on every

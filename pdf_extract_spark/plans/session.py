@@ -24,6 +24,11 @@ def get_spark(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
+    try:
+        os.makedirs(local_dir, exist_ok=True)
+    except OSError:
+        local_dir = None
     if shuffle_partitions is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         shuffle_partitions = int(cpus) if cpus else 32
@@ -45,6 +50,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # Shuffle/spill to tmpfs: the sandbox VM's virtual disk throttles after
+    # sustained writes (observed: idle-CPU iowait stalls with 10-100x
+    # variance on later queries in a session). A real cluster uses local
+    # NVMe; /dev/shm is the sandbox equivalent.
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -554,30 +554,10 @@ def embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (cos >= 0.3), integer-scaled.
     Dot products via a sequential fold on both engines so the floats are
     bit-identical."""
+    from .operators.similarity import all_pairs_cosine
+
     emb = load(spark, sf_dir, "embeddings")
-    vecs = emb.select(
-        F.col("vec_id"),
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
-    )
-    a, b = vecs.alias("a"), vecs.alias("b")
-
-    def dot(x, y):
-        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, t: acc + t)
-
-    pairs = (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            (
-                dot(F.col("a.v"), F.col("b.v"))
-                / (F.sqrt(dot(F.col("a.v"), F.col("a.v"))) * F.sqrt(dot(F.col("b.v"), F.col("b.v"))))
-            ).alias("cos"),
-        )
-        .filter(F.col("cos") >= 0.3)
-        .select("id_a", "id_b", F.floor(F.col("cos") * 1000).cast("long").alias("cos_x1000"))
-    )
-    return pairs.orderBy("id_a", "id_b")
+    return all_pairs_cosine(emb, min_cos=0.3).orderBy("id_a", "id_b")
 
 
 NEAR_DUP_SQL = """
@@ -624,23 +604,31 @@ ORDER BY doc_id
 def doc_winnow_fingerprints(spark, sf_dir):
     """Winnowing document fingerprints: rolling 8-gram hash, window-4
     minimum, distinct survivors — the classic local fingerprinting scheme
-    for plagiarism/near-dup detection."""
+    for plagiarism/near-dup detection.
+
+    Plan shape: hashes are EXPLODED to rows and the window-4 minimum runs
+    as a sliding frame over (doc_id, pos).  A nested transform/slice
+    array expression is O(n^2) because Catalyst re-evaluates the inner
+    hash-array lambda for every outer element (no CSE inside lambdas) —
+    measured as a >9 min hang at sf0.1 vs seconds for this shape."""
     docs = load(spark, sf_dir, "documents")
-    # expressed as SQL (substr with a column start position)
-    fps = F.expr(
-        """
-        array_distinct(
-          transform(
-            sequence(1, greatest(size(transform(sequence(1, greatest(length(text) - 7, 1)),
-                                i -> md5(encode(substr(text, i, 8), 'utf-8')))) - 3, 1)),
-            j -> array_min(slice(transform(sequence(1, greatest(length(text) - 7, 1)),
-                                i -> md5(encode(substr(text, i, 8), 'utf-8'))), j, 4))
-          )
-        )
-        """
+    hs = F.expr(
+        "transform(sequence(1, greatest(length(text) - 7, 1)),"
+        " i -> md5(encode(substr(text, i, 8), 'utf-8')))"
+    )
+    ex = docs.select("doc_id", F.posexplode(hs).alias("pos", "h"))
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    wtot = Window.partitionBy("doc_id")
+    wins = ex.select(
+        "doc_id",
+        "pos",
+        F.min("h").over(w).alias("fp"),
+        F.count("*").over(w).alias("cnt"),
+        F.count("*").over(wtot).alias("total"),
     )
     return (
-        docs.select("doc_id", F.explode(fps).alias("fp"))
+        wins.filter((F.col("cnt") == 4) | ((F.col("total") < 4) & (F.col("pos") == 0)))
+        .select("doc_id", "fp")
         .distinct()
         .orderBy("doc_id", "fp")
     )
