@@ -65,7 +65,21 @@ def main(argv=None) -> None:
             done = None
         raw = resume_filter(raw, done)
 
-    extracted = extract_documents(raw, num_partitions=args.num_partitions).cache()
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    # free metrics via observe(): no extra pass over the data
+    obs = Observation("extract")
+    extracted = (
+        extract_documents(raw, num_partitions=args.num_partitions)
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_spans").alias("spans"),
+            F.sum("decode_failures").alias("failures"),
+        )
+        .cache()
+    )
     try:
         write_spans(
             extracted.select("doc_id", "spans"),
@@ -74,11 +88,15 @@ def main(argv=None) -> None:
         )
         lineage_rows(extracted, args.run_id).write.mode("append").parquet(lineage_path)
         metrics_rows(extracted).write.mode("append").parquet(f"{args.output}/metrics")
-        summary = run_metrics(extracted, args.run_id).collect()
-        docs = sum(r["docs"] for r in summary)
-        spans = sum(r["spans"] for r in summary)
-        failures = sum(r["decode_failures"] for r in summary)
-        print(f"run={args.run_id} docs={docs} spans={spans} decode_failures={failures}")
+        # per-partition rollup table + observed (free) totals
+        run_metrics(extracted, args.run_id).write.mode("append").parquet(
+            f"{args.output}/run_metrics"
+        )
+        m = obs.get
+        print(
+            f"run={args.run_id} docs={m.get('docs', 0)} "
+            f"spans={m.get('spans') or 0} decode_failures={m.get('failures') or 0}"
+        )
     finally:
         extracted.unpersist()
     spark.stop()

@@ -580,6 +580,38 @@ FROM p WHERE cos >= 0.3
 ORDER BY id_a, id_b
 """
 
+def events_in_price_band(spark, sf_dir):
+    """Point-in-interval join via bucketing (operators/joins.py): events
+    whose value falls inside a part's +-2 retail-price band.  The bucketed
+    equi-join replaces the O(n*m) theta join Catalyst would otherwise run
+    as broadcast-nested-loop."""
+    from .operators.joins import range_join_buckets
+
+    events = load(spark, sf_dir, "events").select("event_id", "value")
+    parts = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_retailprice") / 10 - 2).alias("lo"),
+        (F.col("p_retailprice") / 10 + 2).alias("hi"),
+    )
+    joined = range_join_buckets(events, parts, "value", "lo", "hi", bucket_width=8.0)
+    return (
+        joined.groupBy("event_id")
+        .agg(F.count("*").alias("n_parts"), F.min("p_partkey").alias("first_part"))
+        .orderBy("event_id")
+    )
+
+
+RANGE_JOIN_SQL = """
+SELECT event_id, count(*) AS n_parts, min(p_partkey) AS first_part
+FROM events e
+JOIN (SELECT p_partkey, p_retailprice / 10 - 2 AS lo,
+             p_retailprice / 10 + 2 AS hi FROM part) p
+  ON e.value >= p.lo AND e.value <= p.hi
+GROUP BY event_id
+ORDER BY event_id
+"""
+
+
 _BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
 
 
@@ -786,6 +818,7 @@ QUERIES = {
     "events_asof_orders": events_asof_orders,
     "lineitem_rollup": lineitem_rollup,
     "custkeys_without_urgent_orders": custkeys_without_urgent_orders,
+    "events_in_price_band": events_in_price_band,
     "embedding_near_dup": embedding_near_dup,
     "doc_token_bpe": doc_token_bpe,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
@@ -808,6 +841,7 @@ ORACLES = {
     "events_asof_orders": ASOF_SQL,
     "lineitem_rollup": ROLLUP_SQL,
     "custkeys_without_urgent_orders": EXCEPT_SQL,
+    "events_in_price_band": RANGE_JOIN_SQL,
     "embedding_near_dup": NEAR_DUP_SQL,
     "doc_token_bpe": BPE_SQL,
     "doc_winnow_fingerprints": WINNOW_SQL,
