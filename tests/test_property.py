@@ -1,0 +1,112 @@
+"""Property-based tests (hypothesis) for the byte-level layers — the
+reference has no property tests (SURVEY.md §5); these harden the paths
+where hand-picked fixtures can miss edge bytes."""
+
+import base64
+import zlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_extract_spark.fixtures import lzw_encode
+from pdf_extract_spark.pdfmini.filters import (
+    ascii85_decode,
+    asciihex_decode,
+    flate_decode,
+    lzw_decode,
+    runlength_decode,
+)
+from pdf_extract_spark.pdfmini.objects import Lexer, PdfString
+
+payload = st.binary(min_size=0, max_size=512)
+
+
+@given(payload)
+@settings(max_examples=200, deadline=None)
+def test_flate_roundtrip(data):
+    assert flate_decode(zlib.compress(data)) == data
+
+
+@given(payload)
+@settings(max_examples=200, deadline=None)
+def test_asciihex_roundtrip(data):
+    assert asciihex_decode(data.hex().encode() + b">") == data
+
+
+@given(payload)
+@settings(max_examples=200, deadline=None)
+def test_ascii85_roundtrip(data):
+    assert ascii85_decode(base64.a85encode(data)) == data
+
+
+@given(payload)
+@settings(max_examples=200, deadline=None)
+def test_lzw_roundtrip(data):
+    assert lzw_decode(lzw_encode(data)) == data
+
+
+def _rle_encode(data: bytes) -> bytes:
+    """Simple literal-only RunLength encoder (always valid per spec)."""
+    out = bytearray()
+    for i in range(0, len(data), 64):
+        chunk = data[i : i + 64]
+        out.append(len(chunk) - 1)
+        out += chunk
+    out.append(128)
+    return bytes(out)
+
+
+@given(st.binary(min_size=1, max_size=512))
+@settings(max_examples=200, deadline=None)
+def test_runlength_roundtrip(data):
+    assert runlength_decode(_rle_encode(data)) == data
+
+
+def _escape_literal(data: bytes) -> bytes:
+    out = bytearray(b"(")
+    for b in data:
+        if b in b"()\\":
+            out += b"\\" + bytes([b])
+        elif b == 0x0D:
+            out += b"\\r"
+        else:
+            out.append(b)
+    out += b")"
+    return bytes(out)
+
+
+@given(payload)
+@settings(max_examples=300, deadline=None)
+def test_literal_string_roundtrip(data):
+    """Any byte payload escaped into a literal string lexes back exactly."""
+    obj = Lexer(_escape_literal(data)).read_object()
+    assert isinstance(obj, PdfString)
+    assert bytes(obj) == data
+
+
+@given(st.binary(min_size=0, max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_hex_string_roundtrip(data):
+    obj = Lexer(b"<" + data.hex().encode() + b">").read_object()
+    assert bytes(obj) == data
+
+
+@given(st.lists(st.integers(min_value=-(2**31), max_value=2**31 - 1), max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_integer_array_roundtrip(xs):
+    src = b"[" + b" ".join(str(x).encode() for x in xs) + b"]"
+    # consecutive non-negative ints can lex as refs only with a trailing R;
+    # plain arrays must come back as the same ints
+    obj = Lexer(src).read_object()
+    assert obj == xs
+
+
+@given(st.binary(min_size=0, max_size=256))
+@settings(max_examples=150, deadline=None)
+def test_extractor_never_raises(data):
+    """Garbage-in: extract_spans_from_mem must always return a result
+    object, never raise (per-doc fault isolation contract)."""
+    from pdf_extract_spark.extract import extract_spans_from_mem
+
+    r = extract_spans_from_mem(b"%PDF-1.4\n" + data)
+    assert r.error is None or isinstance(r.error, str)
