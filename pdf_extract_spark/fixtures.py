@@ -341,10 +341,18 @@ def lzw_encode(data: bytes, early: int = 1) -> bytes:
             w = w + c
         else:
             out_bits.append((table[w], width))
-            table[w + c] = next_code
-            next_code += 1
-            if next_code + early - 1 >= (1 << width) and width < 12:
-                width += 1
+            if next_code >= 4096:
+                # 12-bit table full: emit a clear code and restart (spec
+                # requires the encoder to clear before the table overflows).
+                out_bits.append((256, width))
+                table = {bytes([i]): i for i in range(256)}
+                next_code = 258
+                width = 9
+            else:
+                table[w + c] = next_code
+                next_code += 1
+                if next_code + early - 1 >= (1 << width) and width < 12:
+                    width += 1
             w = c
     if w:
         out_bits.append((table[w], width))
@@ -604,6 +612,96 @@ def _encrypted_doc(cfm: str) -> tuple[bytes, str]:
     return pdf, "\n\nsecret text"
 
 
+def fx_symbol_corefont() -> tuple[bytes, str]:
+    """Non-embedded Symbol (the most common math-PDF core font): no
+    /Widths and no /Encoding, so the encoding table AND widths both come
+    from the full Symbol AFM (lib.rs:624-645; core_fonts.rs:2).  'a','b',
+    'g' are alpha/beta/gamma in the Symbol builtin encoding."""
+    content = b"BT /F1 12 Tf 72 720 Td (abg) Tj ET"
+    res = "<< /Font << /F1 << /Type /Font /Subtype /Type1 /BaseFont /Symbol >> >> >>"
+    return _simple_doc([(content, res)]), "\n\nαβγ"
+
+
+def fx_zapf_corefont() -> tuple[bytes, str]:
+    """Non-embedded ZapfDingbats: table built from the 202-entry dingbat
+    name list (zapfglyphnames.rs:1), NOT the AGL — codes 97..99 are glyphs
+    a60/a61/a62 (U+2741..U+2743)."""
+    content = b"BT /F1 12 Tf 72 720 Td (abc) Tj ET"
+    res = (
+        "<< /Font << /F1 << /Type /Font /Subtype /Type1 "
+        "/BaseFont /ZapfDingbats >> >> >>"
+    )
+    return _simple_doc([(content, res)]), "\n\n❁❂❃"
+
+
+def fx_differences_nonascii() -> tuple[bytes, str]:
+    """Differences array naming Greek, Cyrillic and ligature glyphs — all
+    outside the round-1 AGL subset, resolvable only with the full 4,700-name
+    glyph list (glyphnames.rs:6): Alpha=U+0391, Beta=U+0392,
+    afii10017=U+0410 (Cyrillic A), ffi=U+FB03."""
+    content = b"BT /F1 12 Tf 72 720 Td (ABCD) Tj ET"
+    res = (
+        "<< /Font << /F1 << /Type /Font /Subtype /Type1 /BaseFont /NotACoreFont "
+        "/FirstChar 65 /LastChar 68 /Widths [500 500 500 500] "
+        "/Encoding << /Differences [65 /Alpha /Beta /afii10017 /ffi] >> >> >> >>"
+    )
+    return _simple_doc([(content, res)]), "\n\nΑΒАﬃ"
+
+
+def fx_macexpert_encoding() -> tuple[bytes, str]:
+    """/Encoding /MacExpertEncoding (real 256-entry table, encodings.rs:259):
+    '0','1' are zerooldstyle/oneoldstyle (U+F730/U+F731), 'V' is ff
+    (U+FB00)."""
+    content = b"BT /F1 12 Tf 72 720 Td (01V) Tj ET"
+    res = (
+        "<< /Font << /F1 << /Type /Font /Subtype /Type1 /BaseFont /ExpertFace "
+        "/FirstChar 48 /LastChar 86 /Widths [" + "500 " * 39 + "] "
+        "/Encoding /MacExpertEncoding >> >> >>"
+    )
+    return _simple_doc([(content, res)]), "\n\n\uf730\uf731\ufb00"
+
+
+def fx_encrypted_identity_stmf() -> tuple[bytes, str]:
+    """V4/R4 doc whose /StmF is Identity (spec default): stream bodies are
+    NOT encrypted even though an AESV2 StdCF exists for strings.  Covers the
+    per-class crypt-filter split (spec 7.6.5); a decryptor that applies the
+    string filter to streams turns the content into garbage."""
+    from .pdfmini.crypt import compute_file_key, compute_owner_value, compute_user_value
+
+    doc_id = bytes(range(16))
+    p = -1
+    o = compute_owner_value(r=4, n=16)
+    key = compute_file_key(b"", o, p, doc_id, r=4, n=16)
+    u = compute_user_value(key, doc_id, r=4)
+
+    content = b"BT /F1 12 Tf 72 720 Td (identity streams) Tj ET"
+    b = PdfBuilder()
+    c = b.add_stream("", content)  # plain — Identity StmF
+    page = b.add(b"")
+    pages = b.add(
+        (
+            f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 /MediaBox [0 0 612 792] >>"
+        ).encode("latin-1")
+    )
+    b.objects[page - 1] = (
+        f"<< /Type /Page /Parent {pages} 0 R /Contents {c} 0 R "
+        f"/Resources << /Font {_HELV} >> >>"
+    ).encode("latin-1")
+    catalog = b.add(f"<< /Type /Catalog /Pages {pages} 0 R >>".encode("latin-1"))
+    enc_body = (
+        f"<< /Filter /Standard /V 4 /R 4 /Length 128 /P {p} "
+        f"/O <{o.hex()}> /U <{u.hex()}> "
+        f"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+        f"/StmF /Identity /StrF /StdCF >>"
+    )
+    enc_obj = b.add(enc_body.encode("latin-1"))
+    pdf = b.build(
+        catalog,
+        extra_trailer=f"/Encrypt {enc_obj} 0 R /ID [<{doc_id.hex()}> <{doc_id.hex()}>]",
+    )
+    return pdf, "\n\nidentity streams"
+
+
 def fx_encrypted_rc4() -> tuple[bytes, str]:
     return _encrypted_doc("V2")
 
@@ -653,6 +751,11 @@ FIXTURES: dict[str, callable] = {
     "char_spacing_gap": fx_char_spacing_gap,
     "encrypted_rc4": fx_encrypted_rc4,
     "encrypted_aes": fx_encrypted_aes,
+    "encrypted_identity_stmf": fx_encrypted_identity_stmf,
+    "symbol_corefont": fx_symbol_corefont,
+    "zapf_corefont": fx_zapf_corefont,
+    "differences_nonascii": fx_differences_nonascii,
+    "macexpert_encoding": fx_macexpert_encoding,
     "lzw_stream": fx_lzw_stream,
     "cid_embedded_cmap": fx_cid_embedded_cmap,
     "type3_font": fx_type3_font,

@@ -97,106 +97,78 @@ def _zip_spans(flat: DataFrame) -> DataFrame:
     )
 
 
-_PREIMAGE_CACHE: dict[int, list[int]] = {}
-
-
-def _salt_preimages(spark, num_partitions: int) -> list[int]:
-    """For each partition id p in [0, P), find an int v with
-    pmod(murmur3_hash(v), P) == p — so repartition(P, salt) with
-    salt = preimages[p] lands the row exactly on partition p.
-    One tiny driver-side job, cached per P."""
-    hit = _PREIMAGE_CACHE.get(num_partitions)
-    if hit is not None:
-        return hit
-    found: dict[int, int] = {}
-    base = 0
-    while len(found) < num_partitions and base < 64 * num_partitions:
-        rows = (
-            spark.range(base, base + 16 * num_partitions)
-            .select(
-                F.col("id").cast("int").alias("v"),
-                F.pmod(F.hash(F.col("id").cast("int")), F.lit(num_partitions)).alias("b"),
-            )
-            .collect()
-        )
-        for r in rows:
-            found.setdefault(r["b"], r["v"])
-        base += 16 * num_partitions
-    out = [found[p] for p in range(num_partitions)]
-    _PREIMAGE_CACHE[num_partitions] = out
-    return out
+MIN_HEAVY_CUT = 1 * 1024 * 1024  # below this, one-per-task overhead dominates
 
 
 def extract_documents(
     raw_docs: DataFrame,
     num_partitions: int | None = None,
     giant_threshold: int | None = None,
-    heavy_quantile: float = 0.98,
+    heavy_quantile: float | None = 0.98,
 ) -> DataFrame:
     """raw_docs(doc_id, content[, byte_len]) -> extraction result frame.
 
     Returns doc_id, spans, pages, n_spans, decode_failures, error.
 
     Skew strategy (extraction cost ~ byte_len, and web-corpus doc sizes
-    span ~10^6x): random hash partitioning balances doc COUNT but Poisson
-    clumping of heavy docs creates straggler tasks (measured: max task 8s
-    vs median 3.6s on a 5%-large mix).  So the split is SIZE-AWARE:
+    span ~10^6x) — with the constraint that PDF BYTES cross at most ONE
+    exchange per path (a content shuffle at 100 TB costs more than the
+    extraction itself):
 
-      * heavy tail (byte_len above the `heavy_quantile` approx-quantile, or
-        above the fixed `giant_threshold` when given) is spread one-doc-ish
-        per task over 4x the partitions — a giant PDF never queues behind
-        another;
-      * the body is hash-salted over `num_partitions`.
+      * the heavy tail is cut off at ``giant_threshold`` bytes; when that
+        is None the cut is probed from the `heavy_quantile` approx-quantile
+        of ``byte_len`` (clamped to [1 MiB, 32 MiB]).  Heavy docs are
+        spread one-doc-ish per task over 4x the partitions, so a giant PDF
+        never queues behind another.  The probe runs only when the source
+        carries a ``byte_len`` column (then it is a column-pruned scan —
+        never a full-content read).
+      * the body is hash-repartitioned on doc_id over `num_partitions`.
+        With the tail removed, per-doc cost is bounded by the cut, and at
+        N_docs >> partitions the per-partition total concentrates
+        (Chernoff) — an exact per-size-class round-robin deal would need a
+        global window over content-carrying rows, i.e. a SECOND full
+        content shuffle, which costs more at scale than the residual
+        imbalance it removes.
 
-    The quantile probe is one cheap agg over (byte_len) — at cluster scale
-    that's a column-pruned parquet scan, amortized against the UDF stage
-    that dominates the job.
+    NULL content rows ride the body path (byte_len coalesced to 0) and
+    surface as decode-failure rows rather than silently vanishing.
     """
-    from pyspark.sql import Window
-
     spark = raw_docs.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    has_source_len = "byte_len" in raw_docs.columns
+    df = raw_docs
+    if not has_source_len:
+        df = df.withColumn("byte_len", F.length("content").cast("long"))
+    df = df.withColumn("byte_len", F.coalesce(F.col("byte_len"), F.lit(0)))
+
     if giant_threshold is None:
         giant_threshold = DEFAULT_GIANT_THRESHOLD
-    df = raw_docs
-    if "byte_len" not in df.columns:
-        df = df.withColumn("byte_len", F.length("content").cast("long"))
+        if has_source_len and heavy_quantile is not None:
+            try:
+                q = raw_docs.select(
+                    F.coalesce(F.col("byte_len"), F.lit(0)).alias("byte_len")
+                ).approxQuantile("byte_len", [float(heavy_quantile)], 0.01)
+            except Exception:
+                q = []
+            if q:
+                giant_threshold = int(
+                    min(DEFAULT_GIANT_THRESHOLD, max(q[0], MIN_HEAVY_CUT))
+                )
 
     normal = df.filter(F.col("byte_len") <= giant_threshold)
     giant = df.filter(F.col("byte_len") > giant_threshold)
 
-    # Size-class round-robin salting: extraction cost ~ byte_len, and
-    # random hashing Poisson-clumps heavy docs into straggler tasks
-    # (measured: max task 8s vs median 3.6s on a 5%-large mix).  Docs in
-    # the same log2(byte_len) class cost within ~2x of each other, so
-    # dealing each class round-robin across partitions balances total cost
-    # per task BY CONSTRUCTION.  Two details make it exact:
-    #   * the deal must land on distinct physical partitions, but
-    #     repartition(P, col) applies Murmur3 to the column — so the salt
-    #     values are chosen as hash PRE-IMAGES of each partition id
-    #     (_salt_preimages), giving true round-robin placement;
-    #   * the per-class window shards by a hash prefix so no single
-    #     reducer sees a whole class at 10^12-doc scale; round-robin
-    #     within a count-balanced shard is still balanced.
-    shards = 4
-    preimages = _salt_preimages(spark, num_partitions)
-    pre_arr = F.array(*[F.lit(v) for v in preimages])
-    cls = F.floor(F.log2(F.greatest(F.col("byte_len"), F.lit(16))))
-    shard = F.pmod(F.xxhash64("doc_id"), F.lit(shards))
-    w = Window.partitionBy(cls, shard).orderBy(F.xxhash64("doc_id"))
-    slot = F.pmod(F.row_number().over(w) * shards + shard, F.lit(num_partitions))
-    salted = normal.withColumn("salt", F.element_at(pre_arr, slot.cast("int") + 1))
     normal_out = _zip_spans(
-        salted.repartition(num_partitions, F.col("salt"))
-        .select("doc_id", "content")
+        normal.select("doc_id", "content")
+        .repartition(num_partitions, F.col("doc_id"))
         .mapInPandas(_extract_batches, _FLAT_SCHEMA)
     )
-    # Giant path (> giant_threshold bytes): one doc per task so a 1 GiB
-    # PDF never shares a task's memory or wave slot with others.
+    # Heavy path: one-doc-ish per task over 4x partitions so a giant PDF
+    # never shares a task's memory or wave slot with others.
     giant_out = _zip_spans(
-        giant.repartition(F.col("doc_id"))
-        .select("doc_id", "content")
+        giant.select("doc_id", "content")
+        .repartition(4 * num_partitions, F.col("doc_id"))
         .mapInPandas(_extract_batches, _FLAT_SCHEMA)
     )
     return normal_out.unionByName(giant_out)

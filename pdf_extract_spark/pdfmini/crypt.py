@@ -91,21 +91,31 @@ class StandardDecryptor:
         self.o, self.u = o, u
         self.doc_id = doc_id
         self.encrypt_metadata = bool(encrypt.get("EncryptMetadata", True))
-        self.cfm = "V2"  # RC4 default
+        # Per-class crypt-filter methods.  For V<4 both classes use the
+        # document RC4 cipher; for V>=4 StmF / StrF name crypt filters in
+        # /CF, defaulting to Identity (= pass-through, spec 7.6.5).
+        self.cfm_stm = "V2"
+        self.cfm_str = "V2"
         if self.v >= 4:
             cf = encrypt.get("CF") or {}
-            stmf = str(encrypt.get("StmF", "Identity"))
-            entry = cf.get(stmf) if isinstance(cf, dict) else None
-            if isinstance(entry, dict):
-                self.cfm = str(entry.get("CFM", "V2"))
-                if "Length" in entry:
-                    ln = int(entry["Length"])
-                    self.length = ln if ln > 40 else ln  # bytes already? spec: bytes
-                    if self.length > 40:  # some writers store bits
-                        self.length //= 8
+
+            def resolve(name: str) -> str:
+                if name == "Identity":
+                    return "Identity"
+                entry = cf.get(name) if isinstance(cf, dict) else None
+                if isinstance(entry, dict):
+                    if "Length" in entry:
+                        ln = int(entry["Length"])
+                        self.length = ln // 8 if ln > 40 else ln  # some writers store bits
+                    return str(entry.get("CFM", "V2"))
+                return "Identity"
+
+            self.cfm_stm = resolve(str(encrypt.get("StmF", "Identity")))
+            self.cfm_str = resolve(str(encrypt.get("StrF", "Identity")))
         if self.r >= 5:
             self.key = self._auth_r56(password)
-            self.cfm = "AESV3"
+            self.cfm_stm = "AESV3" if self.cfm_stm != "Identity" else "Identity"
+            self.cfm_str = "AESV3" if self.cfm_str != "Identity" else "Identity"
         else:
             self.key = self._compute_key_r234(password)
             if not self._verify_user_r234():
@@ -191,21 +201,26 @@ class StandardDecryptor:
 
     # -- per-object decryption ----------------------------------------------
 
-    def object_key(self, num: int, gen: int) -> bytes:
-        if self.cfm == "AESV3":
+    def object_key(self, num: int, gen: int, cfm: str) -> bytes:
+        if cfm == "AESV3":
             return self.key
         h = hashlib.md5()
         h.update(self.key)
         h.update(struct.pack("<I", num)[:3])
         h.update(struct.pack("<I", gen)[:2])
-        if self.cfm == "AESV2":
+        if cfm == "AESV2":
             h.update(b"sAlT")
         n = min(len(self.key) + 5, 16)
         return h.digest()[:n]
 
-    def decrypt(self, data: bytes, num: int, gen: int) -> bytes:
-        key = self.object_key(num, gen)
-        if self.cfm in ("AESV2", "AESV3"):
+    def decrypt(self, data: bytes, num: int, gen: int, kind: str = "stm") -> bytes:
+        """Decrypt stream (kind='stm') or string (kind='str') data.  An
+        Identity crypt filter is a pass-through."""
+        cfm = self.cfm_stm if kind == "stm" else self.cfm_str
+        if cfm == "Identity":
+            return data
+        key = self.object_key(num, gen, cfm)
+        if cfm in ("AESV2", "AESV3"):
             return aes_cbc_decrypt(key, data)
         return rc4(key, data)
 

@@ -228,12 +228,12 @@ class Document:
         from .objects import PdfString
 
         if isinstance(obj, PdfString):
-            return PdfString(self._decryptor.decrypt(bytes(obj), num, gen))
+            return PdfString(self._decryptor.decrypt(bytes(obj), num, gen, kind="str"))
         if isinstance(obj, Stream):
             d = {k: self._decrypt_object(v, num, gen) for k, v in obj.dict.items()}
             if obj.dict.get("Type") == "XRef":
                 return Stream(d, obj.raw)
-            return Stream(d, self._decryptor.decrypt(obj.raw, num, gen))
+            return Stream(d, self._decryptor.decrypt(obj.raw, num, gen, kind="stm"))
         if isinstance(obj, list):
             return [self._decrypt_object(v, num, gen) for v in obj]
         if isinstance(obj, dict):

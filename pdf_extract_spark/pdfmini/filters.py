@@ -127,7 +127,11 @@ def lzw_decode(data: bytes, params: dict | None = None) -> bytes:
                 table.append(entry)
             out += entry
             prev = entry
-            if len(table) + early - 1 >= (1 << width) and width < 12:
+            # EarlyChange=1 (default): bump one code early, i.e. as soon as
+            # the NEXT code to assign (len(table)) reaches (1<<width)-early.
+            # Matches pdfminer/pdf.js (bump when table length hits 511/1023/
+            # 2047 for widths 9/10/11).
+            if len(table) + early >= (1 << width) and width < 12:
                 width += 1
     return apply_predictor(bytes(out), params)
 

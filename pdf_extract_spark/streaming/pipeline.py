@@ -30,6 +30,50 @@ def read_raw_docs_stream(
     return reader.parquet(path)
 
 
+def make_batch_processor(
+    spans_path: str,
+    lineage_path: str,
+    metrics_path: str,
+    num_partitions: int = 8,
+):
+    """The foreachBatch body, exposed so tests can replay a batch_id.
+
+    Exactly-once TABLE semantics: Structured Streaming guarantees
+    foreachBatch is at-least-once (a batch is REPLAYED with the same
+    batch_id after a mid-batch failure), so every sink write must be
+    idempotent per batch_id.  All three sinks partition by
+    run_id=stream-{batch_id} and use DYNAMIC partition overwrite — a
+    replayed batch rewrites exactly its own run_id partition instead of
+    appending a second copy."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        run_id = f"stream-{batch_id}"
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        extracted = extract_documents(batch_df, num_partitions=num_partitions).cache()
+        try:
+            (
+                extracted.select("doc_id", "spans")
+                .withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(16)).cast("int"))
+                .withColumn("run_id", F.lit(run_id))
+                .write.mode("overwrite")
+                .partitionBy("run_id", "bucket")
+                .parquet(spans_path)
+            )
+            lineage_rows(extracted, run_id=run_id).write.mode("overwrite").partitionBy(
+                "run_id"
+            ).parquet(lineage_path)
+            metrics_rows(extracted).withColumn("run_id", F.lit(run_id)).write.mode(
+                "overwrite"
+            ).partitionBy("run_id").parquet(metrics_path)
+        finally:
+            extracted.unpersist()
+
+    return process_batch
+
+
 def start_extraction_stream(
     stream_df: DataFrame,
     spans_path: str,
@@ -39,29 +83,11 @@ def start_extraction_stream(
     num_partitions: int = 8,
     available_now: bool = True,
 ):
-    """Wire the batch extraction stage into foreachBatch.  Each micro-batch
-    is a full run of the batch pipeline with run_id = batch epoch — the
-    lineage rows make replays idempotent (resume_filter on restart)."""
-
-    def process_batch(batch_df: DataFrame, batch_id: int):
-        if batch_df.isEmpty():
-            return
-        extracted = extract_documents(batch_df, num_partitions=num_partitions).cache()
-        try:
-            (
-                extracted.select("doc_id", "spans")
-                .withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(16)).cast("int"))
-                .write.mode("append")
-                .partitionBy("bucket")
-                .parquet(spans_path)
-            )
-            lineage_rows(extracted, run_id=f"stream-{batch_id}").write.mode(
-                "append"
-            ).parquet(lineage_path)
-            metrics_rows(extracted).write.mode("append").parquet(metrics_path)
-        finally:
-            extracted.unpersist()
-
+    """Wire the batch extraction stage into foreachBatch (see
+    make_batch_processor for the per-batch idempotence contract)."""
+    process_batch = make_batch_processor(
+        spans_path, lineage_path, metrics_path, num_partitions
+    )
     writer = (
         stream_df.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_path)

@@ -42,49 +42,35 @@ def test_runlength():
     assert runlength_decode(b"\x02abc" + bytes([253]) + b"a" + b"\x80") == b"abcaaaa"
 
 
-def _lzw_encode(data: bytes, early: int = 1) -> bytes:
-    """Minimal LZW encoder (test-only) per PDF spec."""
-    table = {bytes([i]): i for i in range(256)}
-    next_code = 258
-    width = 9
-    out_bits = []
-
-    def emit(code):
-        out_bits.append((code, width))
-
-    emit(256)
-    w = b""
-    for ch in data:
-        c = bytes([ch])
-        if w + c in table:
-            w = w + c
-        else:
-            emit(table[w])
-            table[w + c] = next_code
-            next_code += 1
-            if next_code + early - 1 >= (1 << width) and width < 12:
-                width += 1
-            w = c
-    if w:
-        emit(table[w])
-    emit(257)
-    buf = 0
-    nbits = 0
-    out = bytearray()
-    for code, cw in out_bits:
-        buf = (buf << cw) | code
-        nbits += cw
-        while nbits >= 8:
-            out.append((buf >> (nbits - 8)) & 0xFF)
-            nbits -= 8
-    if nbits:
-        out.append((buf << (8 - nbits)) & 0xFF)
-    return bytes(out)
+from pdf_extract_spark.fixtures import lzw_encode as _lzw_encode
 
 
 def test_lzw_roundtrip():
     for payload in [b"TOBEORNOTTOBEORTOBEORNOT", b"aaaaaaaaaaaaaaaaaaaaa", b"BT (x) Tj ET" * 40]:
         assert lzw_decode(_lzw_encode(payload)) == payload
+
+
+def test_lzw_width_boundaries():
+    """Low-redundancy payloads crossing every code-width bump (9->10 at
+    table len 511, 10->11 at 1023, 11->12 at 2047) and the 4096 table-full
+    clear; sizes chosen so each boundary is straddled."""
+    import random
+
+    rng = random.Random(0xC0DE)
+    for size in (300, 600, 1500, 3000, 8000, 20000, 60000):
+        payload = bytes(rng.randrange(256) for _ in range(size))
+        assert lzw_decode(_lzw_encode(payload)) == payload, size
+    # and a compressible payload long enough to fill the 12-bit table
+    payload = (b"the quick brown fox jumps over the lazy dog 0123456789 " * 2000)
+    assert lzw_decode(_lzw_encode(payload)) == payload
+
+
+def test_lzw_known_vector():
+    """PDF 32000-1:2008 §7.4.4.2 example: the 9-bit sample stream."""
+    # data: 45 45 45 45 45 65 45 45 45 66 encodes (EarlyChange irrelevant,
+    # table stays tiny) to codes 256,45,258,258,65,259,257 -> bytes below.
+    encoded = bytes([0x80, 0x0B, 0x60, 0x50, 0x22, 0x0C, 0x0C, 0x85, 0x01])
+    assert lzw_decode(encoded) == bytes([45, 45, 45, 45, 45, 65, 45, 45, 45, 66])
 
 
 def test_png_predictor_up():

@@ -47,6 +47,29 @@ def test_streaming_extraction_availablenow(spark, tmp_path):
     assert spark.read.parquet(lineage).count() == n
 
 
+def test_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running the same batch_id (the
+    post-failure replay) must not duplicate spans/lineage/metrics rows."""
+    from pdf_extract_spark.streaming.pipeline import make_batch_processor
+
+    spans = str(tmp_path / "spans")
+    lineage = str(tmp_path / "lineage")
+    metrics = str(tmp_path / "metrics")
+    raw = fixture_corpus_df(spark, replicas=1)
+    n = raw.count()
+
+    process = make_batch_processor(spans, lineage, metrics, num_partitions=4)
+    process(raw, 7)
+    process(raw, 7)  # simulated replay after mid-batch failure
+
+    assert spark.read.parquet(spans).count() == n
+    assert spark.read.parquet(lineage).count() == n
+    assert spark.read.parquet(metrics).count() == n
+    # a DIFFERENT batch id appends (no cross-batch clobbering)
+    process(raw.limit(3), 8)
+    assert spark.read.parquet(lineage).count() == n + 3
+
+
 def test_streaming_windowed_event_counts(spark, tmp_path):
     """Watermarked tumbling-window agg over a streamed events table; result
     must match the batch date_trunc rollup."""
