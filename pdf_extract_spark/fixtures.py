@@ -612,6 +612,97 @@ def _encrypted_doc(cfm: str) -> tuple[bytes, str]:
     return pdf, "\n\nsecret text"
 
 
+def _build_type1c(code_gid_sids: list[tuple[int, int]], custom_strings: list[bytes]) -> bytes:
+    """Minimal CFF/Type1C font program: header, Name INDEX, Top DICT,
+    String INDEX, empty GSubr INDEX, then charset (format 0), encoding
+    (format 0) and stub CharStrings.  code_gid_sids: [(code, sid)] for
+    GIDs 1..n in order."""
+    import struct as _struct
+
+    def index(items: list[bytes]) -> bytes:
+        if not items:
+            return _struct.pack(">H", 0)
+        offs = [1]
+        for it in items:
+            offs.append(offs[-1] + len(it))
+        return (
+            _struct.pack(">HB", len(items), 1)
+            + bytes(offs)
+            + b"".join(items)
+        )
+
+    n_glyphs = len(code_gid_sids) + 1
+    charset = b"\x00" + b"".join(
+        _struct.pack(">H", sid) for _c, sid in code_gid_sids
+    )
+    encoding = bytes([0, len(code_gid_sids)]) + bytes(c for c, _s in code_gid_sids)
+    charstrings = index([b"\x0e"] * n_glyphs)  # endchar stubs
+
+    def top_dict(cs_off: int, enc_off: int, chs_off: int) -> bytes:
+        def op29(v: int) -> bytes:
+            return b"\x1d" + _struct.pack(">i", v)
+
+        return op29(chs_off) + b"\x0f" + op29(enc_off) + b"\x10" + op29(cs_off) + b"\x11"
+
+    header = b"\x01\x00\x04\x01"
+    name_idx = index([b"TestCFF"])
+    strings_idx = index(custom_strings)
+    gsubr_idx = index([])
+    # fixed-width operands -> two-pass offset resolution converges at once
+    td = index([top_dict(0, 0, 0)])
+    base = len(header) + len(name_idx) + len(td) + len(strings_idx) + len(gsubr_idx)
+    charset_off = base
+    encoding_off = charset_off + len(charset)
+    charstrings_off = encoding_off + len(encoding)
+    td = index([top_dict(charstrings_off, encoding_off, charset_off)])
+    return (
+        header + name_idx + td + strings_idx + gsubr_idx
+        + charset + encoding + charstrings
+    )
+
+
+def fx_type1c_fontfile3() -> tuple[bytes, str]:
+    """Embedded Type1C (FontFile3) with NO ToUnicode: the unicode map must
+    come from the CFF charset+encoding (lib.rs:406-442).  GID1 -> custom
+    string 'Alpha' (SID 391), GID2 -> standard 'b', GID3 -> standard 'ffi'."""
+    from .pdfmini.cff import STANDARD_STRINGS
+
+    sid_b = STANDARD_STRINGS.index("b")
+    sid_ffi = STANDARD_STRINGS.index("ffi")
+    cff = _build_type1c(
+        [(65, 391), (66, sid_b), (67, sid_ffi)], [b"Alpha"]
+    )
+    content = b"BT /F1 12 Tf 72 720 Td (ABC) Tj ET"
+    b = PdfBuilder()
+    ff3 = b.add_stream("/Subtype /Type1C", cff)
+    desc = b.add(
+        (
+            f"<< /Type /FontDescriptor /FontName /TestCFF /Flags 4 "
+            f"/FontFile3 {ff3} 0 R >>"
+        ).encode("latin-1")
+    )
+    font = b.add(
+        (
+            f"<< /Type /Font /Subtype /Type1 /BaseFont /TestCFF "
+            f"/FirstChar 65 /LastChar 67 /Widths [500 500 500] "
+            f"/FontDescriptor {desc} 0 R >>"
+        ).encode("latin-1")
+    )
+    c = b.add_stream("", content)
+    page = b.add(b"")
+    pages = b.add(
+        (
+            f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 /MediaBox [0 0 612 792] >>"
+        ).encode("latin-1")
+    )
+    b.objects[page - 1] = (
+        f"<< /Type /Page /Parent {pages} 0 R /Contents {c} 0 R "
+        f"/Resources << /Font << /F1 {font} 0 R >> >> >>"
+    ).encode("latin-1")
+    catalog = b.add(f"<< /Type /Catalog /Pages {pages} 0 R >>".encode("latin-1"))
+    return b.build(catalog), "\n\nΑbﬃ"
+
+
 def fx_symbol_corefont() -> tuple[bytes, str]:
     """Non-embedded Symbol (the most common math-PDF core font): no
     /Widths and no /Encoding, so the encoding table AND widths both come
@@ -752,6 +843,7 @@ FIXTURES: dict[str, callable] = {
     "encrypted_rc4": fx_encrypted_rc4,
     "encrypted_aes": fx_encrypted_aes,
     "encrypted_identity_stmf": fx_encrypted_identity_stmf,
+    "type1c_fontfile3": fx_type1c_fontfile3,
     "symbol_corefont": fx_symbol_corefont,
     "zapf_corefont": fx_zapf_corefont,
     "differences_nonascii": fx_differences_nonascii,

@@ -205,12 +205,45 @@ class MissingWidthError(Exception):
     and the extraction driver records a decode_failure for the document."""
 
 
-def _resolve_encoding_and_widths(doc, font: dict, base_table_default):
+def _font_file3_unicode_map(doc, font: dict) -> dict[int, str] | None:
+    """Embedded CFF/Type1C (FontFile3) -> {code: str} unicode map
+    (lib.rs:406-442 via the cff-parser crate): code->SID through the
+    font's encoding+charset, SID->name, name->unicode (AGL, then
+    ZapfDingbats names), .notdef and unresolvable names dropped."""
+    descriptor = doc.deref(font.get("FontDescriptor"))
+    if not isinstance(descriptor, dict) or "FontFile3" not in descriptor:
+        return None
+    from .pdfmini.objects import Stream as _Stream
+
+    ff3 = doc.deref(descriptor.get("FontFile3"))
+    if not isinstance(ff3, _Stream):
+        return None
+    if _name_str(doc.deref(ff3.dict.get("Subtype"))) != "Type1C":
+        return None
+    from .pdfmini.cff import type1c_unicode_map
+
+    try:
+        return type1c_unicode_map(doc.get_stream_content(ff3))
+    except Exception:
+        return None
+
+
+def _resolve_encoding_and_widths(doc, font: dict, base_table_default,
+                                 check_font_file3: bool = False):
     """Shared Encoding-dict resolution: BaseEncoding + Differences
     (lib.rs:469-543 for simple fonts, 700-737 for Type3)."""
     encoding = doc.deref(font.get("Encoding"))
     base_name = _name_str(doc.deref(font.get("BaseFont")))
     unicode_map = get_unicode_map(doc, font)
+    if check_font_file3:
+        cff_map = _font_file3_unicode_map(doc, font)
+        if cff_map is not None:
+            # ToUnicode entries override the CFF-derived ones
+            # (unicode_map.extend(...), lib.rs:452-458)
+            merged = dict(cff_map)
+            if unicode_map:
+                merged.update(unicode_map)
+            unicode_map = merged
     table = None
     if isinstance(encoding, (Name, str)) and not isinstance(encoding, dict):
         table = encoding_to_unicode_table(str(encoding))
@@ -255,7 +288,7 @@ class SimpleFont:
         base_name = _name_str(doc.deref(font.get("BaseFont")))
         subtype = _name_str(doc.deref(font.get("Subtype")))
         encoding_obj, table, unicode_map = _resolve_encoding_and_widths(
-            doc, font, PDF_DOC_ENCODING
+            doc, font, PDF_DOC_ENCODING, check_font_file3=True
         )
         if table is None and encoding_obj is None:
             # No /Encoding: Type1 builtin encoding comes from the embedded
