@@ -855,6 +855,12 @@ FIXTURES: dict[str, callable] = {
 }
 
 
+# Hand-known page counts per fixture family (default 1) — used by the
+# golden-spans oracle derivation (tools/gen_golden_spans.py), never by the
+# engine.
+EXPECTED_PAGES: dict[str, int] = {"multipage": 2}
+
+
 def corpus(replicas: int = 1) -> list[tuple[str, bytes, str]]:
     """Deterministic (doc_id, pdf_bytes, expected_text) corpus; replicas
     replicate the fixture set with distinct doc_ids (byte-identical PDFs)."""

@@ -143,17 +143,34 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold_x1000: int = 800,
+    max_shingle_df: int | None = 128,
 ) -> DataFrame:
     """Near-dup pairs by word-n-gram Jaccard >= threshold.
 
     Inverted-index join: explode distinct shingles, self-join on shingle
     (the candidate generator — only docs sharing >=1 shingle ever meet),
     group to common-count, then |A∪B| = |A|+|B|-common.  Jaccard is
-    integer-scaled (x1000, floored) for exact cross-engine comparison."""
+    integer-scaled (x1000, floored) for exact cross-engine comparison.
+
+    Scale guard: a shingle appearing in k docs yields k^2 join rows, so a
+    single stop-shingle ("terms and conditions apply") would dominate the
+    shuffle at corpus scale.  Shingles with document frequency >
+    `max_shingle_df` are dropped from the UNIVERSE (index, sizes and
+    common counts alike — so Jaccard stays a true Jaccard over the capped
+    shingle set; standard CCNet/Gopher practice).  The oracle SQL mirrors
+    the same cap."""
     sh = docs.select(
         F.col("doc_id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
     )
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -184,24 +201,37 @@ def ngram_jaccard_pairs(
 
 
 def _simhash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Vectorized simhash kernel: md5 once per UNIQUE token (cached across
+    the batch), per-doc accumulation as one (uniq_tokens x 64) numpy matmul
+    weighted by token counts — identical output to the per-token loop it
+    replaces, ~10x fewer hash calls on natural text."""
     import hashlib
 
     import numpy as np
+
+    shifts = np.arange(64, dtype=np.uint64)
+    cache: dict[str, int] = {}
+
+    def h64(tok: str) -> int:
+        v = cache.get(tok)
+        if v is None:
+            v = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            cache[tok] = v
+        return v
 
     for pdf in batches:
         out_ids = []
         out_hashes = []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
             toks = str(text).lower().split()
-            acc = np.zeros(64, dtype=np.int64)
-            shifts = np.arange(64, dtype=np.uint64)
-            for t in toks:
-                h = np.uint64(
-                    int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-                )
-                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-                acc += bits * 2 - 1
-            sim = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+            if toks:
+                uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
+                hs = np.fromiter((h64(t) for t in uniq), dtype=np.uint64, count=len(uniq))
+                bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+                acc = ((bits * 2 - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
+            else:
+                acc = np.zeros(64, dtype=np.int64)
+            sim = int(((acc > 0).astype(np.uint64) << shifts).sum())
             out_ids.append(doc_id)
             # store as signed int64 for Spark LongType
             out_hashes.append(sim - (1 << 64) if sim >= (1 << 63) else sim)

@@ -73,59 +73,90 @@ def all_pairs_cosine(
     min_cos: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_broadcast_rows: int = 2_000_000,
+    num_blocks: int = 8,
 ) -> DataFrame:
-    """Exact all-pairs cosine near-dup: block x broadcast matrix multiply.
+    """Exact all-pairs cosine near-dup: DISTRIBUTED block-nested-loop
+    matrix multiply — no driver-side collect of the vector table.
 
-    One side of the O(n^2) comparison is broadcast as a dense numpy matrix;
-    each task multiplies its row block against it (BLAS), emitting pairs
-    with cos >= min_cos and id_a < id_b.  A row-pair equi/theta join with
+    Every vector is hashed into one of `num_blocks` blocks; each unordered
+    block pair (i, j) becomes one task whose input is the rows of blocks i
+    and j (each vector ships to exactly `num_blocks` tasks), and the task
+    computes the dense i x j cosine matrix with BLAS, emitting pairs with
+    cos >= min_cos and id_a < id_b exactly once.
+
+    Scale shape: shuffle volume = num_blocks x corpus (tune num_blocks ~
+    sqrt(cluster cores)); per-task memory = 2/num_blocks of the corpus.
+    Exact all-pairs is inherently O(n^2) compute — beyond re-rank scale,
+    candidate generation belongs to LSH (lsh_topk / minhash) and this
+    kernel re-ranks candidate blocks.  A row-pair equi/theta join with
     per-pair HOF folds is ~100x slower (measured: hang at 2k vectors vs
-    seconds here).  Exact all-pairs is only sane while the matrix fits in
-    executor memory (guarded); beyond that, candidate generation belongs to
-    LSH (lsh_topk / minhash) and this kernel re-ranks candidates.
-    """
+    seconds here)."""
     import numpy as np
+    import pandas as pd
 
-    spark = emb.sparkSession
-    rows = emb.select(id_col, vec_col).collect()
-    if len(rows) > max_broadcast_rows:
-        raise ValueError(
-            f"{len(rows)} vectors exceed the exact all-pairs broadcast guard; "
-            "use lsh_topk/minhash candidates + re-rank"
+    B = int(num_blocks)
+
+    base = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(B)).cast("int").alias("blk"),
+    )
+    # replicate each row into every unordered block pair it belongs to:
+    # for other-block o, pair key = (min(blk,o), max(blk,o)); o == blk is
+    # the single within-block copy.
+    rows = base.select(
+        "vid",
+        "v",
+        "blk",
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("o"),
+    ).withColumn(
+        "pk", (F.least("blk", "o") * B + F.greatest("blk", "o")).cast("int")
+    ).drop("o")
+
+    def pair_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_x1000": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cos_x1000": "int64"}
         )
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+        if not len(pdf):
+            return empty
+        pk = int(pdf["pk"].iloc[0])
+        b_lo, b_hi = pk // B, pk % B
+        ids = pdf["vid"].to_numpy(dtype=np.int64)
+        blks = pdf["blk"].to_numpy()
+        mat = np.array(list(pdf["v"]), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if b_lo == b_hi:
+                sims = (mat @ mat.T) / np.outer(norms, norms)
+                mask = (sims >= min_cos) & (ids[None, :] > ids[:, None])
+                ia, ja = np.nonzero(mask)
+                id_a, id_b = ids[ia], ids[ja]
+                cos = sims[ia, ja]
+            else:
+                lo = blks == b_lo
+                hi = ~lo
+                sims = (mat[lo] @ mat[hi].T) / np.outer(norms[lo], norms[hi])
+                mask = sims >= min_cos
+                ia, ja = np.nonzero(mask)
+                xa, xb = ids[lo][ia], ids[hi][ja]
+                id_a, id_b = np.minimum(xa, xb), np.maximum(xa, xb)
+                cos = sims[ia, ja]
+        return pd.DataFrame(
+            {
+                "id_a": id_a,
+                "id_b": id_b,
+                "cos_x1000": np.floor(cos * 1000).astype(np.int64),
+            }
+        )
 
-    def block_pairs(batches):
-        import pandas as pd
-
-        b_ids, b_mat, b_norms = bc.value
-        for pdf in batches:
-            out_a, out_b, out_c = [], [], []
-            if len(pdf):
-                block = np.array(list(pdf[vec_col]), dtype=np.float64)
-                bids = pdf[id_col].to_numpy(dtype=np.int64)
-                bn = np.sqrt((block * block).sum(axis=1))
-                sims = (block @ b_mat.T) / np.outer(bn, b_norms)
-                for i in range(len(bids)):
-                    mask = (sims[i] >= min_cos) & (b_ids > bids[i])
-                    for j in np.nonzero(mask)[0]:
-                        out_a.append(int(bids[i]))
-                        out_b.append(int(b_ids[j]))
-                        out_c.append(int(np.floor(sims[i, j] * 1000)))
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos_x1000": out_c})
-
-    return emb.select(id_col, vec_col).mapInPandas(
-        block_pairs, "id_a long, id_b long, cos_x1000 long"
+    return rows.groupBy("pk").applyInPandas(
+        pair_fn, "id_a long, id_b long, cos_x1000 long"
     )
 
 
-def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes: component (p, i) derives
-    from md5(p:i) mapped to [-1, 1).  Stateless — identical on every
+def _hyperplanes(dim: int, n_planes: int, table: int = 0) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (t, p, i) derives
+    from md5(t:p:i) mapped to [-1, 1).  Stateless — identical on every
     executor and every engine, no RNG to seed."""
     import hashlib
 
@@ -133,7 +164,9 @@ def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
     for p in range(n_planes):
         row = []
         for i in range(dim):
-            h = int.from_bytes(hashlib.md5(f"{p}:{i}".encode()).digest()[:8], "big")
+            h = int.from_bytes(
+                hashlib.md5(f"{table}:{p}:{i}".encode()).digest()[:8], "big"
+            )
             row.append(h / float(1 << 63) - 1.0)
         planes.append(row)
     return planes
@@ -163,32 +196,75 @@ def lsh_topk(
     n_planes: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k: candidates share an SRP bucket with the query, exact
     cosine re-rank within.  Equi-join on bucket replaces the cross join —
     the piece that makes 10^12-vector corpora feasible.  Recall < 1.0 by
-    construction (that's the trade)."""
-    first = emb.select(vec_col).first()
-    dim = len(first[0]) if first else 0
-    planes = _hyperplanes(dim, n_planes)
+    construction (that's the trade; quantified in tests/test_operators.py).
+
+    Recall amplification (single-table SRP recall collapses on weakly
+    clustered embeddings — measured 0.07 on the near-isotropic synthetic
+    table): `n_tables` independent plane families OR-ed together, plus
+    `multiprobe` (Hamming-ball probing: the query also looks in every
+    bucket differing by <= multiprobe bits).  Defaults (6 planes x 8
+    tables x 1-bit probes) hold recall@5 >= 0.8 even on near-random
+    vectors; on genuinely clustered corpora the same settings probe a far
+    smaller candidate fraction.  Candidate volume scales as
+    n_tables * (1 + n_planes * multiprobe) buckets per query — tune DOWN
+    (fewer tables / no probes) when embeddings are well-clustered.
+
+    Pass `dim` (the embedding dimensionality) to keep plan construction
+    action-free; when omitted, a LIMIT-1 probe reads it from the data."""
+    n_tables = 8
+    multiprobe = 1
+    if dim is None:
+        first = emb.select(vec_col).first()
+        dim = len(first[0]) if first else 0
     vecs = emb.select(
         F.col(id_col).alias("nbr_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-        srp_bucket(F.col(vec_col), planes).alias("bucket"),
+        F.posexplode(
+            F.array(
+                *[
+                    srp_bucket(F.col(vec_col), _hyperplanes(dim, n_planes, t))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tbl", "bucket"),
     )
-    queries = vecs.filter(F.col("nbr_id").isin(query_ids)).select(
+    base_q = vecs.filter(F.col("nbr_id").isin(query_ids))
+    # multiprobe: each query row also probes the buckets within `multiprobe`
+    # Hamming bits of its own (query-side only — the broadcast side grows,
+    # the corpus side never does)
+    probe_offsets = [0]
+    if multiprobe >= 1:
+        probe_offsets += [1 << b for b in range(n_planes)]
+    queries = base_q.select(
         F.col("nbr_id").alias("query_id"),
         F.col("v").alias("q"),
-        F.col("bucket").alias("qbucket"),
+        "tbl",
+        F.explode(
+            F.array_distinct(
+                F.array(*[
+                    F.col("bucket").bitwiseXOR(F.lit(off)) for off in probe_offsets
+                ])
+            )
+        ).alias("qbucket"),
     )
-    scored = (
-        vecs.join(F.broadcast(queries), F.col("bucket") == F.col("qbucket"))
-        .filter(F.col("nbr_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "nbr_id",
-            cosine_similarity_col(F.col("q"), F.col("v")).alias("cos"),
+    candidates = (
+        vecs.join(
+            F.broadcast(queries),
+            (vecs["tbl"] == queries["tbl"]) & (F.col("bucket") == F.col("qbucket")),
         )
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .select("query_id", "nbr_id", "q", "v")
+        .dropDuplicates(["query_id", "nbr_id"])
+    )
+    scored = candidates.select(
+        "query_id",
+        "nbr_id",
+        cosine_similarity_col(F.col("q"), F.col("v")).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
     return (

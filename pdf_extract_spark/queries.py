@@ -381,8 +381,15 @@ def ngram_jaccard_q(spark, sf_dir):
 
 
 NGRAM_JACCARD_SQL = _SHINGLES_CTE + r"""
-, ex AS (
+, ex0 AS (
   SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), ex AS (
+  -- document-frequency cap (mirrors max_shingle_df=128 in
+  -- operators/dedup.py: Jaccard over the capped shingle universe)
+  SELECT ex0.doc_id, ex0.shingle
+  FROM ex0 JOIN (
+    SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) <= 128
+  ) rare USING (shingle)
 ), sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
 ), common AS (
@@ -684,8 +691,27 @@ ORDER BY doc_id, fp
 
 
 # ---------------------------------------------------------------------------
-# Non-SQL-expressible operators (rows-only driver check)
+# Extraction flagship + non-SQL-expressible operators
 # ---------------------------------------------------------------------------
+
+# The extraction oracle: spans derived from the fixtures' HAND-DERIVED
+# expected text (tools/gen_golden_spans.py), committed as a parquet so
+# DuckDB can serve it side-by-side with the Spark run — converting the
+# flagship query from rows-only to a full rows+schema+hash check.
+import os as _os
+
+_GOLDEN_SPANS_PARQUET = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "dist",
+    "golden_spans.parquet",
+)
+
+EXTRACT_SPANS_SQL = f"""
+SELECT doc_id, pages, decode_failures, pos, kind, text, media_ref,
+       "offset" AS offset
+FROM read_parquet('{_GOLDEN_SPANS_PARQUET}')
+ORDER BY doc_id, pos
+"""
 
 
 def extract_pdf_spans(spark, sf_dir):
@@ -771,8 +797,10 @@ def simhash_pairs(spark, sf_dir):
 
 
 def ann_lsh_topk(spark, sf_dir):
+    # dim=64 is the testdata embedding width (TESTDATA.md) — passing it
+    # keeps plan construction free of driver actions
     return lsh_topk(
-        load(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5
+        load(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5, dim=64
     ).orderBy("query_id", "rank")
 
 
@@ -845,6 +873,7 @@ ORACLES = {
     "embedding_near_dup": NEAR_DUP_SQL,
     "doc_token_bpe": BPE_SQL,
     "doc_winnow_fingerprints": WINNOW_SQL,
-    # extract_pdf_spans / simhash_pairs / ann_lsh_topk / media_features:
-    # non-SQL-expressible -> rows-only check
+    "extract_pdf_spans": EXTRACT_SPANS_SQL,
+    # simhash_pairs / ann_lsh_topk / media_features / doc_metadata /
+    # extract_paged_spans / render_html: non-SQL-expressible -> rows-only
 }

@@ -140,3 +140,86 @@ def test_media_features_deterministic(spark):
     assert out["m1"]["width"] == out["m2"]["width"]
     assert out["m1"]["sha256"] != out["m3"]["sha256"]
     assert out["m1"]["byte_len"] == 3
+
+
+def test_simhash_kernel_reference_value(spark):
+    """The vectorized kernel must produce bit-identical simhashes to the
+    definitional per-token loop (md5-top-8-bytes bit votes)."""
+    import hashlib
+
+    from pdf_extract_spark.operators.dedup import simhash
+
+    text = "the quick brown fox the quick brown dog"
+    out = {r["doc_id"]: r["simhash"] for r in simhash(
+        spark.createDataFrame([("d1", text)], "doc_id string, text string")
+    ).collect()}
+
+    acc = [0] * 64
+    for t in text.lower().split():
+        h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+        for b in range(64):
+            acc[b] += 1 if (h >> b) & 1 else -1
+    expect = sum(1 << b for b in range(64) if acc[b] > 0)
+    if expect >= 1 << 63:
+        expect -= 1 << 64
+    assert out["d1"] == expect
+
+
+def test_ngram_jaccard_df_cap(spark):
+    """A stop-shingle present in every doc must be excluded from the
+    candidate join when its document frequency exceeds the cap."""
+    rows = [(f"d{i}", "common shingle text unique%d tail%d here" % (i, i))
+            for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    # cap below the stop-shingle's df: "common shingle text" df=6 > 3 ->
+    # dropped; remaining shingles are unique -> no candidate pairs at all
+    out = ngram_jaccard_pairs(docs, threshold_x1000=1, max_shingle_df=3)
+    assert out.count() == 0
+    # without the cap the stop-shingle creates candidates
+    out2 = ngram_jaccard_pairs(docs, threshold_x1000=1, max_shingle_df=None)
+    assert out2.count() > 0
+
+
+def test_all_pairs_cosine_no_driver_collect(spark):
+    """embedding_near_dup's kernel is distributed: matches a numpy
+    reference exactly and its plan contains no driver-side materialization
+    (pure DataFrame lineage -> FlatMapGroupsInPandas node)."""
+    import numpy as np
+
+    from pdf_extract_spark.operators.similarity import all_pairs_cosine
+
+    rng = np.random.RandomState(7)
+    mat = rng.randn(40, 8).astype(np.float64)
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_x1000"]
+        for r in all_pairs_cosine(emb, min_cos=0.2, num_blocks=4).collect()
+    }
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    sims = (mat @ mat.T) / np.outer(norms, norms)
+    expect = {}
+    for i in range(40):
+        for j in range(i + 1, 40):
+            if sims[i, j] >= 0.2:
+                expect[(i, j)] = int(np.floor(sims[i, j] * 1000))
+    assert got == expect
+    plan = all_pairs_cosine(emb, min_cos=0.2)._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_lsh_topk_recall_gate(spark):
+    """ANN recall vs exact brute force on the sf0.001 embeddings: the
+    SRP-bucketed path must keep recall >= 0.8 at its default settings
+    (documents the LSH trade with a number, VERDICT r1 #7)."""
+    from pdf_extract_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = list(range(20))
+    exact = brute_force_topk(emb, qids, k=5)
+    approx = lsh_topk(emb, qids, k=5, dim=64)
+    e = {(r["query_id"], r["nbr_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["nbr_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    print(f"lsh_topk recall@5 over 20 queries: {recall:.3f}")
+    assert recall >= 0.8, recall

@@ -185,6 +185,35 @@ def test_paged_extraction_matches_by_pages(spark):
     assert whole.count() == raw.count()
 
 
+def test_golden_spans_parquet_current_and_oracle_matches(spark):
+    """(a) dist/golden_spans.parquet is regenerable from the fixtures
+    (staleness guard for tools/gen_golden_spans.py); (b) the flagship
+    extract_pdf_spans query matches it row-for-row — the same compare the
+    driver's DuckDB oracle performs."""
+    import duckdb
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from gen_golden_spans import OUT, golden_rows
+
+    fresh = golden_rows()
+    on_disk = duckdb.sql(
+        f"SELECT * FROM read_parquet('{OUT}') ORDER BY doc_id, pos"
+    ).fetchall()
+    fresh_rows = sorted(zip(*[fresh[k] for k in (
+        "doc_id", "pages", "decode_failures", "pos", "kind", "text",
+        "media_ref", "offset")]))
+    assert [tuple(r) for r in on_disk] == fresh_rows, (
+        "dist/golden_spans.parquet is stale — re-run tools/gen_golden_spans.py"
+    )
+
+    from pdf_extract_spark.queries import extract_pdf_spans
+
+    got = sorted(tuple(r) for r in extract_pdf_spans(spark, "").collect())
+    assert got == fresh_rows
+
+
 def test_extract_metadata(spark):
     from pdf_extract_spark.operators.extraction import extract_metadata
 
