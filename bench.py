@@ -74,6 +74,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    # Warm-up (untimed): r1 measured q1 at 14.6s vs 1.1s for q6 on the same
+    # table — JVM/codegen/Arrow/python-worker init, not plan cost.  Touch
+    # every runtime surface once so the timed loop measures steady state:
+    # parquet scan + agg (q1), and a python-worker mapInPandas round trip.
+    QUERIES["q1_pricing_summary"](spark, sf_dir).count()
+    warm = synthetic_corpus_df(spark, 64)
+    extract_documents(warm, num_partitions=cpus).count()
+
     # headline relational/dedup/similarity queries
     for name in HEADLINE:
         fn = QUERIES[name]

@@ -334,13 +334,17 @@ class SimpleFont:
                 if fname != base_name:
                     continue
                 if table is not None:
+                    # reverse map codepoint -> codes once (the full AFM is
+                    # ~315 rows; a per-row 256-scan is 80k iterations/font)
+                    rev: dict[int, list[int]] = {}
+                    for i, cp in enumerate(table):
+                        rev.setdefault(cp, []).append(i)
                     for _code, w, gname in rows:
                         c = name_to_unicode(gname)
                         if c is None:
                             continue
-                        for i in range(len(table)):
-                            if table[i] == c:
-                                widths[i] = float(w)
+                        for i in rev.get(c, ()):
+                            widths[i] = float(w)
                 else:
                     new_table = [0] * 256
                     for code, w, gname in rows:
@@ -541,11 +545,78 @@ class CIDFont:
         return "".join(self.decode_char(c) for c, _ in self.char_codes(s))
 
 
+_UNCACHEABLE = object()
+
+
+def _font_cache_key(doc, obj, depth: int = 0):
+    """Hashable canonical form of a font dict: dereferenced, stream bodies
+    digested.  Returns _UNCACHEABLE when the structure can't be keyed
+    (cycle-deep or exotic) — caller then skips the cache."""
+    if depth > 8:
+        return _UNCACHEABLE
+    from .pdfmini.objects import Name as _Name
+    from .pdfmini.objects import PdfString as _PdfString
+    from .pdfmini.objects import Stream as _Stream
+
+    obj = doc.deref(obj)
+    if obj is None or isinstance(obj, (bool, int, float)):
+        return ("v", obj)
+    if isinstance(obj, _PdfString):
+        return ("s", bytes(obj))
+    if isinstance(obj, (_Name, str)):
+        return ("n", str(obj))
+    if isinstance(obj, _Stream):
+        import hashlib
+
+        d = _font_cache_key(doc, dict(obj.dict), depth + 1)
+        if d is _UNCACHEABLE:
+            return _UNCACHEABLE
+        return ("strm", d, hashlib.md5(obj.raw).digest())
+    if isinstance(obj, dict):
+        items = []
+        for k in sorted(obj):
+            v = _font_cache_key(doc, obj[k], depth + 1)
+            if v is _UNCACHEABLE:
+                return _UNCACHEABLE
+            items.append((str(k), v))
+        return ("d", tuple(items))
+    if isinstance(obj, list):
+        vals = []
+        for o in obj:
+            v = _font_cache_key(doc, o, depth + 1)
+            if v is _UNCACHEABLE:
+                return _UNCACHEABLE
+            vals.append(v)
+        return ("l", tuple(vals))
+    return _UNCACHEABLE
+
+
+_FONT_CACHE: dict = {}
+_FONT_CACHE_MAX = 512
+
+
 def make_font(doc, font: dict):
-    """Dispatch on Subtype (make_font, lib.rs:322-332)."""
+    """Dispatch on Subtype (make_font, lib.rs:322-332).
+
+    Cross-document cache: web corpora repeat the same (often non-embedded)
+    fonts across millions of PDFs; font objects hold only derived tables —
+    no doc reference — so byte-identical font structures are shared
+    process-wide.  Cuts ~25% off small-doc extraction (make_font was the
+    top profile entry after the full AFM tables landed)."""
+    key = _font_cache_key(doc, font)
+    if key is not _UNCACHEABLE:
+        hit = _FONT_CACHE.get(key)
+        if hit is not None:
+            return hit
     subtype = _name_str(doc.deref(font.get("Subtype")))
     if subtype == "Type0":
-        return CIDFont(doc, font)
-    if subtype == "Type3":
-        return Type3Font(doc, font)
-    return SimpleFont(doc, font)
+        f = CIDFont(doc, font)
+    elif subtype == "Type3":
+        f = Type3Font(doc, font)
+    else:
+        f = SimpleFont(doc, font)
+    if key is not _UNCACHEABLE:
+        if len(_FONT_CACHE) >= _FONT_CACHE_MAX:
+            _FONT_CACHE.clear()
+        _FONT_CACHE[key] = f
+    return f
