@@ -29,8 +29,18 @@ import math
 
 
 class PlainTextSpanDevice:
+    """Spans accumulate as four PARALLEL flat lists (kind/text/media_ref/
+    offset) — one dict per span costs ~100 bytes + 4 hash lookups at read
+    time, and at 10^6 spans/sec that allocation traffic is what saturates
+    the memory bus at high core counts.  finish() materializes the dict
+    view for the library API; finish_flat() hands the lists straight to
+    the Arrow boundary."""
+
     def __init__(self):
-        self.spans: list[dict] = []
+        self._kinds: list[str] = []
+        self._texts: list[str] = []
+        self._media_refs: list[str] = []
+        self._offsets: list[int] = []
         self._line: list[str] = []
         self._offset = 0          # running char offset in the plain text
         self._line_start = 0
@@ -107,9 +117,10 @@ class PlainTextSpanDevice:
         self.last_end = (x + dx_last) + last_w0 * tfs
 
     def media(self, name: str):
-        self.spans.append(
-            {"kind": "media", "text": "", "media_ref": name, "offset": self._offset}
-        )
+        self._kinds.append("media")
+        self._texts.append("")
+        self._media_refs.append(name)
+        self._offsets.append(self._offset)
 
     # -- span assembly ---------------------------------------------------------
 
@@ -120,38 +131,45 @@ class PlainTextSpanDevice:
 
     def _newline(self):
         text = "".join(self._line)
-        self.spans.append(
-            {
-                "kind": "text" if text else "para",
-                "text": text,
-                "media_ref": "",
-                "offset": self._line_start,
-            }
-        )
+        self._kinds.append("text" if text else "para")
+        self._texts.append(text)
+        self._media_refs.append("")
+        self._offsets.append(self._line_start)
         self._offset += 1  # the newline itself
         self._line = []
         self._line_start = self._offset
 
-    def finish(self) -> list[dict]:
-        """Close the trailing line. Only emits a span if any text was written
-        (a document with no text yields no trailing empty span)."""
-        if self._line or (self.spans and self._offset > self._line_start):
+    def finish_flat(self) -> tuple[list[str], list[str], list[str], list[int]]:
+        """Close the trailing line; return (kinds, texts, media_refs,
+        offsets) in document order."""
+        if self._line or (self._kinds and self._offset > self._line_start):
             text = "".join(self._line)
-            self.spans.append(
-                {
-                    "kind": "text" if text else "para",
-                    "text": text,
-                    "media_ref": "",
-                    "offset": self._line_start,
-                }
-            )
+            self._kinds.append("text" if text else "para")
+            self._texts.append(text)
+            self._media_refs.append("")
+            self._offsets.append(self._line_start)
             self._line = []
             self._line_start = self._offset
         # Document order == offset order: a media span emitted mid-line was
-        # appended before its surrounding text span closed; stable sort by
-        # offset restores the true order.
-        self.spans.sort(key=lambda s: s["offset"])
-        return self.spans
+        # appended before its surrounding text span closed; a stable sort by
+        # offset restores the true order (rare: only when media spans exist
+        # and arrive out of order).
+        offs = self._offsets
+        if any(offs[i] > offs[i + 1] for i in range(len(offs) - 1)):
+            order = sorted(range(len(offs)), key=offs.__getitem__)
+            self._kinds = [self._kinds[i] for i in order]
+            self._texts = [self._texts[i] for i in order]
+            self._media_refs = [self._media_refs[i] for i in order]
+            self._offsets = [offs[i] for i in order]
+        return self._kinds, self._texts, self._media_refs, self._offsets
+
+    def finish(self) -> list[dict]:
+        """Dict view of finish_flat() — the library-facing span API."""
+        kinds, texts, media_refs, offsets = self.finish_flat()
+        return [
+            {"kind": k, "text": t, "media_ref": m, "offset": o}
+            for k, t, m, o in zip(kinds, texts, media_refs, offsets)
+        ]
 
 
 def spans_to_text(spans: list[dict]) -> str:

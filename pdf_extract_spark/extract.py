@@ -44,6 +44,20 @@ def extract_spans_from_mem(data: bytes) -> ExtractResult:
         return ExtractResult([], 0, f"{type(e).__name__}: {e}")
 
 
+def extract_spans_flat_from_mem(data: bytes):
+    """Flat-array variant for the Arrow boundary: returns
+    (kinds, texts, media_refs, offsets, pages, error) — no per-span dicts
+    (the mapInPandas stage ships exactly these four lists)."""
+    try:
+        doc = load_mem(data)
+        device = PlainTextSpanDevice()
+        pages = output_doc(doc, device)
+        kinds, texts, media_refs, offsets = device.finish_flat()
+        return kinds, texts, media_refs, offsets, pages, None
+    except Exception as e:  # noqa: BLE001 — per-doc fault isolation
+        return [], [], [], [], 0, f"{type(e).__name__}: {e}"
+
+
 def extract_text_from_mem(data: bytes) -> str:
     """bytes -> plain text (extract_text_from_mem, lib.rs:2259-2268).
     Raises on parse failure like the reference's Err."""

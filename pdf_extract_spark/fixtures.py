@@ -752,6 +752,39 @@ def fx_macexpert_encoding() -> tuple[bytes, str]:
     return _simple_doc([(content, res)]), "\n\n\uf730\uf731\ufb00"
 
 
+def fx_alternate_colorspace() -> tuple[bytes, str]:
+    """Separation colorspace with a CalRGB alternate and a Type-2 tint
+    function, selected via cs/scn around the text — mirrors the reference
+    corpus doc alternate-color-space.pdf.link (tests/tests.rs:25-35): the
+    colorspace layer must PARSE (make_colorspace, lib.rs:1449; Function::new,
+    lib.rs:1158) and have zero effect on extracted text."""
+    b = PdfBuilder()
+    tint = b.add(
+        b"<< /FunctionType 2 /Domain [0 1] /C0 [0 0 0] /C1 [1 0.5 0.2] /N 1 >>"
+    )
+    content = (
+        b"/Sep1 cs 0.7 scn BT /F1 12 Tf 72 720 Td (tinted text) Tj ET"
+    )
+    c = b.add_stream("", content)
+    page = b.add(b"")
+    pages = b.add(
+        (
+            f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 /MediaBox [0 0 612 792] >>"
+        ).encode("latin-1")
+    )
+    res = (
+        f"<< /Font {_HELV} /ColorSpace << /Sep1 [/Separation /Spot1 "
+        f"[/CalRGB << /WhitePoint [0.95 1 1.09] /Gamma [2.2 2.2 2.2] >>] "
+        f"{tint} 0 R] >> >>"
+    )
+    b.objects[page - 1] = (
+        f"<< /Type /Page /Parent {pages} 0 R /Contents {c} 0 R "
+        f"/Resources {res} >>"
+    ).encode("latin-1")
+    catalog = b.add(f"<< /Type /Catalog /Pages {pages} 0 R >>".encode("latin-1"))
+    return b.build(catalog), "\n\ntinted text"
+
+
 def fx_encrypted_identity_stmf() -> tuple[bytes, str]:
     """V4/R4 doc whose /StmF is Identity (spec default): stream bodies are
     NOT encrypted even though an AESV2 StdCF exists for strings.  Covers the
@@ -848,6 +881,7 @@ FIXTURES: dict[str, callable] = {
     "zapf_corefont": fx_zapf_corefont,
     "differences_nonascii": fx_differences_nonascii,
     "macexpert_encoding": fx_macexpert_encoding,
+    "alternate_colorspace": fx_alternate_colorspace,
     "lzw_stream": fx_lzw_stream,
     "cid_embedded_cmap": fx_cid_embedded_cmap,
     "type3_font": fx_type3_font,

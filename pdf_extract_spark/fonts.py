@@ -266,8 +266,26 @@ def _resolve_encoding_and_widths(doc, font: dict, base_table_default,
                     if uni is not None:
                         if 0 <= code < 256:
                             table[code] = uni
-                        if unicode_map is not None and code not in unicode_map:
-                            unicode_map[code] = chr(uni)
+                        if unicode_map is not None:
+                            existing = unicode_map.get(code)
+                            if existing is None:
+                                unicode_map[code] = chr(uni)
+                            elif existing != chr(uni):
+                                # Differences<->ToUnicode reconciliation
+                                # (lib.rs:497-506): keep the ToUnicode
+                                # entry; warn only when the two are not
+                                # NFKC-equivalent (e.g. 'fi' ligature vs
+                                # "fi")
+                                import logging
+                                import unicodedata
+
+                                if unicodedata.normalize(
+                                    "NFKC", existing
+                                ) != unicodedata.normalize("NFKC", chr(uni)):
+                                    logging.getLogger(__name__).warning(
+                                        "Unicode mismatch %s %r vs %r",
+                                        gname, existing, chr(uni),
+                                    )
                     elif unicode_map is not None and "FontAwesome" in base_name:
                         # issue #76 parity (lib.rs:509-518)
                         unicode_map.setdefault(code, "")

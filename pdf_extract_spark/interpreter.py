@@ -80,18 +80,23 @@ class TextState:
 
 
 class GraphicsState:
-    __slots__ = ("ts", "ctm", "smask")
+    __slots__ = ("ts", "ctm", "smask", "fill_colorspace", "stroke_colorspace")
 
     def __init__(self):
         self.ts = TextState()
         self.ctm = IDENTITY
         self.smask = None
+        # parse-only colorspace layer (lib.rs:1269-1271); no text effect
+        self.fill_colorspace = None
+        self.stroke_colorspace = None
 
     def clone(self):
         c = GraphicsState.__new__(GraphicsState)
         c.ts = self.ts.clone()
         c.ctm = self.ctm
         c.smask = self.smask
+        c.fill_colorspace = self.fill_colorspace
+        c.stroke_colorspace = self.stroke_colorspace
         return c
 
 
@@ -244,8 +249,22 @@ class Processor:
                     sub_res = resources
                 contents = doc.get_stream_content(xf)
                 self.process_stream(contents, sub_res, media_box, output, depth + 1)
-            # path/color/clip/marked-content ops carry no text semantics
-            # (lib.rs:1633-1655, 1798-1859); ignored like unknown ops.
+            elif op in ("CS", "cs"):
+                # colorspace layer: parse-only, like the reference
+                # (lib.rs:1633-1639 -> make_colorspace); a malformed
+                # colorspace raises and surfaces as this doc's
+                # decode_failure (the reference panics)
+                if operands:
+                    from .pdfmini.colorspace import make_colorspace
+
+                    space = make_colorspace(doc, str(operands[0]), resources)
+                    if op == "CS":
+                        gs.stroke_colorspace = space
+                    else:
+                        gs.fill_colorspace = space
+            # remaining path/color-value/clip/marked-content ops carry no
+            # text semantics (lib.rs:1641-1655, 1798-1859); ignored like
+            # unknown ops.
 
     def _show_text(self, gs: GraphicsState, s: bytes, output):
         ts = gs.ts

@@ -55,7 +55,7 @@ DEFAULT_GIANT_THRESHOLD = 32 * 1024 * 1024  # 32 MiB
 
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     # imported inside the UDF so only the (picklable) module name ships
-    from ..extract import extract_spans_from_mem
+    from ..extract import extract_spans_flat_from_mem
 
     for pdf_batch in batches:
         out = {
@@ -70,16 +70,18 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "error": [],
         }
         for doc_id, content in zip(pdf_batch["doc_id"], pdf_batch["content"]):
-            r = extract_spans_from_mem(bytes(content) if content is not None else b"")
+            kinds, texts, media_refs, offsets, pages, error = (
+                extract_spans_flat_from_mem(bytes(content) if content is not None else b"")
+            )
             out["doc_id"].append(doc_id)
-            out["kind"].append([s["kind"] for s in r.spans])
-            out["text"].append([s["text"] for s in r.spans])
-            out["media_ref"].append([s["media_ref"] for s in r.spans])
-            out["offset"].append([s["offset"] for s in r.spans])
-            out["pages"].append(r.pages)
-            out["n_spans"].append(len(r.spans))
-            out["decode_failures"].append(0 if r.error is None else 1)
-            out["error"].append(r.error)
+            out["kind"].append(kinds)
+            out["text"].append(texts)
+            out["media_ref"].append(media_refs)
+            out["offset"].append(offsets)
+            out["pages"].append(pages)
+            out["n_spans"].append(len(kinds))
+            out["decode_failures"].append(0 if error is None else 1)
+            out["error"].append(error)
         yield pd.DataFrame(out)
 
 

@@ -40,8 +40,11 @@ spark = get_spark(app_name=f"scale{cpus}", master=f"local[{cpus}]",
 raw = balanced_corpus_df(spark, n_docs, num_partitions=128).cache()
 n_docs = raw.count()
 sel = raw.select("doc_id", "content")
-# warm-up pass (worker spawn, imports, JIT) excluded from the timed region
-sel.limit(128).mapInPandas(_extract_batches, _FLAT_SCHEMA).count()
+# warm-up: one FULL untimed pass so every python worker is spawned and
+# has imported pandas/numpy before timing starts (the mp control warms
+# its whole pool the same way; a limit(128) warm-up only touched a few
+# workers, charging ~1s of worker spawn to the 32-core timed region)
+sel.mapInPandas(_extract_batches, _FLAT_SCHEMA).count()
 t0 = time.perf_counter()
 out = sel.mapInPandas(_extract_batches, _FLAT_SCHEMA)
 agg = out.groupBy().sum("n_spans", "decode_failures").collect()[0]
