@@ -95,8 +95,16 @@ print(json.dumps({"cpus": procs, "docs": n_docs, "sec": dt,
 
 
 def run(worker: str, cpus: int, n_docs: int) -> dict:
+    # Pin the process tree to exactly `cpus` CPUs: an N-executor vs
+    # 4N-executor cluster comparison means N vs 4N CPUs TOTAL.  Without the
+    # pin, the local[8] JVM still spreads its GC/compiler/shuffle threads
+    # (and numpy's BLAS pools) over all 32 host cores, flattering the
+    # small-cluster baseline and understating true scaling efficiency.
+    cmd = [sys.executable, "-c", worker, str(cpus), str(n_docs)]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, "-c", worker, str(cpus), str(n_docs)],
+        cmd,
         capture_output=True,
         text=True,
         timeout=1800,
