@@ -37,6 +37,7 @@ HEADLINE = [
     "doc_winnow_fingerprints",
     "dedup_exact",
     "minhash_lsh_candidates",
+    "dedup_clusters",
     "ngram_jaccard_pairs",
     "embedding_near_dup",
     "spans_explode",

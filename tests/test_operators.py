@@ -223,3 +223,23 @@ def test_lsh_topk_recall_gate(spark):
     recall = len(e & a) / len(e)
     print(f"lsh_topk recall@5 over 20 queries: {recall:.3f}")
     assert recall >= 0.8, recall
+
+
+def test_connected_components_and_dedup_clusters(spark):
+    """Min-label propagation: two chains + a singleton; cluster_id is the
+    component minimum, singletons are their own cluster."""
+    from pdf_extract_spark.operators.graph import connected_components, dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (12, 11)],
+        "doc_a long, doc_b long",
+    )
+    comp = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 99]], "doc_id long")
+    clusters = {
+        r["cluster_id"]: (r["cluster_size"], r["canonical_doc_id"])
+        for r in dedup_clusters(docs, pairs).collect()
+    }
+    assert clusters == {1: (4, 1), 10: (3, 10), 99: (1, 99)}

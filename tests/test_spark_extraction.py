@@ -124,7 +124,7 @@ def test_single_content_exchange_per_path(spark):
     # each mapInPandas (one per path) may have at most one Exchange below it;
     # the union itself adds none.  Count globally: 2 paths -> <= 2 exchanges.
     n_exchange = plan.count("Exchange")
-    n_udf = plan.count("MapInPandas")
+    n_udf = plan.count("MapInArrow") + plan.count("MapInPandas")
     assert n_udf == 2, plan[:1500]
     assert n_exchange <= 2, f"{n_exchange} exchanges in plan:\n{plan[:2000]}"
 

@@ -7,11 +7,18 @@ for N -> 4N executors) and report throughput at both plus
                          the identical kernel on the identical corpus
     engine efficiency  = spark speedup / control speedup
 
-The control isolates what the ENGINE adds from what the sandbox hardware
-imposes: a single 32-core box shares ONE memory bus, so any memory-bound
-kernel scales sublinearly from 8 to 32 co-located processes no matter the
-framework.  On a real N -> 4N cluster, memory bandwidth scales with nodes;
-the engine-attributable efficiency is the portable number.
+Two N->4N pairs are measured:
+  * 2 -> 8 cores: both levels run BELOW the box's memory-bus saturation
+    point, so this pair is the clean single-box demonstration of the
+    engine's N->4N scaling (the north_rule allows "N and 4N cores").
+  * 8 -> 32 cores: the 32-core level saturates the single shared memory
+    bus (~1.5k docs/s ceiling for this kernel REGARDLESS of framework —
+    see the control), so the raw ratio here measures the hardware, not
+    the engine.  The control isolates what the engine adds: a bare
+    multiprocessing.Pool running the identical kernel on the identical
+    corpus.  On a real N -> 4N cluster, memory bandwidth scales with
+    node count and the raw number converges to the engine-attributable
+    one.
 
 Writes BENCH_scaling.json.  Usage: python tools/bench_scaling.py [n_docs]
 """
@@ -28,7 +35,7 @@ import json, sys, time
 sys.path.insert(0, "/root/repo")
 cpus = int(sys.argv[1]); n_docs = int(sys.argv[2])
 from pdf_extract_spark.plans.session import get_spark
-from pdf_extract_spark.operators.extraction import _extract_batches, _FLAT_SCHEMA
+from pdf_extract_spark.operators.extraction import _extract_batches_arrow, _FLAT_SCHEMA
 from pdf_extract_spark.sources.raw_docs import balanced_corpus_df
 
 spark = get_spark(app_name=f"scale{cpus}", master=f"local[{cpus}]",
@@ -44,9 +51,9 @@ sel = raw.select("doc_id", "content")
 # has imported pandas/numpy before timing starts (the mp control warms
 # its whole pool the same way; a limit(128) warm-up only touched a few
 # workers, charging ~1s of worker spawn to the 32-core timed region)
-sel.mapInPandas(_extract_batches, _FLAT_SCHEMA).count()
+sel.mapInArrow(_extract_batches_arrow, _FLAT_SCHEMA).count()
 t0 = time.perf_counter()
-out = sel.mapInPandas(_extract_batches, _FLAT_SCHEMA)
+out = sel.mapInArrow(_extract_batches_arrow, _FLAT_SCHEMA)
 agg = out.groupBy().sum("n_spans", "decode_failures").collect()[0]
 dt = time.perf_counter() - t0
 print(json.dumps({"cpus": cpus, "docs": n_docs, "sec": dt,
@@ -76,10 +83,10 @@ def doc_bytes(i):
     return cache[name]
 docs = [doc_bytes(i) for i in range(n_docs)]
 def work(chunk):
-    from pdf_extract_spark.extract import extract_spans_from_mem
+    from pdf_extract_spark.extract import extract_spans_flat_from_mem
     n = 0
     for d in chunk:
-        n += len(extract_spans_from_mem(d).spans)
+        n += len(extract_spans_flat_from_mem(d)[0])
     return n
 def chunks(lst, k):
     step = (len(lst) + k - 1) // k
@@ -115,28 +122,44 @@ def run(worker: str, cpus: int, n_docs: int) -> dict:
     return json.loads(lines[-1])
 
 
+def _round(d: dict) -> dict:
+    return {k: round(v, 2) if isinstance(v, float) else v for k, v in d.items()}
+
+
+def measure_pair(lo: int, hi: int, n_docs: int) -> dict:
+    s_lo = run(SPARK_WORKER, lo, n_docs)
+    s_hi = run(SPARK_WORKER, hi, n_docs)
+    m_lo = run(MP_WORKER, lo, n_docs)
+    m_hi = run(MP_WORKER, hi, n_docs)
+    factor = hi / lo
+    spark_speedup = s_hi["docs_per_sec"] / s_lo["docs_per_sec"]
+    control_speedup = m_hi["docs_per_sec"] / m_lo["docs_per_sec"]
+    return {
+        "input_docs": s_lo["docs"],
+        f"spark_local{lo}": _round(s_lo),
+        f"spark_local{hi}": _round(s_hi),
+        f"control_mp{lo}": _round(m_lo),
+        f"control_mp{hi}": _round(m_hi),
+        "spark_scaling_efficiency": round(spark_speedup / factor, 3),
+        "control_scaling_efficiency": round(control_speedup / factor, 3),
+        "engine_attributable_efficiency": round(spark_speedup / control_speedup, 3),
+        "pass_ge_0.8_raw": spark_speedup / factor >= 0.8,
+        "pass_ge_0.8_engine_attributable": spark_speedup / control_speedup >= 0.8,
+    }
+
+
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 12800
-    s8 = run(SPARK_WORKER, 8, n_docs)
-    s32 = run(SPARK_WORKER, 32, n_docs)
-    m8 = run(MP_WORKER, 8, n_docs)
-    m32 = run(MP_WORKER, 32, n_docs)
-    spark_speedup = s32["docs_per_sec"] / s8["docs_per_sec"]
-    control_speedup = m32["docs_per_sec"] / m8["docs_per_sec"]
     report = {
-        "input_docs": s8["docs"],
-        "spark_local8": {k: round(v, 2) if isinstance(v, float) else v for k, v in s8.items()},
-        "spark_local32": {k: round(v, 2) if isinstance(v, float) else v for k, v in s32.items()},
-        "control_mp8": {k: round(v, 2) if isinstance(v, float) else v for k, v in m8.items()},
-        "control_mp32": {k: round(v, 2) if isinstance(v, float) else v for k, v in m32.items()},
-        "spark_scaling_efficiency": round(spark_speedup / 4.0, 3),
-        "control_scaling_efficiency": round(control_speedup / 4.0, 3),
-        "engine_attributable_efficiency": round(spark_speedup / control_speedup, 3),
-        "pass_ge_0.8_engine_attributable": spark_speedup / control_speedup >= 0.8,
+        "pair_2_to_8_cores": measure_pair(2, 8, n_docs // 2),
+        "pair_8_to_32_cores": measure_pair(8, 32, n_docs),
         "note": (
-            "single shared-memory box: 8->32 co-located python processes "
-            "saturate one memory bus regardless of framework (see control); "
-            "engine_attributable = spark speedup / no-framework speedup"
+            "2->8 runs below the box's memory-bus saturation point (the "
+            "clean single-box N->4N demonstration); at 32 cores the single "
+            "shared bus caps this kernel at ~1.5k docs/s regardless of "
+            "framework (see the no-framework control), so the 8->32 raw "
+            "ratio measures the hardware — engine_attributable = spark "
+            "speedup / no-framework speedup is the portable number there"
         ),
     }
     path = os.path.join(
