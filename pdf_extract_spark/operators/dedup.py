@@ -161,9 +161,19 @@ def ngram_jaccard_pairs(
     the same cap."""
     sh = docs.select(
         F.col("doc_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle_str"),
+    ).select(
+        "doc_id",
+        # hash shingles to int64 BEFORE any shuffle: the index/join keys
+        # carry 8 bytes instead of ~30-byte strings.  A 64-bit collision
+        # merges two posting lists (P ~ n_shingles^2 / 2^65 — ~1e-7 at 2M
+        # distinct shingles); set assemble-exact=False is the universal
+        # trade every shingling dedup makes (minhash included).
+        F.xxhash64("shingle_str").alias("shingle"),
     )
     if max_shingle_df is not None:
+        # df-count FIRST (map-combined, no arrays) so a mega-hot shingle is
+        # dropped before anything materializes its posting list
         rare = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("df"))
@@ -172,11 +182,20 @@ def ngram_jaccard_pairs(
         )
         sh = sh.join(rare, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # Pair generation from BOUNDED posting lists (df <= cap guarantees the
+    # array size): collect the doc list per shingle — Catalyst reuses the
+    # join's shingle partitioning, no extra exchange — then emit ordered
+    # pairs by double-explode.  Replaces the row-level self-join on shingle
+    # (a full extra sort-merge of the exploded table) with in-partition
+    # array combinations; identical output.
+    postings = sh.groupBy("shingle").agg(F.collect_list("doc_id").alias("ds"))
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        postings.select(F.explode("ds").alias("doc_a"), "ds")
+        .select(
+            "doc_a",
+            F.explode(F.filter("ds", lambda d: d > F.col("doc_a"))).alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("long").alias("common"))
     )
     sa = sizes.alias("sa")
