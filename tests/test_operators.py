@@ -243,3 +243,97 @@ def test_connected_components_and_dedup_clusters(spark):
         for r in dedup_clusters(docs, pairs).collect()
     }
     assert clusters == {1: (4, 1), 10: (3, 10), 99: (1, 99)}
+
+
+def _make_ppm(w, h):
+    # horizontal gradient: pixel value = x * 255 // (w-1), all channels
+    body = bytearray()
+    for _y in range(h):
+        for x in range(w):
+            v = x * 255 // (w - 1)
+            body += bytes([v, v, v])
+    return b"P6\n# test\n%d %d\n255\n" % (w, h) + bytes(body)
+
+
+def _make_bmp(w, h, value=128):
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    img = bytearray()
+    for _y in range(h):
+        row = bytearray()
+        for _x in range(w):
+            row += bytes([value, value, value])
+        row += b"\x00" * (stride - len(row))
+        img += row
+    data_off = 14 + 40
+    size = data_off + len(img)
+    hdr = b"BM" + struct.pack("<IHHI", size, 0, 0, data_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img), 2835, 2835, 0, 0)
+    return hdr + info + bytes(img)
+
+
+def _make_wav(rate=8000, seconds=0.1, amp=0.5):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        n = int(rate * seconds)
+        frames = b"".join(
+            struct.pack("<h", int(amp * 32767 * math.sin(2 * math.pi * 440 * i / rate)))
+            for i in range(n)
+        )
+        wf.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_real_image_decoders():
+    from pdf_extract_spark.operators.multimodal import decode_image_real
+
+    w, h, feat = decode_image_real(_make_ppm(16, 8))
+    assert (w, h) == (16, 8)
+    assert len(feat) == 16
+    # horizontal gradient: each thumbnail row increases left->right
+    for r in range(4):
+        row = feat[r * 4 : r * 4 + 4]
+        assert row == sorted(row) and row[0] < row[3]
+    w, h, feat = decode_image_real(_make_bmp(10, 6, value=128))
+    assert (w, h) == (10, 6)
+    assert all(abs(v - 128 / 255) < 1e-9 for v in feat)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_image_real(b"\x89PNG\r\n\x1a\nxxxx")
+
+
+def test_real_audio_decoder():
+    from pdf_extract_spark.operators.multimodal import decode_audio_real
+
+    rate, nch, feat = decode_audio_real(_make_wav(amp=0.5))
+    assert rate == 8000 and nch == 1
+    assert len(feat) == 16
+    # RMS of a 0.5-amp sine is ~0.3536
+    assert all(abs(v - 0.3536) < 0.02 for v in feat)
+
+
+def test_media_features_mixed_decoders(spark):
+    """Real formats decode for real; unsupported formats fall back to the
+    deterministic stub — per-row, inside one Arrow batch."""
+    rows = [
+        ("ppm1", "image", _make_ppm(8, 8)),
+        ("bmp1", "image", _make_bmp(5, 5)),
+        ("wav1", "audio", _make_wav()),
+        ("jpg1", "image", b"\xff\xd8\xff\xe0 fake jpeg"),
+    ]
+    media = spark.createDataFrame(rows, "media_id string, media_kind string, payload binary")
+    out = {r["media_id"]: r for r in extract_media_features(media, num_partitions=2).collect()}
+    assert out["ppm1"]["decoder"] == "ppm" and out["ppm1"]["width"] == 8
+    assert out["bmp1"]["decoder"] == "bmp" and out["bmp1"]["height"] == 5
+    assert out["wav1"]["decoder"] == "wav" and out["wav1"]["width"] == 8000
+    assert out["jpg1"]["decoder"] == "stub"
