@@ -189,6 +189,136 @@ def srp_bucket(vec_col, planes: list[list[float]]):
     return bucket
 
 
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_cap: int = 20_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k — the coarse-quantizer scale path.
+
+    1. TRAIN: a deterministic hash-sample of vectors (bounded at
+       `train_cap` rows — same shape as faiss, which trains its quantizer
+       on a sample) is collected and k-means'd on the driver: numpy Lloyd
+       iterations, init = first-k of the sample in id order, zero RNG.
+       The centroid matrix is tiny (n_centroids x dim) and broadcast.
+    2. ASSIGN: every vector gets cell = argmin ||v - c||, vectorized numpy
+       inside mapInPandas — one narrow pass, no shuffle.
+    3. SEARCH: each query probes its `n_probe` nearest cells; candidates
+       are fetched by an equi-join on cell id (the piece that replaces the
+       full scan) and re-ranked exactly; per-query top-k window.
+
+    Recall is governed by n_probe/n_centroids (gated >= 0.8 in
+    tests/test_operators.py on the synthetic table).  Unlike SRP-LSH the
+    cells adapt to the data distribution, so clustered corpora get high
+    recall at a small probe fraction."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    # -- 1. deterministic bounded sample -> driver-side Lloyd iterations
+    total = emb.count()
+    frac_pct = max(1, min(100, int(100 * train_cap / max(total, 1))))
+    sample = (
+        emb.select(id_col, vec_col)
+        .filter(F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(100)) < frac_pct)
+        .orderBy(id_col)
+        .limit(train_cap)
+        .collect()
+    )
+    train = np.array([r[1] for r in sample], dtype=np.float64)
+    if len(train) < n_centroids:
+        raise ValueError(f"{len(train)} training vectors < {n_centroids} centroids")
+    cent = train[:n_centroids].copy()
+    for _ in range(10):
+        d2 = ((train[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_centroids):
+            members = train[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    bc = spark.sparkContext.broadcast(cent)
+
+    # -- 2. cell assignment, one narrow vectorized pass
+    def assign_cells(batches):
+        import pandas as pd
+
+        C = bc.value
+        c2 = (C * C).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({"nbr_id": [], "v": [], "cell": []})
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            # argmin ||v-c||^2 = argmin (|c|^2 - 2 v.c)
+            cells = (c2[None, :] - 2.0 * (mat @ C.T)).argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "nbr_id": pdf[id_col],
+                    "v": pdf[vec_col],
+                    "cell": cells.astype("int32"),
+                }
+            )
+
+    vec_type = emb.schema[vec_col].dataType.simpleString()
+    id_type = emb.schema[id_col].dataType.simpleString()
+    cells = emb.select(id_col, vec_col).mapInPandas(
+        assign_cells, f"nbr_id {id_type}, v {vec_type}, cell int"
+    )
+
+    # -- 3. probe lists per query (driver computes n_probe cells per query
+    # from the SAME broadcast centroids — no extra Spark job)
+    queries = (
+        cells.filter(F.col("nbr_id").isin(query_ids))
+        .select(F.col("nbr_id").alias("query_id"), F.col("v").alias("q"))
+    )
+    # q's probe cells are computed JVM-free inside the join below by
+    # exploding the top-n_probe cells, evaluated in a tiny pandas UDF pass
+    def probe_cells(batches):
+        import pandas as pd
+
+        C = bc.value
+        c2 = (C * C).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({"query_id": [], "q": [], "cell": []})
+                continue
+            mat = np.array(list(pdf["q"]), dtype=np.float64)
+            order = (c2[None, :] - 2.0 * (mat @ C.T)).argsort(axis=1)[:, :n_probe]
+            out = {"query_id": [], "q": [], "cell": []}
+            for i in range(len(pdf)):
+                for c in order[i]:
+                    out["query_id"].append(pdf["query_id"].iloc[i])
+                    out["q"].append(pdf["q"].iloc[i])
+                    out["cell"].append(int(c))
+            yield pd.DataFrame(out)
+
+    probes = queries.mapInPandas(
+        probe_cells, f"query_id {id_type}, q {vec_type}, cell int"
+    )
+    scored = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            cosine_similarity_col(
+                F.transform(F.col("q"), lambda x: x.cast("double")),
+                F.transform(F.col("v"), lambda x: x.cast("double")),
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     query_ids: list[int],

@@ -854,6 +854,19 @@ def simhash_pairs(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
+def ann_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantizer ANN: deterministic sampled k-means centroids,
+    cell-assignment pass, n_probe-cell candidate join, exact re-rank
+    (operators/similarity.py:ivf_topk).  Non-SQL-expressible (k-means
+    training) -> rows-only driver check; recall gated in pytest."""
+    from .operators.similarity import ivf_topk
+
+    return ivf_topk(
+        load(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5,
+        n_centroids=16, n_probe=4,
+    ).orderBy("query_id", "rank")
+
+
 def ann_lsh_topk(spark, sf_dir):
     # dim=64 is the testdata embedding width (TESTDATA.md) — passing it
     # keeps plan construction free of driver actions
@@ -898,6 +911,7 @@ QUERIES = {
     "extract_pdf_spans": extract_pdf_spans,
     "simhash_pairs": simhash_pairs,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "media_features": media_features,
     "doc_metadata": doc_metadata_q,
     "extract_paged_spans": extract_paged_spans,

@@ -337,3 +337,20 @@ def test_media_features_mixed_decoders(spark):
     assert out["bmp1"]["decoder"] == "bmp" and out["bmp1"]["height"] == 5
     assert out["wav1"]["decoder"] == "wav" and out["wav1"]["width"] == 8000
     assert out["jpg1"]["decoder"] == "stub"
+
+
+def test_ivf_topk_recall_gate(spark):
+    """IVF coarse-quantizer ANN vs exact brute force: recall@5 >= 0.8 at
+    n_probe=4 of 16 cells (a 4x scan reduction even on this weakly
+    clustered synthetic table)."""
+    from pdf_extract_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = list(range(20))
+    exact = brute_force_topk(emb, qids, k=5)
+    approx = ivf_topk(emb, qids, k=5, n_centroids=16, n_probe=4)
+    e = {(r["query_id"], r["nbr_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["nbr_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    print(f"ivf_topk recall@5 n_probe=4/16: {recall:.3f}")
+    assert recall >= 0.8, recall
