@@ -21,8 +21,16 @@ dict/list slinging, never a class hierarchy walk):
 
 from __future__ import annotations
 
+import re
+
 WHITESPACE = b"\x00\t\n\x0c\r "
 DELIMITERS = b"()<>[]{}/%"
+
+# lexer hot-path scanners (C-speed spans instead of per-byte Python loops;
+# the lexer is the top profile entry of whole-document extraction)
+_RE_REGULAR = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
+_RE_WS = re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+")
+_RE_LITERAL_PLAIN = re.compile(rb"[^\\()]*")
 
 
 class Name(str):
@@ -78,26 +86,17 @@ class Lexer:
     # -- low-level ---------------------------------------------------------
 
     def skip_ws(self):
-        data, n = self.data, len(self.data)
-        while self.pos < n:
-            b = data[self.pos]
-            if b in WHITESPACE:
-                self.pos += 1
-            elif b == 0x25:  # '%' comment to EOL
-                while self.pos < n and data[self.pos] not in b"\r\n":
-                    self.pos += 1
-            else:
-                return
+        m = _RE_WS.match(self.data, self.pos)
+        if m:
+            self.pos = m.end()
 
     def peek(self) -> int:
         return self.data[self.pos] if self.pos < len(self.data) else -1
 
     def read_regular(self) -> bytes:
-        start = self.pos
-        data, n = self.data, len(self.data)
-        while self.pos < n and _is_regular(data[self.pos]):
-            self.pos += 1
-        return data[start : self.pos]
+        m = _RE_REGULAR.match(self.data, self.pos)
+        self.pos = m.end()
+        return m.group()
 
     # -- tokens ------------------------------------------------------------
 
@@ -122,9 +121,15 @@ class Lexer:
     def read_literal_string(self) -> PdfString:
         assert self.data[self.pos] == 0x28  # '('
         self.pos += 1
+        data, n = self.data, len(self.data)
+        # fast path: no escapes, no nesting — one C-speed span + slice
+        m = _RE_LITERAL_PLAIN.match(data, self.pos)
+        e = m.end()
+        if e < n and data[e] == 0x29:
+            self.pos = e + 1
+            return PdfString(m.group())
         out = bytearray()
         depth = 1
-        data, n = self.data, len(self.data)
         while self.pos < n:
             b = data[self.pos]
             self.pos += 1
