@@ -230,57 +230,80 @@ def extract_documents_paged(
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    def split_ranges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def split_ranges(batches):
+        import pyarrow as pa
+
         from ..extract import page_count_of
 
+        schema = pa.schema(
+            [("doc_id", pa.string()), ("content", pa.binary()),
+             ("lo", pa.int32()), ("hi", pa.int32())]
+        )
         for b in batches:
-            rows = {"doc_id": [], "content": [], "lo": [], "hi": []}
-            for doc_id, content in zip(b["doc_id"], b["content"]):
-                data = bytes(content) if content is not None else b""
+            ids = b.column(b.schema.get_field_index("doc_id"))
+            contents = b.column(b.schema.get_field_index("content"))
+            out = {"doc_id": [], "content": [], "lo": [], "hi": []}
+            for i in range(b.num_rows):
+                c = contents[i].as_py()
+                data = c if c is not None else b""
                 try:
                     n = page_count_of(data)
                 except Exception:
                     n = 0
                 lo = 1
+                did = ids[i].as_py()
                 while lo <= n:
                     hi = min(lo + pages_per_task - 1, n)
-                    rows["doc_id"].append(doc_id)
-                    rows["content"].append(data)
-                    rows["lo"].append(lo)
-                    rows["hi"].append(hi)
+                    out["doc_id"].append(did)
+                    out["content"].append(data)
+                    out["lo"].append(lo)
+                    out["hi"].append(hi)
                     lo = hi + 1
-            yield pd.DataFrame(rows)
+            yield pa.RecordBatch.from_pydict(out, schema=schema)
 
-    def extract_ranges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def extract_ranges(batches):
+        import pyarrow as pa
+
         from ..extract import extract_spans_page_range
 
+        schema = pa.schema(
+            [("doc_id", pa.string()), ("page_num", pa.int32()),
+             ("kind", pa.list_(pa.string())), ("text", pa.list_(pa.string())),
+             ("media_ref", pa.list_(pa.string())),
+             ("offset", pa.list_(pa.int32()))]
+        )
         for b in batches:
+            cols = {k: b.column(b.schema.get_field_index(k)) for k in
+                    ("doc_id", "content", "lo", "hi")}
             rows = {
                 "doc_id": [], "page_num": [],
                 "kind": [], "text": [], "media_ref": [], "offset": [],
             }
-            for doc_id, content, lo, hi in zip(
-                b["doc_id"], b["content"], b["lo"], b["hi"]
-            ):
+            for i in range(b.num_rows):
                 try:
-                    pages = extract_spans_page_range(bytes(content), int(lo), int(hi))
+                    pages = extract_spans_page_range(
+                        cols["content"][i].as_py(),
+                        cols["lo"][i].as_py(),
+                        cols["hi"][i].as_py(),
+                    )
                 except Exception:
                     pages = []
+                did = cols["doc_id"][i].as_py()
                 for page_num, spans in pages:
-                    rows["doc_id"].append(doc_id)
+                    rows["doc_id"].append(did)
                     rows["page_num"].append(page_num)
                     rows["kind"].append([s["kind"] for s in spans])
                     rows["text"].append([s["text"] for s in spans])
                     rows["media_ref"].append([s["media_ref"] for s in spans])
                     rows["offset"].append([s["offset"] for s in spans])
-            yield pd.DataFrame(rows)
+            yield pa.RecordBatch.from_pydict(rows, schema=schema)
 
-    ranges = raw_docs.select("doc_id", "content").mapInPandas(
+    ranges = raw_docs.select("doc_id", "content").mapInArrow(
         split_ranges, "doc_id string, content binary, lo int, hi int"
     )
     flat = (
         ranges.repartition(num_partitions, F.xxhash64("doc_id", "lo"))
-        .mapInPandas(extract_ranges, PAGE_FLAT_SCHEMA)
+        .mapInArrow(extract_ranges, PAGE_FLAT_SCHEMA)
     )
     return flat.select(
         "doc_id",
