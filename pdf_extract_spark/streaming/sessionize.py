@@ -1,0 +1,107 @@
+"""Custom stateful streaming operator: per-user sessionization with
+``applyInPandasWithState`` (the arbitrary-stateful-processing surface of
+SURVEY.md §2.10 — gap-based sessions cannot be expressed as a windowed
+agg because the window boundary depends on the data).
+
+State per user: the OPEN session (start_ts, last_ts, n_events, sum_value).
+A session closes when
+  * a later event arrives more than `gap` after the session's last event
+    (closed-by-data — exact, batch-parity), or
+  * the event-time watermark passes last_ts + gap (closed-by-timeout —
+    emits sessions whose user went quiet).
+
+Emitted rows are CLOSED sessions only; the open session stays in state.
+At 100 TB the state is O(active users) x 4 scalars — the smallest state
+this operator family admits — and Spark shards it by the grouping key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+SESSION_SCHEMA = (
+    "user_id long, start_ts timestamp, end_ts timestamp, "
+    "n_events long, session_value double"
+)
+STATE_SCHEMA = "start long, last long, n long, value double"
+
+GAP_SECONDS_DEFAULT = 1800
+
+
+def make_sessionizer(gap_seconds: int = GAP_SECONDS_DEFAULT):
+    """Returns the applyInPandasWithState function (closure over the gap)."""
+
+    def sessionize(key, pdfs: Iterator[pd.DataFrame], state):
+        import datetime as dt
+
+        (user_id,) = key
+        closed = []
+
+        def emit(start, last, n, value):
+            closed.append(
+                (
+                    user_id,
+                    dt.datetime.fromtimestamp(start, dt.timezone.utc).replace(tzinfo=None),
+                    dt.datetime.fromtimestamp(last, dt.timezone.utc).replace(tzinfo=None),
+                    int(n),
+                    float(value),
+                )
+            )
+
+        if state.hasTimedOut:
+            # user went quiet: close the open session
+            start, last, n, value = state.get
+            emit(start, last, n, value)
+            state.remove()
+        else:
+            cur = list(state.get) if state.exists else None
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                pdf = pdf.sort_values("ts")
+                ts = (pdf["ts"].astype("int64") // 10**9).to_list()
+                vals = pdf["value"].to_list()
+                for t, v in zip(ts, vals):
+                    if cur is None:
+                        cur = [t, t, 1, float(v)]
+                    elif t - cur[1] > gap_seconds:
+                        emit(*cur)
+                        cur = [t, t, 1, float(v)]
+                    else:
+                        cur[1] = max(cur[1], t)
+                        cur[2] += 1
+                        cur[3] += float(v)
+            if cur is not None:
+                state.update(tuple(cur))
+                # close by timeout once the watermark passes last + gap
+                state.setTimeoutTimestamp((cur[1] + gap_seconds) * 1000)
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "start_ts", "end_ts", "n_events", "session_value"],
+            )
+
+    return sessionize
+
+
+def sessionize_stream(events_stream, gap_seconds: int = GAP_SECONDS_DEFAULT,
+                      watermark: str = "2 hours"):
+    """events stream (user_id, ts, value, ...) -> closed-session rows."""
+    from pyspark.sql import functions as F
+
+    ev = events_stream
+    if dict(ev.dtypes).get("ts") == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_sessionizer(gap_seconds),
+            SESSION_SCHEMA,
+            STATE_SCHEMA,
+            "append",
+            "EventTimeTimeout",
+        )
+    )

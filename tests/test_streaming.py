@@ -107,3 +107,71 @@ def test_streaming_windowed_event_counts(spark, tmp_path):
         batch.alias("b"), ["hour", "event_type"]
     ).filter(F.col("g.n") != F.col("b.n"))
     assert matched.count() == 0
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization: closed sessions emitted by the
+    stream must equal the batch sessionization result minus each user's
+    final (still-open) session."""
+    from pyspark.sql import functions as F
+
+    from pdf_extract_spark.queries import events_sessionize
+    from pdf_extract_spark.streaming.sessionize import sessionize_stream
+
+    src = str(tmp_path / "ev_in")
+    out = str(tmp_path / "sessions_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # several time-ordered files -> several triggers -> the watermark
+    # advances between batches and timeout-closing is exercised too
+    events.orderBy("ts").coalesce(1).withColumn(
+        "part", F.ntile(4).over(__import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy("ts"))
+    ).write.partitionBy("part").mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    got = (
+        spark.read.parquet(out)
+        .select(
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round("session_value", 2).alias("session_value"),
+        )
+    )
+    batch = events_sessionize(spark, "/root/testdata/sf0.001")
+    # drop each user's final session (still open in the stream's state)
+    w_last = (
+        batch.groupBy("user_id").agg(F.max("session_id").alias("last_sid"))
+    )
+    closed_batch = (
+        batch.join(w_last, "user_id")
+        .filter(F.col("session_id") != F.col("last_sid"))
+        .select("user_id", F.col("n_events").cast("long").alias("n_events"), "session_value")
+    )
+    all_batch = batch.select(
+        "user_id", F.col("n_events").cast("long").alias("n_events"), "session_value"
+    )
+    # (a) every emitted session is a true batch session (multiset-wise):
+    # data-closed ones AND the watermark-timeout-closed final sessions of
+    # users who went quiet before stream end
+    assert got.exceptAll(all_batch).count() == 0
+    # (b) every data-closed (non-final) session was emitted
+    assert closed_batch.exceptAll(got).count() == 0
+    # (c) the stream emitted at least the data-closed sessions; extras are
+    # timeout-closed finals
+    assert got.count() >= closed_batch.count()
+    assert got.count() > 0
