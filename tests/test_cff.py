@@ -109,3 +109,36 @@ def test_charset_format1_ranges():
     assert font.charset == [0, sid_a, sid_a + 1, sid_a + 2]
     m = type1c_unicode_map(cff2)
     assert m == {97: "a", 98: "b", 99: "c"}
+
+
+def test_cff_roundtrip_property():
+    """Property: any (code, SID) assignment written by the builder parses
+    back to the identical code->SID table and unicode map."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_extract_spark.encodings_data import name_to_unicode
+
+    # codes unique in [0,255]; SIDs drawn from real standard strings
+    # (excluding .notdef) plus the custom-string range
+    pairs_strategy = st.lists(
+        st.tuples(st.integers(0, 255), st.integers(1, 390)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(pairs_strategy)
+    def check(pairs):
+        cff = _build_type1c(pairs, [])
+        font = CffFont(cff)
+        assert font.n_glyphs == len(pairs) + 1
+        assert font.code_to_sid_table() == dict(pairs)
+        m = type1c_unicode_map(cff)
+        for code, sid in pairs:
+            uni = name_to_unicode(STANDARD_STRINGS[sid])
+            if uni is not None:
+                assert m[code] == chr(uni)
+
+    check()
