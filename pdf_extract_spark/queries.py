@@ -9,8 +9,11 @@ value hash):
     Spark size() to long)
   * float outputs rounded or integer-scaled where engines could differ in
     summation order
-Non-SQL-expressible ops (PDF extraction itself, simhash, LSH ANN,
-multimodal stubs) have no oracle entry -> rows-only check.
+Non-SQL-expressible ops (LSH/IVF ANN — hyperplane/k-means internals,
+multimodal decode, paged extraction, HTML render) have no oracle entry ->
+rows-only check.  Everything else, including the flagship extraction (via
+the golden-spans parquet) and simhash (md5 bit votes replicated in SQL),
+is value-hash checked against DuckDB.
 """
 
 from __future__ import annotations
@@ -849,9 +852,44 @@ def render_html(spark, sf_dir):
 
 
 def simhash_pairs(spark, sf_dir):
-    return simhash_near_pairs(
-        load(spark, sf_dir, "documents"), max_hamming=8
+    out = simhash_near_pairs(load(spark, sf_dir, "documents"), max_hamming=8)
+    return out.select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
     ).orderBy("doc_a", "doc_b")
+
+
+# The simhash kernel is md5-based precisely so it is portable: DuckDB can
+# parse the top 8 md5 bytes as a UBIGINT and replicate the bit votes, the
+# 4x16-bit banding, and the hamming filter exactly — converting this query
+# from rows-only to a full value-hash oracle.
+SIMHASH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+  FROM documents
+), th AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h
+  FROM toks WHERE t <> ''
+), bitacc AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bs
+  GROUP BY doc_id, b
+), sims AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END)::UBIGINT AS sim
+  FROM bitacc GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, sim, b AS band, ((sim >> (16 * b)) & 65535)::BIGINT AS key
+  FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b, a.sim AS sa, c.sim AS sb
+  FROM bands a
+  JOIN bands c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= 8
+ORDER BY doc_a, doc_b
+"""
 
 
 def ann_ivf_topk(spark, sf_dir):
@@ -948,6 +986,7 @@ ORACLES = {
     "doc_token_bpe": BPE_SQL,
     "doc_winnow_fingerprints": WINNOW_SQL,
     "extract_pdf_spans": EXTRACT_SPANS_SQL,
-    # simhash_pairs / ann_lsh_topk / media_features / doc_metadata /
+    "simhash_pairs": SIMHASH_SQL,
+    # ann_lsh_topk / ann_ivf_topk / media_features / doc_metadata /
     # extract_paged_spans / render_html: non-SQL-expressible -> rows-only
 }
