@@ -767,6 +767,19 @@ _GOLDEN_SPANS_PARQUET = _os.path.join(
     "golden_spans.parquet",
 )
 
+_GOLDEN_META_PARQUET = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "dist",
+    "golden_metadata.parquet",
+)
+
+DOC_METADATA_SQL = f"""
+SELECT doc_id, version, page_count, title, author, subject, producer,
+       creator, error
+FROM read_parquet('{_GOLDEN_META_PARQUET}')
+ORDER BY doc_id
+"""
+
 EXTRACT_SPANS_SQL = f"""
 SELECT doc_id, pages, decode_failures, pos, kind, text, media_ref,
        "offset" AS offset
@@ -987,6 +1000,7 @@ ORACLES = {
     "doc_winnow_fingerprints": WINNOW_SQL,
     "extract_pdf_spans": EXTRACT_SPANS_SQL,
     "simhash_pairs": SIMHASH_SQL,
-    # ann_lsh_topk / ann_ivf_topk / media_features / doc_metadata /
-    # extract_paged_spans / render_html: non-SQL-expressible -> rows-only
+    "doc_metadata": DOC_METADATA_SQL,
+    # ann_lsh_topk / ann_ivf_topk / media_features / extract_paged_spans /
+    # render_html: non-SQL-expressible -> rows-only
 }

@@ -222,3 +222,29 @@ def test_extract_metadata(spark):
     assert m["multipage-000000"]["page_count"] == 2
     assert m["simple_tj-000000"]["version"].startswith("1.")
     assert all(r["error"] is None for r in m.values())
+
+
+def test_golden_metadata_parquet_current(spark):
+    """dist/golden_metadata.parquet regenerable + doc_metadata query
+    matches it (same compare as the driver's DuckDB oracle)."""
+    import sys
+    from pathlib import Path
+
+    import duckdb
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from gen_golden_meta import OUT, golden_rows
+
+    fresh = golden_rows()
+    keys = ("doc_id", "version", "page_count", "title", "author",
+            "subject", "producer", "creator", "error")
+    fresh_rows = sorted(zip(*[fresh[k] for k in keys]))
+    on_disk = duckdb.sql(f"SELECT * FROM read_parquet('{OUT}') ORDER BY doc_id").fetchall()
+    assert [tuple(r) for r in on_disk] == fresh_rows, (
+        "dist/golden_metadata.parquet stale — re-run tools/gen_golden_meta.py"
+    )
+
+    from pdf_extract_spark.queries import doc_metadata_q
+
+    got = sorted(tuple(r) for r in doc_metadata_q(spark, "").collect())
+    assert got == fresh_rows
