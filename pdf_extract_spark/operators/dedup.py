@@ -58,24 +58,30 @@ def word_shingles(col, n: int = 3):
 
 def minhash_signature(docs: DataFrame, text_col: str = "text", n: int = 3,
                       num_hashes: int = 8) -> DataFrame:
-    """MinHash signature columns h0..h{k-1}: for seed i,
-    h_i = min over shingles of md5(i || ':' || shingle).
+    """MinHash signature columns h0..h{k-1}: hash function i is the i-th
+    8-hex-char (32-bit) chunk of md5((i // 4) || ':' || shingle) — the
+    chunks of one md5 are independent uniform values, so string-min per
+    chunk is a valid minhash family at TWO md5 calls per shingle instead
+    of eight (md5 dominates this stage's CPU).  Portable to any engine
+    with md5/substr (the DuckDB oracle mirrors it chunk-for-chunk).
 
-    String-min over md5 hex == min over a uniform 128-bit hash family —
-    portable to any engine with md5 (the DuckDB oracle mirrors it).
-
-    Plan shape: explode shingles to rows, hash each once per seed, min-agg
-    per doc — one map-side-combined shuffle.  This beats nested
-    array-of-array HOF expressions ~10x (no per-row array churn) and is
-    the shape that distributes at corpus scale."""
+    Plan shape: explode shingles to rows, hash, min-agg per doc — one
+    map-side-combined shuffle.  This beats nested array-of-array HOF
+    expressions ~10x (no per-row array churn) and is the shape that
+    distributes at corpus scale."""
+    assert num_hashes % 4 == 0, "num_hashes must be a multiple of 4 (md5 chunks)"
     sh = docs.select(
         F.col("doc_id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
     )
+    digests = [
+        F.md5(F.encode(F.concat(F.lit(f"{g}:"), F.col("shingle")), "utf-8"))
+        for g in range(num_hashes // 4)
+    ]
     hashed = sh.select(
         "doc_id",
         *[
-            F.md5(F.encode(F.concat(F.lit(f"{i}:"), F.col("shingle")), "utf-8")).alias(f"h{i}")
+            F.substring(digests[i // 4], (i % 4) * 8 + 1, 8).alias(f"h{i}")
             for i in range(num_hashes)
         ],
     )

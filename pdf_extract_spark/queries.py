@@ -363,7 +363,8 @@ MINHASH_SQL = _SHINGLES_CTE + r"""
   SELECT doc_id,
          list_transform(range(0, 8),
              j -> list_min(list_transform(shingles,
-                  x -> md5(CAST(j AS VARCHAR) || ':' || x)))) AS sig
+                  x -> substr(md5(CAST(j // 4 AS VARCHAR) || ':' || x),
+                              CAST((j % 4) * 8 + 1 AS INTEGER), 8)))) AS sig
   FROM sh
   WHERE len(shingles) > 0
 ), bands AS (
@@ -402,7 +403,8 @@ WITH RECURSIVE base AS (
   SELECT doc_id,
          list_transform(range(0, 8),
              j -> list_min(list_transform(shingles,
-                  x -> md5(CAST(j AS VARCHAR) || ':' || x)))) AS sig
+                  x -> substr(md5(CAST(j // 4 AS VARCHAR) || ':' || x),
+                              CAST((j % 4) * 8 + 1 AS INTEGER), 8)))) AS sig
   FROM sh
   WHERE len(shingles) > 0
 ), bands AS (
