@@ -22,7 +22,16 @@ def decode_content(data: bytes) -> list[tuple[str, list]]:
         if lex.pos >= n:
             break
         b = lex.peek()
-        if b == 0x2F or b == 0x28 or b == 0x3C or b == 0x5B or b in b"+-.0123456789":
+        if b in b"+-.0123456789":
+            # content streams cannot contain indirect references, so skip
+            # read_object's "<int> <int> R" lookahead entirely — numbers are
+            # the dominant operand kind (the Td/TJ/cm hot path)
+            operands.append(lex.read_number())
+            continue
+        if b == 0x28:
+            operands.append(lex.read_literal_string())
+            continue
+        if b == 0x2F or b == 0x3C or b == 0x5B:
             try:
                 operands.append(lex.read_object(resolve_streams=False))
             except Exception:
