@@ -28,7 +28,7 @@ class WrongPasswordError(Exception):
     pass
 
 
-def rc4(key: bytes, data: bytes) -> bytes:
+def _rc4_pure(key: bytes, data: bytes) -> bytes:
     s = list(range(256))
     j = 0
     klen = len(key)
@@ -43,6 +43,18 @@ def rc4(key: bytes, data: bytes) -> bytes:
         s[i], s[j] = s[j], s[i]
         out[k] = b ^ s[(s[i] + s[j]) & 0xFF]
     return bytes(out)
+
+
+try:  # C-speed ARC4 when the cryptography package ships it
+    from cryptography.hazmat.decrepit.ciphers.algorithms import ARC4 as _ARC4
+    from cryptography.hazmat.primitives.ciphers import Cipher as _Cipher
+
+    def rc4(key: bytes, data: bytes) -> bytes:
+        enc = _Cipher(_ARC4(key), mode=None).encryptor()
+        return enc.update(data) + enc.finalize()
+
+except Exception:  # pragma: no cover - fallback for minimal environments
+    rc4 = _rc4_pure
 
 
 def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
