@@ -102,10 +102,12 @@ def main() -> None:
     n_target = extraction_replicas(sf) * 16
     raw = synthetic_corpus_df(spark, n_target, pct_large=0.05).cache()
     n_docs = raw.count()  # materialize input outside the timed region
-    t0 = time.perf_counter()
-    out = extract_documents(raw, num_partitions=cpus * 2)
-    agg = out.groupBy().sum("n_spans", "decode_failures").collect()[0]
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _ in range(2):  # min-of-2, same rationale as the query loop
+        t0 = time.perf_counter()
+        out = extract_documents(raw, num_partitions=cpus * 2)
+        agg = out.groupBy().sum("n_spans", "decode_failures").collect()[0]
+        dt = min(dt, time.perf_counter() - t0)
     timings["extract_pdf_spans"] = round(dt, 3)
     docs_per_sec = round(n_docs / dt, 1)
     spans_per_sec = round((agg[0] or 0) / dt, 1)
