@@ -248,3 +248,36 @@ def test_golden_metadata_parquet_current(spark):
 
     got = sorted(tuple(r) for r in doc_metadata_q(spark, "").collect())
     assert got == fresh_rows
+
+
+def test_binaryfile_ingest_end_to_end(spark, tmp_path):
+    """binaryFile source -> extraction: write fixture PDFs as .pdf files,
+    ingest with read_pdf_dir (glob-filtered), extract, verify text parity."""
+    from pdf_extract_spark.fixtures import FIXTURES
+    from pdf_extract_spark.sources.raw_docs import read_pdf_dir
+
+    expected = {}
+    for name in ("simple_tj", "multipage", "encrypted_rc4"):
+        pdf, exp = FIXTURES[name]()
+        if isinstance(exp, tuple):
+            exp = exp[0]
+        (tmp_path / f"{name}.pdf").write_bytes(pdf)
+        expected[name] = exp
+    (tmp_path / "not_a_pdf.txt").write_bytes(b"ignored by the glob")
+
+    raw = read_pdf_dir(spark, str(tmp_path))
+    assert raw.count() == 3  # .txt pruned by pathGlobFilter
+    assert set(raw.columns) == {"doc_id", "content", "byte_len", "source"}
+
+    out = extract_documents(raw, num_partitions=2)
+    texts = {
+        r["doc_id"].rsplit("/", 1)[-1].removesuffix(".pdf"): r["txt"]
+        for r in out.select(
+            "doc_id",
+            F.array_join(
+                F.expr("transform(filter(spans, s -> s.kind != 'media'), s -> s.text)"),
+                "\n",
+            ).alias("txt"),
+        ).collect()
+    }
+    assert texts == expected
