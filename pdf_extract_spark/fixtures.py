@@ -894,6 +894,13 @@ FIXTURES: dict[str, callable] = {
 # engine.
 EXPECTED_PAGES: dict[str, int] = {"multipage": 2}
 
+# Hand-derived per-page expected text for multi-page families (by-pages
+# semantics: a FRESH device per page, so each page opens with the rule-1+2
+# "\n\n"; single-page families equal their whole-doc expected text).
+EXPECTED_PAGE_TEXTS: dict[str, list[str]] = {
+    "multipage": ["\n\npage one", "\n\npage two"],
+}
+
 
 def corpus(replicas: int = 1) -> list[tuple[str, bytes, str]]:
     """Deterministic (doc_id, pdf_bytes, expected_text) corpus; replicas

@@ -775,6 +775,18 @@ _GOLDEN_META_PARQUET = _os.path.join(
     "golden_metadata.parquet",
 )
 
+_GOLDEN_PAGED_PARQUET = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "dist",
+    "golden_paged.parquet",
+)
+
+EXTRACT_PAGED_SQL = f"""
+SELECT doc_id, page_num, n_spans
+FROM read_parquet('{_GOLDEN_PAGED_PARQUET}')
+ORDER BY doc_id, page_num
+"""
+
 DOC_METADATA_SQL = f"""
 SELECT doc_id, version, page_count, title, author, subject, producer,
        creator, error
@@ -1003,6 +1015,8 @@ ORACLES = {
     "extract_pdf_spans": EXTRACT_SPANS_SQL,
     "simhash_pairs": SIMHASH_SQL,
     "doc_metadata": DOC_METADATA_SQL,
-    # ann_lsh_topk / ann_ivf_topk / media_features / extract_paged_spans /
-    # render_html: non-SQL-expressible -> rows-only
+    "extract_paged_spans": EXTRACT_PAGED_SQL,
+    # ann_lsh_topk / ann_ivf_topk (hyperplane/k-means internals),
+    # media_features (binary payloads), render_html (full markup):
+    # non-SQL-expressible -> rows-only
 }

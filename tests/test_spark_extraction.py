@@ -281,3 +281,28 @@ def test_binaryfile_ingest_end_to_end(spark, tmp_path):
         ).collect()
     }
     assert texts == expected
+
+
+def test_golden_paged_parquet_current(spark):
+    """dist/golden_paged.parquet regenerable + extract_paged_spans matches."""
+    import sys
+    from pathlib import Path
+
+    import duckdb
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from gen_golden_paged import OUT, golden_rows
+
+    fresh = golden_rows()
+    fresh_rows = sorted(zip(fresh["doc_id"], fresh["page_num"], fresh["n_spans"]))
+    on_disk = duckdb.sql(
+        f"SELECT * FROM read_parquet('{OUT}') ORDER BY doc_id, page_num"
+    ).fetchall()
+    assert [tuple(r) for r in on_disk] == fresh_rows, (
+        "dist/golden_paged.parquet stale — re-run tools/gen_golden_paged.py"
+    )
+
+    from pdf_extract_spark.queries import extract_paged_spans
+
+    got = sorted(tuple(r) for r in extract_paged_spans(spark, "").collect())
+    assert got == fresh_rows
