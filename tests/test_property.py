@@ -110,3 +110,41 @@ def test_extractor_never_raises(data):
 
     r = extract_spans_from_mem(b"%PDF-1.4\n" + data)
     assert r.error is None or isinstance(r.error, str)
+
+
+def test_mutation_sweep_never_raises_or_hangs():
+    """Seeded byte-mutation sweep over EVERY fixture family: truncations,
+    flips and splices must surface as error rows (or degraded spans),
+    never exceptions — the skip-not-crash contract at corpus scale, where
+    a single poison document must not fail a 10^6-doc task."""
+    import random
+    import time
+
+    from pdf_extract_spark.extract import extract_spans_flat_from_mem
+    from pdf_extract_spark.fixtures import FIXTURES
+
+    rng = random.Random(0xFADE)
+    t0 = time.perf_counter()
+    n_cases = 0
+    for name, fn in sorted(FIXTURES.items()):
+        pdf, _ = fn()
+        variants = [
+            pdf[: len(pdf) // 3],
+            pdf[: 2 * len(pdf) // 3],
+            pdf[len(pdf) // 4 :],               # header gone -> brute scan
+            pdf.replace(b"startxref", b"stXrtxref", 1),
+        ]
+        for _ in range(4):  # random flips/splices
+            b = bytearray(pdf)
+            for _ in range(rng.randrange(1, 9)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            variants.append(bytes(b))
+        for v in variants:
+            kinds, _t, _m, offsets, pages, error = extract_spans_flat_from_mem(v)
+            n_cases += 1
+            assert error is None or isinstance(error, str)
+            assert len(kinds) == len(offsets)
+            assert pages >= 0
+    # bounded wall time: no pathological O(n^2)/hang on malformed input
+    assert time.perf_counter() - t0 < 120, "mutation sweep too slow"
+    assert n_cases == len(FIXTURES) * 8
