@@ -51,6 +51,10 @@ def make_batch_processor(
             return
         run_id = f"stream-{batch_id}"
         spark = batch_df.sparkSession
+        # scope the dynamic-overwrite mode to this batch's writes (a global
+        # leak would silently change unrelated overwrite+partitionBy writes
+        # in the same session)
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         extracted = extract_documents(batch_df, num_partitions=num_partitions).cache()
         try:
@@ -70,6 +74,10 @@ def make_batch_processor(
             ).partitionBy("run_id").parquet(metrics_path)
         finally:
             extracted.unpersist()
+            if prev_mode is None:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+            else:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
     return process_batch
 
