@@ -30,21 +30,32 @@ STATE_SCHEMA = "start long, last long, n long, value double"
 GAP_SECONDS_DEFAULT = 1800
 
 
-def make_sessionizer(gap_seconds: int = GAP_SECONDS_DEFAULT):
-    """Returns the applyInPandasWithState function (closure over the gap)."""
+def make_sessionizer(gap_seconds: int = GAP_SECONDS_DEFAULT, tz: str = "UTC"):
+    """Returns the applyInPandasWithState function (closure over the gap).
+
+    `tz` must be the session's ``spark.sql.session.timeZone``: Spark hands the
+    UDF timezone-NAIVE pandas timestamps rendered in that zone, and
+    ``state.setTimeoutTimestamp`` expects TRUE event-time epoch millis — so we
+    tz-localize before converting to epoch (otherwise a non-UTC session closes
+    quiet-user sessions offset hours early/late).
+    """
 
     def sessionize(key, pdfs: Iterator[pd.DataFrame], state):
         import datetime as dt
+        from zoneinfo import ZoneInfo
 
+        zone = ZoneInfo(tz)
         (user_id,) = key
         closed = []
 
         def emit(start, last, n, value):
+            # epoch -> session-zone wall clock, emitted naive (round-trips
+            # through Spark's timestamp_ltz rendering unchanged)
             closed.append(
                 (
                     user_id,
-                    dt.datetime.fromtimestamp(start, dt.timezone.utc).replace(tzinfo=None),
-                    dt.datetime.fromtimestamp(last, dt.timezone.utc).replace(tzinfo=None),
+                    dt.datetime.fromtimestamp(start, zone).replace(tzinfo=None),
+                    dt.datetime.fromtimestamp(last, zone).replace(tzinfo=None),
                     int(n),
                     float(value),
                 )
@@ -57,11 +68,17 @@ def make_sessionizer(gap_seconds: int = GAP_SECONDS_DEFAULT):
             state.remove()
         else:
             cur = list(state.get) if state.exists else None
-            for pdf in pdfs:
-                if not len(pdf):
-                    continue
+            # applyInPandasWithState delivers one group as MULTIPLE Arrow
+            # chunks with no cross-chunk ordering guarantee — buffer the
+            # whole group and sort ONCE, or a >1-chunk key processes events
+            # out of time order and splits/merges sessions wrongly.
+            chunks = [pdf for pdf in pdfs if len(pdf)]
+            if chunks:
+                pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
                 pdf = pdf.sort_values("ts")
-                ts = (pdf["ts"].astype("int64") // 10**9).to_list()
+                ts_utc = pdf["ts"].dt.tz_localize(zone, ambiguous=True,
+                                                  nonexistent="shift_forward")
+                ts = (ts_utc.astype("int64") // 10**9).to_list()
                 vals = pdf["value"].to_list()
                 for t, v in zip(ts, vals):
                     if cur is None:
@@ -70,6 +87,9 @@ def make_sessionizer(gap_seconds: int = GAP_SECONDS_DEFAULT):
                         emit(*cur)
                         cur = [t, t, 1, float(v)]
                     else:
+                        # a late-but-in-watermark event can precede the open
+                        # session carried in state: extend start backwards
+                        cur[0] = min(cur[0], t)
                         cur[1] = max(cur[1], t)
                         cur[2] += 1
                         cur[3] += float(v)
@@ -94,11 +114,12 @@ def sessionize_stream(events_stream, gap_seconds: int = GAP_SECONDS_DEFAULT,
     ev = events_stream
     if dict(ev.dtypes).get("ts") == "timestamp_ntz":
         ev = ev.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    tz = ev.sparkSession.conf.get("spark.sql.session.timeZone", "UTC") or "UTC"
     return (
         ev.withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
-            make_sessionizer(gap_seconds),
+            make_sessionizer(gap_seconds, tz=tz),
             SESSION_SCHEMA,
             STATE_SCHEMA,
             "append",

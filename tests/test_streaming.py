@@ -109,6 +109,104 @@ def test_streaming_windowed_event_counts(spark, tmp_path):
     assert matched.count() == 0
 
 
+class _FakeState:
+    """Minimal stand-in for GroupState to unit-test the sessionizer."""
+
+    def __init__(self, value=None):
+        self._v = value
+        self.timeout = None
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout = ms
+
+
+def test_sessionizer_buffers_and_sorts_across_chunks():
+    """applyInPandasWithState may deliver one group as several Arrow chunks
+    with no cross-chunk order; the sessionizer must sort ONCE over the whole
+    group, not per chunk."""
+    import pandas as pd
+
+    from pdf_extract_spark.streaming.sessionize import make_sessionizer
+
+    fn = make_sessionizer(gap_seconds=60)
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    # chunk 2 carries EARLIER events than chunk 1
+    c1 = pd.DataFrame(
+        {"ts": [base + pd.Timedelta(seconds=s) for s in (200, 210)],
+         "value": [1.0, 1.0]}
+    )
+    c2 = pd.DataFrame(
+        {"ts": [base + pd.Timedelta(seconds=s) for s in (0, 10)],
+         "value": [1.0, 1.0]}
+    )
+    state = _FakeState()
+    out = list(fn((7,), iter([c1, c2]), state))
+    # per-chunk sorting would see 200,210,0,10 -> close [200,210] then open
+    # [0,10]; the correct global sort closes [0,10] and leaves [200,210] open
+    assert len(out) == 1 and len(out[0]) == 1
+    row = out[0].iloc[0]
+    assert row["n_events"] == 2
+    assert row["start_ts"] == base and row["end_ts"] == base + pd.Timedelta(seconds=10)
+    start, last, n, _ = state.get
+    assert (start, last, n) == (
+        int(base.timestamp()) + 200, int(base.timestamp()) + 210, 2
+    )
+
+
+def test_sessionizer_extends_start_backwards():
+    """A late-but-in-watermark event older than the open session's start must
+    extend start_ts backwards (cur[0] = min)."""
+    import pandas as pd
+
+    from pdf_extract_spark.streaming.sessionize import make_sessionizer
+
+    fn = make_sessionizer(gap_seconds=60)
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    epoch = int(base.timestamp())
+    state = _FakeState((epoch + 100, epoch + 100, 1, 5.0))
+    pdf = pd.DataFrame({"ts": [base + pd.Timedelta(seconds=90)], "value": [2.0]})
+    assert list(fn((7,), iter([pdf]), state)) == []
+    start, last, n, value = state.get
+    assert start == epoch + 90 and last == epoch + 100
+    assert n == 2 and value == 7.0
+
+
+def test_sessionizer_timezone_epoch():
+    """setTimeoutTimestamp expects TRUE epoch millis: naive pandas timestamps
+    rendered in a non-UTC session zone must be localized before conversion."""
+    import pandas as pd
+
+    from pdf_extract_spark.streaming.sessionize import make_sessionizer
+
+    fn = make_sessionizer(gap_seconds=60, tz="America/New_York")
+    naive = pd.Timestamp("2024-01-01 00:00:10")  # 05:00:10 UTC
+    true_epoch = int(pd.Timestamp("2024-01-01 05:00:10", tz="UTC").timestamp())
+    state = _FakeState()
+    out = list(fn((7,), iter([pd.DataFrame({"ts": [naive], "value": [1.0]})]), state))
+    assert out == []
+    assert state.get[1] == true_epoch
+    assert state.timeout == (true_epoch + 60) * 1000
+    # timeout path emits the session back in session-zone wall clock
+    state.hasTimedOut = True
+    (closed,) = list(fn((7,), iter([]), state))
+    assert closed.iloc[0]["end_ts"] == naive
+
+
 def test_stateful_sessionize_matches_batch(spark, tmp_path):
     """applyInPandasWithState sessionization: closed sessions emitted by the
     stream must equal the batch sessionization result minus each user's
