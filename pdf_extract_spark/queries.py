@@ -704,36 +704,63 @@ ORDER BY doc_id
 
 
 def doc_winnow_fingerprints(spark, sf_dir):
-    """Winnowing document fingerprints: rolling 8-gram hash, window-4
+    """Winnowing document fingerprints: rolling 8-gram md5, window-4
     minimum, distinct survivors — the classic local fingerprinting scheme
     for plagiarism/near-dup detection.
 
-    Plan shape: hashes are EXPLODED to rows and the window-4 minimum runs
-    as a sliding frame over (doc_id, pos).  A nested transform/slice
-    array expression is O(n^2) because Catalyst re-evaluates the inner
-    hash-array lambda for every outer element (no CSE inside lambdas) —
-    measured as a >9 min hang at sf0.1 vs seconds for this shape."""
-    docs = load(spark, sf_dir, "documents")
-    hs = F.expr(
-        "transform(sequence(1, greatest(length(text) - 7, 1)),"
-        " i -> md5(encode(substr(text, i, 8), 'utf-8')))"
-    )
-    ex = docs.select("doc_id", F.posexplode(hs).alias("pos", "h"))
-    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
-    wtot = Window.partitionBy("doc_id")
-    wins = ex.select(
-        "doc_id",
-        "pos",
-        F.min("h").over(w).alias("fp"),
-        F.count("*").over(w).alias("cnt"),
-        F.count("*").over(wtot).alias("total"),
-    )
-    return (
-        wins.filter((F.col("cnt") == 4) | ((F.col("total") < 4) & (F.col("pos") == 0)))
-        .select("doc_id", "fp")
-        .distinct()
-        .orderBy("doc_id", "fp")
-    )
+    Plan shape: the whole per-doc pipeline (hash every 8-char gram, sliding
+    window-4 min, per-doc dedup) runs INSIDE ``mapInArrow`` — winnowing is
+    embarrassingly parallel per document, so exploding one row per character
+    position (round-2 shape) shuffled ~40x the corpus text bytes for a
+    computation that never crosses a document boundary.  Zero shuffles
+    until the final presentation sort of the (much smaller) fingerprint
+    set.  A nested transform/slice array expression is also ruled out:
+    Catalyst re-evaluates the inner lambda per outer element (no CSE inside
+    lambdas) — measured as a >9 min hang at sf0.1."""
+    import pyarrow as pa
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # the kernel is CPU-bound per doc: if the scan yields fewer splits than
+    # cores (small files), spread it — a 1x-text-bytes round-robin exchange,
+    # vs the 40x char-explode shuffle this kernel replaced; at real scale the
+    # scan already has >= cores splits and this is a no-op
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+
+    def kernel(batches):
+        import hashlib
+
+        import numpy as np
+
+        md5 = hashlib.md5
+        swv = np.lib.stride_tricks.sliding_window_view
+        for batch in batches:
+            out_ids: list = []
+            out_fps: list = []
+            for d, t in zip(
+                batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+            ):
+                t = t or ""
+                n = max(len(t) - 7, 1)
+                hs = np.array(
+                    [md5(t[i : i + 8].encode("utf-8")).hexdigest() for i in range(n)]
+                )
+                # min over string dtype has no ufunc: rank via sorted-unique
+                # (rank order == lexicographic order), integer sliding min
+                uniq, inv = np.unique(hs, return_inverse=True)
+                if n >= 4:
+                    fps = uniq[np.unique(swv(inv, 4).min(axis=1))]
+                else:
+                    fps = uniq[:1]
+                out_ids.extend([d] * len(fps))
+                out_fps.extend(fps.tolist())
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, type=pa.int64()), pa.array(out_fps, type=pa.string())],
+                names=["doc_id", "fp"],
+            )
+
+    return docs.mapInArrow(kernel, "doc_id long, fp string").orderBy("doc_id", "fp")
 
 
 WINNOW_SQL = r"""
