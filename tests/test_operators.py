@@ -245,6 +245,59 @@ def test_connected_components_and_dedup_clusters(spark):
     assert clusters == {1: (4, 1), 10: (3, 10), 99: (1, 99)}
 
 
+def test_connected_components_deep_chain_pointer_jump(spark):
+    """A 120-vertex path has diameter 119: plain neighbor-min propagation
+    cannot close it in 25 rounds, pointer jumping (default) must."""
+    from pdf_extract_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "doc_a long, doc_b long"
+    )
+    comp = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert set(comp.values()) == {0} and len(comp) == 121
+
+
+def test_connected_components_warns_on_nonconvergence(spark):
+    """Without pointer jumping a deep chain exhausts the round budget: the
+    operator must warn instead of silently returning split components."""
+    import pytest
+
+    from pdf_extract_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
+    )
+    with pytest.warns(RuntimeWarning, match="did not reach fixpoint"):
+        out = connected_components(pairs, max_iterations=3, pointer_jump=False)
+        labels = {r["cluster_id"] for r in out.collect()}
+    assert len(labels) > 1  # honest: unconverged result is split
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches the loop to reliable checkpoint(): result
+    unchanged and checkpoint blocks land in the directory (the artifact a
+    lost-executor recovery would replay from)."""
+    import os
+
+    from pdf_extract_spark.operators.graph import connected_components
+
+    ckpt = str(tmp_path / "cc_ckpt")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    comp = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    found = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert found, "reliable checkpoint wrote no blocks"
+    # restore local-mode default for the rest of the session
+    jsc = spark.sparkContext._jsc.sc()
+    getattr(jsc, "checkpointDir_$eq")(spark.sparkContext._jvm.scala.Option.empty())
+    assert spark.sparkContext.getCheckpointDir() is None
+
+
 def _make_ppm(w, h):
     # horizontal gradient: pixel value = x * 255 // (w-1), all channels
     body = bytearray()
