@@ -808,6 +808,30 @@ _GOLDEN_PAGED_PARQUET = _os.path.join(
     "golden_paged.parquet",
 )
 
+_GOLDEN_MEDIA_PARQUET = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "dist",
+    "golden_media.parquet",
+)
+
+_GOLDEN_HTML_PARQUET = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "dist",
+    "golden_html.parquet",
+)
+
+MEDIA_FEATURES_SQL = f"""
+SELECT media_id, media_kind, byte_len, sha256, width, height, feature, decoder
+FROM read_parquet('{_GOLDEN_MEDIA_PARQUET}')
+ORDER BY media_id
+"""
+
+RENDER_HTML_SQL = f"""
+SELECT doc_id, html_len, html_md5
+FROM read_parquet('{_GOLDEN_HTML_PARQUET}')
+ORDER BY doc_id
+"""
+
 EXTRACT_PAGED_SQL = f"""
 SELECT doc_id, page_num, n_spans
 FROM read_parquet('{_GOLDEN_PAGED_PARQUET}')
@@ -968,19 +992,29 @@ def ann_lsh_topk(spark, sf_dir):
 
 
 def media_features(spark, sf_dir):
-    """Multimodal plumbing: fixture PDFs as opaque binary media rows ->
-    Arrow-batched stub feature extraction."""
+    """Multimodal decode/feature kernels over the deterministic media corpus
+    (real PPM/BMP/WAV decoders + documented stub tier) plus the fixture PDFs
+    as opaque MB-scale blobs.  Oracled against dist/golden_media.parquet —
+    expectations derived from the corpus SPECS by closed-form math
+    (tools/gen_golden_media.py), never from the decoders."""
     from .operators.multimodal import extract_media_features
+    from .sources.media_corpus import synthetic_media_rows
     from .sources.raw_docs import fixture_corpus_df
 
-    media = fixture_corpus_df(spark, replicas=1).select(
+    synth = spark.createDataFrame(
+        synthetic_media_rows(), "media_id string, media_kind string, payload binary"
+    )
+    pdfs = fixture_corpus_df(spark, replicas=1).select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("media_kind"),
         F.col("content").alias("payload"),
     )
     return (
-        extract_media_features(media, num_partitions=4)
-        .select("media_id", "media_kind", "byte_len", "sha256", "width", "height")
+        extract_media_features(synth.unionByName(pdfs), num_partitions=4)
+        .select(
+            "media_id", "media_kind", "byte_len", "sha256", "width", "height",
+            "feature", "decoder",
+        )
         .orderBy("media_id")
     )
 
@@ -1043,7 +1077,9 @@ ORACLES = {
     "simhash_pairs": SIMHASH_SQL,
     "doc_metadata": DOC_METADATA_SQL,
     "extract_paged_spans": EXTRACT_PAGED_SQL,
-    # ann_lsh_topk / ann_ivf_topk (hyperplane/k-means internals),
-    # media_features (binary payloads), render_html (full markup):
-    # non-SQL-expressible -> rows-only
+    "media_features": MEDIA_FEATURES_SQL,
+    "render_html": RENDER_HTML_SQL,
+    # ann_lsh_topk / ann_ivf_topk (hyperplane/k-means internals):
+    # non-SQL-expressible -> rows-only; recall is driver-visible through
+    # the oracled ann_lsh_recall / ann_ivf_recall companion queries
 }

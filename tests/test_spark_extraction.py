@@ -306,3 +306,66 @@ def test_golden_paged_parquet_current(spark):
 
     got = sorted(tuple(r) for r in extract_paged_spans(spark, "").collect())
     assert got == fresh_rows
+
+
+def test_golden_media_parquet_current(spark):
+    """dist/golden_media.parquet regenerable from the media-corpus specs +
+    the media_features query matches it (the driver's DuckDB oracle
+    compare).  The spec-derived float features must equal the decoder
+    outputs bit-for-bit after the float32 cast."""
+    import sys
+    from pathlib import Path
+
+    import duckdb
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from gen_golden_media import OUT, golden_rows
+    import hashlib
+
+    fresh = golden_rows()
+    import numpy as np
+
+    fresh_rows = sorted(
+        (r[0], r[1], len(r[2]), hashlib.sha256(r[2]).hexdigest(), r[3], r[4],
+         tuple(np.asarray(r[5], dtype=np.float32).tolist()), r[6])
+        for r in fresh
+    )
+    on_disk = duckdb.sql(
+        f"SELECT * FROM read_parquet('{OUT}') ORDER BY media_id"
+    ).fetchall()
+    assert sorted((*r[:6], tuple(r[6]), r[7]) for r in on_disk) == fresh_rows, (
+        "dist/golden_media.parquet stale — re-run tools/gen_golden_media.py"
+    )
+
+    from pdf_extract_spark.queries import media_features
+
+    got = sorted(
+        (*t[:6], tuple(t[6]), t[7])
+        for t in (tuple(r) for r in media_features(spark, "").collect())
+    )
+    assert got == fresh_rows
+
+
+def test_golden_html_parquet_current(spark):
+    """dist/golden_html.parquet is a reviewed SNAPSHOT of the single-node
+    HTML device: guard that it regenerates identically, and that the
+    distributed render_html query reproduces it bit-for-bit."""
+    import sys
+    from pathlib import Path
+
+    import duckdb
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from gen_golden_html import OUT, golden_rows
+
+    fresh = golden_rows()
+    fresh_rows = sorted(zip(fresh["doc_id"], fresh["html_len"], fresh["html_md5"]))
+    on_disk = duckdb.sql(f"SELECT * FROM read_parquet('{OUT}') ORDER BY doc_id").fetchall()
+    assert [tuple(r) for r in on_disk] == fresh_rows, (
+        "dist/golden_html.parquet stale — re-run tools/gen_golden_html.py"
+    )
+
+    from pdf_extract_spark.queries import render_html
+
+    got = sorted(tuple(r) for r in render_html(spark, "").collect())
+    assert got == fresh_rows

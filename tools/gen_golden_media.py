@@ -1,0 +1,99 @@
+"""Generate dist/golden_media.parquet — the DuckDB oracle for the
+`media_features` query.
+
+Expected rows are derived from the media-corpus SPECS
+(pdf_extract_spark/sources/media_corpus.py) by closed-form math — gradient
+pixel formula, solid value, per-window amplitudes, the documented stub
+formula — NEVER by running the decoders, so the driver compare is a real
+oracle.  byte_len/sha256 come from the payload bytes via hashlib directly.
+
+Usage: python tools/gen_golden_media.py  (re-run when media_corpus.py or
+fixtures change; tests/test_operators.py guards staleness).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pdf_extract_spark.fixtures import corpus  # noqa: E402
+from pdf_extract_spark.sources.media_corpus import (  # noqa: E402
+    BMP_SPECS,
+    PPM_SPECS,
+    STUB_SPECS,
+    WAV_SPECS,
+    make_bmp,
+    make_ppm,
+    make_wav,
+)
+
+OUT = Path(__file__).resolve().parent.parent / "dist" / "golden_media.parquet"
+
+
+def thumb_indices(n: int) -> list[int]:
+    return [min(i * n // 4, n - 1) for i in range(4)]
+
+
+def stub_expect(payload: bytes):
+    """The documented deterministic-fake spec (multimodal.decode_image_stub)."""
+    d = hashlib.sha256(payload).digest()
+    return 1 + d[0] % 64, 1 + d[1] % 64, [d[2 + i] / 255.0 for i in range(16)]
+
+
+def golden_rows():
+    rows = []  # (media_id, media_kind, payload, width, height, feature, decoder)
+    for name, w, h in PPM_SPECS:
+        xs = thumb_indices(w)
+        # gradient: gray(x) = (x*255 // (w-1)) / 255, independent of y
+        feat = [(x * 255 // (w - 1)) / 255.0 for _ in range(4) for x in xs]
+        rows.append((name, "image", make_ppm(w, h), w, h, feat, "ppm"))
+    for name, w, h, v in BMP_SPECS:
+        rows.append((name, "image", make_bmp(w, h, v), w, h, [v / 255.0] * 16, "bmp"))
+    for name, rate, nch, amps in WAV_SPECS:
+        feat = [abs(a) / 32768.0 for a in amps]
+        rows.append((name, "audio", make_wav(rate, nch, amps), rate, nch, feat, "wav"))
+    for name, payload in STUB_SPECS:
+        w, h, feat = stub_expect(payload)
+        rows.append((name, "image", payload, w, h, feat, "stub"))
+    # fixture PDFs ride along as opaque stub-tier blobs (the MB-scale binary
+    # plumbing case): expected values from the stub spec over the raw bytes
+    for doc_id, pdf, _expected in corpus(replicas=1):
+        w, h, feat = stub_expect(pdf)
+        rows.append((doc_id, "image", pdf, w, h, feat, "stub"))
+    return rows
+
+
+def main():
+    rows = golden_rows()
+    table = pa.table(
+        {
+            "media_id": pa.array([r[0] for r in rows], pa.string()),
+            "media_kind": pa.array([r[1] for r in rows], pa.string()),
+            "byte_len": pa.array([len(r[2]) for r in rows], pa.int64()),
+            "sha256": pa.array(
+                [hashlib.sha256(r[2]).hexdigest() for r in rows], pa.string()
+            ),
+            "width": pa.array([r[3] for r in rows], pa.int32()),
+            "height": pa.array([r[4] for r in rows], pa.int32()),
+            # cast through float32 exactly as the engine's column type does
+            "feature": pa.array(
+                [np.asarray(r[5], dtype=np.float32).tolist() for r in rows],
+                pa.list_(pa.float32()),
+            ),
+            "decoder": pa.array([r[6] for r in rows], pa.string()),
+        }
+    )
+    OUT.parent.mkdir(parents=True, exist_ok=True)
+    pq.write_table(table, OUT)
+    print(f"wrote {OUT} ({table.num_rows} rows)")
+
+
+if __name__ == "__main__":
+    main()
