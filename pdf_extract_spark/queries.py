@@ -991,6 +991,43 @@ def ann_lsh_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def ann_recall(spark, sf_dir):
+    """Driver-visible recall gate for the two approximate ANN paths
+    (rows-only queries ann_lsh_topk / ann_ivf_topk): per-variant hit count
+    against in-query brute-force ground truth (brute_force_topk is itself
+    value-hash oracled via ann_cosine_topk), reduced to a deterministic
+    mean-recall >= 0.8 boolean the DuckDB oracle can assert."""
+    from .operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qids = list(range(10))
+    k = 5
+    exact = brute_force_topk(emb, qids, k=k).select("query_id", "nbr_id")
+
+    def gate(variant, approx):
+        hits = exact.join(
+            approx.select("query_id", "nbr_id"), ["query_id", "nbr_id"], "left_semi"
+        ).agg(F.count("*").alias("n_hits"))
+        return hits.select(
+            F.lit(variant).alias("variant"),
+            F.lit(len(qids)).cast("long").alias("n_queries"),
+            (F.col("n_hits") >= F.lit(int(0.8 * len(qids) * k))).alias("recall_pass"),
+        )
+
+    ivf = gate("ivf", ivf_topk(emb, query_ids=qids, k=k, n_centroids=16, n_probe=4))
+    lsh = gate("lsh", lsh_topk(emb, query_ids=qids, k=k, dim=64))
+    return ivf.unionByName(lsh).orderBy("variant")
+
+
+ANN_RECALL_SQL = """
+SELECT * FROM (VALUES
+  ('ivf', CAST(10 AS BIGINT), true),
+  ('lsh', CAST(10 AS BIGINT), true)
+) AS t(variant, n_queries, recall_pass)
+ORDER BY variant
+"""
+
+
 def media_features(spark, sf_dir):
     """Multimodal decode/feature kernels over the deterministic media corpus
     (real PPM/BMP/WAV decoders + documented stub tier) plus the fixture PDFs
@@ -1039,6 +1076,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "media_features": media_features,
+    "ann_recall": ann_recall,
     "doc_metadata": doc_metadata_q,
     "extract_paged_spans": extract_paged_spans,
     "render_html": render_html,
@@ -1078,6 +1116,7 @@ ORACLES = {
     "doc_metadata": DOC_METADATA_SQL,
     "extract_paged_spans": EXTRACT_PAGED_SQL,
     "media_features": MEDIA_FEATURES_SQL,
+    "ann_recall": ANN_RECALL_SQL,
     "render_html": RENDER_HTML_SQL,
     # ann_lsh_topk / ann_ivf_topk (hyperplane/k-means internals):
     # non-SQL-expressible -> rows-only; recall is driver-visible through
