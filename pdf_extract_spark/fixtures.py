@@ -785,6 +785,37 @@ def fx_alternate_colorspace() -> tuple[bytes, str]:
     return b.build(catalog), "\n\ntinted text"
 
 
+def fx_devicen_colorspace() -> tuple[bytes, str]:
+    """DeviceN colorspace selected via cs/scn around the text — parity with
+    the reference's unit-variant handling ("DeviceN" => ColorSpace::DeviceN,
+    lib.rs:1553): the array's name-list/alternate/tint payload is NOT
+    consumed, and extraction proceeds with zero effect on the text."""
+    b = PdfBuilder()
+    tint = b.add(
+        b"<< /FunctionType 2 /Domain [0 1] /C0 [0 0 0] /C1 [0.9 0.1 0.1] /N 1 >>"
+    )
+    content = (
+        b"/DN cs 0.4 0.6 scn BT /F1 12 Tf 72 720 Td (devicen text) Tj ET"
+    )
+    c = b.add_stream("", content)
+    page = b.add(b"")
+    pages = b.add(
+        (
+            f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 /MediaBox [0 0 612 792] >>"
+        ).encode("latin-1")
+    )
+    res = (
+        f"<< /Font {_HELV} /ColorSpace << /DN [/DeviceN [/Cyan /Spot9] "
+        f"/DeviceRGB {tint} 0 R] >> >>"
+    )
+    b.objects[page - 1] = (
+        f"<< /Type /Page /Parent {pages} 0 R /Contents {c} 0 R "
+        f"/Resources {res} >>"
+    ).encode("latin-1")
+    catalog = b.add(f"<< /Type /Catalog /Pages {pages} 0 R >>".encode("latin-1"))
+    return b.build(catalog), "\n\ndevicen text"
+
+
 def fx_encrypted_identity_stmf() -> tuple[bytes, str]:
     """V4/R4 doc whose /StmF is Identity (spec default): stream bodies are
     NOT encrypted even though an AESV2 StdCF exists for strings.  Covers the
@@ -882,6 +913,7 @@ FIXTURES: dict[str, callable] = {
     "differences_nonascii": fx_differences_nonascii,
     "macexpert_encoding": fx_macexpert_encoding,
     "alternate_colorspace": fx_alternate_colorspace,
+    "devicen_colorspace": fx_devicen_colorspace,
     "lzw_stream": fx_lzw_stream,
     "cid_embedded_cmap": fx_cid_embedded_cmap,
     "type3_font": fx_type3_font,

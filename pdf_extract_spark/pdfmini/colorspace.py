@@ -119,8 +119,17 @@ def make_colorspace(doc, name: str, resources: dict):
     if cs is None:
         raise ColorSpaceError(f"missing colorspace {name!r}")
     if not isinstance(cs, list):
+        # name-valued resource entry (lib.rs:1558-1563): DeviceRGB/DeviceGray
+        from .objects import Name
+
+        if isinstance(cs, (Name, str)) and str(cs) in ("DeviceRGB", "DeviceGray"):
+            return NamedDevice(str(cs))
         raise ColorSpaceError(f"expected colorspace array for {name!r}")
     kind = str(doc.deref(cs[0]))
+    if kind in ("DeviceGray", "DeviceRGB", "DeviceCMYK", "Pattern", "DeviceN"):
+        # array-form device spaces + the DeviceN unit variant
+        # (lib.rs:1547-1553: "DeviceN" => ColorSpace::DeviceN — no payload)
+        return NamedDevice(kind)
     if kind == "Separation":
         from .function import parse_function
 
