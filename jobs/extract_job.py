@@ -29,6 +29,13 @@ def main(argv=None) -> None:
     p.add_argument("--run-id", default=f"run-{int(time.time())}")
     p.add_argument("--num-partitions", type=int, default=None)
     p.add_argument("--buckets", type=int, default=64)
+    p.add_argument(
+        "--iceberg-table",
+        default=None,
+        help="catalog-qualified Iceberg table (e.g. cat.db.documents_spans): "
+        "with the Iceberg runtime on the classpath the spans sink becomes a "
+        "native writeTo + bucket(N, doc_id); without it, parquet fallback",
+    )
     p.add_argument("--resume", action="store_true")
     args = p.parse_args(argv)
 
@@ -81,11 +88,17 @@ def main(argv=None) -> None:
         .cache()
     )
     try:
-        write_spans(
+        sink = write_spans(
             extracted.select("doc_id", "spans"),
             f"{args.output}/documents_spans",
             buckets=args.buckets,
+            iceberg_table=args.iceberg_table,
         )
+        if args.iceberg_table and sink != "iceberg":
+            print(
+                f"iceberg runtime not on classpath: wrote parquet fallback "
+                f"instead of {args.iceberg_table}"
+            )
         lineage_rows(extracted, args.run_id).write.mode("append").parquet(lineage_path)
         metrics_rows(extracted).write.mode("append").parquet(f"{args.output}/metrics")
         # per-partition rollup table + observed (free) totals

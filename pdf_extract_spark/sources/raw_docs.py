@@ -220,14 +220,53 @@ def read_pdf_dir(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def write_spans(df: DataFrame, path: str, buckets: int = 64, mode: str = "append") -> None:
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime is on the JVM classpath — the
+    gate for the native `writeTo` sink.  This sandbox ships no Iceberg
+    jars, so here it returns False and sinks fall back to parquet with the
+    equivalent bucket layout; on a real cluster with
+    `--packages org.apache.iceberg:iceberg-spark-runtime-...` plus a
+    configured catalog it flips the native path on with no code change."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def write_spans_iceberg(
+    df: DataFrame, table: str, buckets: int = 64, mode: str = "append"
+) -> None:
+    """Native Iceberg sink: hash-bucketed on doc_id via the bucket(N, col)
+    partition transform, hidden-partitioned (readers never see a bucket
+    column).  Requires iceberg_available(); `table` is a catalog-qualified
+    name like `cat.db.documents_spans`."""
+    writer = df.writeTo(table).partitionedBy(F.bucket(buckets, F.col("doc_id")))
+    spark = df.sparkSession
+    if mode == "overwrite":
+        writer.createOrReplace()
+    elif spark.catalog.tableExists(table):
+        writer.append()
+    else:
+        writer.create()
+
+
+def write_spans(
+    df: DataFrame,
+    path: str,
+    buckets: int = 64,
+    mode: str = "append",
+    iceberg_table: str | None = None,
+) -> str:
     """documents_spans sink with Iceberg-style hash bucketing on doc_id.
 
-    At cluster scale this becomes
-        df.writeTo("cat.db.documents_spans").partitionedBy(bucket(N, "doc_id"))
-    with write.distribution-mode=hash; parquet + explicit bucket column is
-    the jar-free equivalent layout.
-    """
+    With `iceberg_table` set AND the Iceberg runtime on the classpath this
+    is a native `writeTo(table).partitionedBy(bucket(N, doc_id))`; otherwise
+    parquet + an explicit bucket column — the jar-free equivalent layout.
+    Returns which sink ran ("iceberg" | "parquet")."""
+    if iceberg_table is not None and iceberg_available(df.sparkSession):
+        write_spans_iceberg(df, iceberg_table, buckets=buckets, mode=mode)
+        return "iceberg"
     (
         df.withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(buckets)).cast("int"))
         .repartition("bucket")
@@ -235,6 +274,7 @@ def write_spans(df: DataFrame, path: str, buckets: int = 64, mode: str = "append
         .partitionBy("bucket")
         .parquet(path)
     )
+    return "parquet"
 
 
 def read_spans(spark: SparkSession, path: str) -> DataFrame:

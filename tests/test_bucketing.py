@@ -28,3 +28,41 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_left")
         spark.sql("DROP TABLE IF EXISTS t_right")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_iceberg_gate_and_fallback(spark, tmp_path):
+    """The native Iceberg sink is config-gated: without the runtime jars the
+    gate is False and write_spans with an iceberg_table still lands the
+    bucketed parquet layout; with jars (real cluster) the native writeTo
+    path is exercised instead."""
+    import pytest
+
+    from pdf_extract_spark.sources.raw_docs import (
+        fixture_corpus_df,
+        iceberg_available,
+        read_spans,
+        write_spans,
+        write_spans_iceberg,
+    )
+    from pdf_extract_spark.operators.extraction import extract_documents
+
+    out = extract_documents(fixture_corpus_df(spark, replicas=1), num_partitions=4)
+    df = out.select("doc_id", "spans")
+    n = df.count()
+
+    if not iceberg_available(spark):
+        path = str(tmp_path / "spans_fallback")
+        sink = write_spans(df, path, buckets=4, mode="overwrite",
+                           iceberg_table="cat.db.documents_spans")
+        assert sink == "parquet"
+        assert read_spans(spark, path).count() == n
+        pytest.skip("iceberg runtime not on classpath: native writeTo untested here")
+
+    # native path (runs only on clusters shipping the Iceberg runtime)
+    sink = write_spans(df, str(tmp_path / "unused"), buckets=4, mode="overwrite",
+                       iceberg_table="spark_catalog.default.test_spans_iceberg")
+    assert sink == "iceberg"
+    got = spark.table("spark_catalog.default.test_spans_iceberg")
+    assert got.count() == n
+    write_spans_iceberg(df, "spark_catalog.default.test_spans_iceberg", buckets=4)
+    assert spark.table("spark_catalog.default.test_spans_iceberg").count() == 2 * n
