@@ -232,10 +232,22 @@ def ivf_topk(
     train = np.array([r[1] for r in sample], dtype=np.float64)
     if len(train) < n_centroids:
         raise ValueError(f"{len(train)} training vectors < {n_centroids} centroids")
+    # guard the driver-side footprint: the train matrix is the ONLY
+    # corpus-sized driver allocation in this operator (train_cap x dim f64);
+    # refuse quietly pressuring driver memory instead of OOMing mid-job
+    train_bytes = train.nbytes
+    if train_bytes > 512 * 1024 * 1024:
+        raise ValueError(
+            f"k-means train sample is {train_bytes >> 20} MiB "
+            f"({len(train)} x {train.shape[1]} f64): lower train_cap — the "
+            "quantizer needs only a bounded sample (faiss-style)"
+        )
     cent = train[:n_centroids].copy()
     for _ in range(10):
-        d2 = ((train[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
+        # argmin ||v-c||^2 = argmin (|c|^2 - 2 v.c): (n,K) temporaries only,
+        # never the (n,K,dim) broadcast form (~160 MB/iter at defaults)
+        c2 = (cent * cent).sum(axis=1)
+        assign = (c2[None, :] - 2.0 * (train @ cent.T)).argmin(axis=1)
         for c in range(n_centroids):
             members = train[assign == c]
             if len(members):
