@@ -165,36 +165,64 @@ def ngram_jaccard_pairs(
     common counts alike — so Jaccard stays a true Jaccard over the capped
     shingle set; standard CCNet/Gopher practice).  The oracle SQL mirrors
     the same cap."""
-    sh = docs.select(
+    # shingling is CPU-bound per doc and everything below the df-count is
+    # narrow: if the scan yields fewer splits than cores (small files),
+    # spread the docs once up front (no-op at real scale)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    # per-doc distinct-shingle hash ARRAY in one narrow codegen pass: doc
+    # sizes come from size(array) with NO shuffle, and the int64 hashing
+    # happens before anything is exploded (8-byte keys instead of ~30-byte
+    # strings everywhere downstream).  A 64-bit collision merges two
+    # posting lists (P ~ n_shingles^2 / 2^65 — ~1e-7 at 2M distinct
+    # shingles); that trade is universal to shingling dedup (minhash incl.).
+    sh_arr = docs.select(
         F.col("doc_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle_str"),
-    ).select(
-        "doc_id",
-        # hash shingles to int64 BEFORE any shuffle: the index/join keys
-        # carry 8 bytes instead of ~30-byte strings.  A 64-bit collision
-        # merges two posting lists (P ~ n_shingles^2 / 2^65 — ~1e-7 at 2M
-        # distinct shingles); set assemble-exact=False is the universal
-        # trade every shingling dedup makes (minhash included).
-        F.xxhash64("shingle_str").alias("shingle"),
+        F.transform(
+            word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
+        ).alias("shs"),
     )
+    sh = sh_arr.select("doc_id", F.explode("shs").alias("shingle"))
     if max_shingle_df is not None:
-        # df-count FIRST (map-combined, no arrays) so a mega-hot shingle is
-        # dropped before anything materializes its posting list
-        rare = (
+        # df-cap INVERTED: the hot set (df > cap) is tiny at any corpus
+        # size — stop-shingles — so drop it with a broadcast ANTI-join (no
+        # shuffle, no sort of the exploded table) rather than equi-joining
+        # the huge rare set.  The df-count itself is map-side combined with
+        # no arrays, so a mega-hot shingle never materializes a posting
+        # list before being dropped.
+        hot = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_shingle_df)
+            .filter(F.col("df") > max_shingle_df)
             .select("shingle")
         )
-        sh = sh.join(rare, "shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
+        sh_cold = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        # capped-universe doc sizes: narrow size(array) minus the doc's hot
+        # shingles (a small broadcast join + doc-keyed agg over few rows)
+        n_hot = (
+            sh.join(F.broadcast(hot), "shingle")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_hot"))
+        )
+        sizes = (
+            sh_arr.select("doc_id", F.size("shs").cast("long").alias("n_total"))
+            .join(n_hot, "doc_id", "left")
+            .select(
+                "doc_id",
+                (F.col("n_total") - F.coalesce("n_hot", F.lit(0))).cast("long").alias("n_sh"),
+            )
+        )
+    else:
+        sh_cold = sh
+        sizes = sh_arr.select("doc_id", F.size("shs").cast("long").alias("n_sh"))
     # Pair generation from BOUNDED posting lists (df <= cap guarantees the
     # array size): collect the doc list per shingle — Catalyst reuses the
     # join's shingle partitioning, no extra exchange — then emit ordered
     # pairs by double-explode.  Replaces the row-level self-join on shingle
     # (a full extra sort-merge of the exploded table) with in-partition
     # array combinations; identical output.
-    postings = sh.groupBy("shingle").agg(F.collect_list("doc_id").alias("ds"))
+    postings = sh_cold.groupBy("shingle").agg(F.collect_list("doc_id").alias("ds"))
     common = (
         postings.select(F.explode("ds").alias("doc_a"), "ds")
         .select(
