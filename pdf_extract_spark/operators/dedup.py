@@ -43,6 +43,18 @@ def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Round-robin the docs over all cores when the scan yields fewer
+    splits than parallelism (small files): the shingling/hash kernels are
+    CPU-bound map work that otherwise runs serially before the first
+    shuffle.  No-op at real scale where the scan already has >= cores
+    splits."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        return docs.repartition(par)
+    return docs
+
+
 def word_shingles(col, n: int = 3):
     """Distinct word n-gram shingles of the lowercased text (array column).
 
@@ -70,7 +82,7 @@ def minhash_signature(docs: DataFrame, text_col: str = "text", n: int = 3,
     expressions ~10x (no per-row array churn) and is the shape that
     distributes at corpus scale."""
     assert num_hashes % 4 == 0, "num_hashes must be a multiple of 4 (md5 chunks)"
-    sh = docs.select(
+    sh = _spread(docs).select(
         F.col("doc_id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
     )
@@ -165,12 +177,7 @@ def ngram_jaccard_pairs(
     common counts alike — so Jaccard stays a true Jaccard over the capped
     shingle set; standard CCNet/Gopher practice).  The oracle SQL mirrors
     the same cap."""
-    # shingling is CPU-bound per doc and everything below the df-count is
-    # narrow: if the scan yields fewer splits than cores (small files),
-    # spread the docs once up front (no-op at real scale)
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    docs = _spread(docs)
     # per-doc distinct-shingle hash ARRAY in one narrow codegen pass: doc
     # sizes come from size(array) with NO shuffle, and the int64 hashing
     # happens before anything is exploded (8-byte keys instead of ~30-byte
@@ -293,7 +300,7 @@ def _simhash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     id_type = docs.schema["doc_id"].dataType.simpleString()
-    return docs.select("doc_id", F.col(text_col).alias("text")).mapInPandas(
+    return _spread(docs).select("doc_id", F.col(text_col).alias("text")).mapInPandas(
         _simhash_batch, f"doc_id {id_type}, simhash long"
     )
 
