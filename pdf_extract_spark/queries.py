@@ -929,6 +929,45 @@ def render_html(spark, sf_dir):
     )
 
 
+_GOLDEN_HTML_MAIN_PARQUET = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "dist",
+    "golden_html_main.parquet",
+)
+
+HTML_MAIN_SQL = f"""
+SELECT doc_id, pos, kind, text, media_ref, "offset" AS offset
+FROM read_parquet('{_GOLDEN_HTML_MAIN_PARQUET}')
+ORDER BY doc_id, pos
+"""
+
+
+def html_main_content(spark, sf_dir):
+    """HTML boilerplate strip / main-content extraction (DOM text-density
+    heuristics, html_main.py) over the deterministic HTML fixture corpus;
+    spans exploded to rows.  Oracled against the hand-derived fixture specs
+    (dist/golden_html_main.parquet — independent of the parser)."""
+    from .html_fixtures import html_corpus
+    from .html_main import extract_main_content
+
+    raw = spark.createDataFrame(
+        [(d, h) for d, h, _ in html_corpus(replicas=1)], "doc_id string, html string"
+    )
+    out = extract_main_content(raw, num_partitions=8)
+    return (
+        out.select("doc_id", F.posexplode("spans").alias("pos", "s"))
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.offset").cast("long").alias("offset"),
+        )
+        .orderBy("doc_id", "pos")
+    )
+
+
 def simhash_pairs(spark, sf_dir):
     out = simhash_near_pairs(load(spark, sf_dir, "documents"), max_hamming=8)
     return out.select(
@@ -1077,6 +1116,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "media_features": media_features,
     "ann_recall": ann_recall,
+    "html_main_content": html_main_content,
     "doc_metadata": doc_metadata_q,
     "extract_paged_spans": extract_paged_spans,
     "render_html": render_html,
@@ -1117,6 +1157,7 @@ ORACLES = {
     "extract_paged_spans": EXTRACT_PAGED_SQL,
     "media_features": MEDIA_FEATURES_SQL,
     "ann_recall": ANN_RECALL_SQL,
+    "html_main_content": HTML_MAIN_SQL,
     "render_html": RENDER_HTML_SQL,
     # ann_lsh_topk / ann_ivf_topk (hyperplane/k-means internals):
     # non-SQL-expressible -> rows-only; recall is driver-visible through

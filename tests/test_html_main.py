@@ -1,0 +1,86 @@
+"""HTML main-content extraction (boilerplate strip via DOM text-density
+heuristics): kernel vs hand-derived fixture specs, Spark end-to-end, and
+golden-oracle staleness."""
+
+import pytest
+
+from pdf_extract_spark.html_fixtures import FAMILIES, expected_span_rows, html_corpus
+from pdf_extract_spark.html_main import extract_main_spans
+
+
+@pytest.mark.parametrize("family", sorted(FAMILIES))
+def test_kernel_matches_spec(family):
+    html, expected = FAMILIES[family]()
+    got = [(k, t, r) for k, t, r, _ in extract_main_spans(html)]
+    assert got == expected
+
+
+def test_kernel_offsets_are_running():
+    html, expected = FAMILIES["basic_article"]()
+    spans = extract_main_spans(html)
+    offset = 0
+    for _k, text, _r, off in spans:
+        assert off == offset
+        offset += len(text) + 1
+
+
+def test_boilerplate_never_leaks():
+    """The template's nav/sidebar/ad/related/footer texts must never appear
+    in any family's output, even though several pass the density rule."""
+    banned = {"Home", "Log in", "Copyright 2026"}
+    for _doc_id, html, _expected in html_corpus(1):
+        joined = " ".join(t for _k, t, _r, _o in extract_main_spans(html))
+        for b in banned:
+            assert b not in joined
+
+
+def test_spark_end_to_end_matches_spec(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_extract_spark.html_main import extract_main_content
+
+    raw = spark.createDataFrame(
+        [(d, h) for d, h, _ in html_corpus(1)], "doc_id string, html string"
+    )
+    out = extract_main_content(raw, num_partitions=4)
+    got = sorted(
+        (r["doc_id"], r["pos"], r["s"]["kind"], r["s"]["text"],
+         r["s"]["media_ref"], r["s"]["offset"])
+        for r in out.select(
+            "doc_id", F.posexplode("spans").alias("pos", "s")
+        ).collect()
+    )
+    assert got == sorted(expected_span_rows(1))
+
+
+def test_malformed_html_never_fails(spark):
+    """Garbage in -> zero spans out, never a task failure."""
+    from pdf_extract_spark.html_main import extract_main_content
+
+    raw = spark.createDataFrame(
+        [("a", "<<<%%%"), ("b", ""), ("c", None), ("d", "<p>" + "x" * 30)],
+        "doc_id string, html string",
+    )
+    rows = {
+        r["doc_id"]: r["n_spans"]
+        for r in extract_main_content(raw, num_partitions=2).collect()
+    }
+    assert rows["a"] == 0 and rows["b"] == 0 and rows["c"] == 0
+    assert rows["d"] == 1  # unclosed but recoverable
+
+
+def test_golden_html_main_parquet_current():
+    import sys
+    from pathlib import Path
+
+    import duckdb
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from gen_golden_html_main import OUT
+
+    on_disk = duckdb.sql(
+        f"SELECT * FROM read_parquet('{OUT}') ORDER BY doc_id, pos"
+    ).fetchall()
+    assert [tuple(r) for r in on_disk] == sorted(expected_span_rows(1)), (
+        "dist/golden_html_main.parquet stale — re-run tools/gen_golden_html_main.py"
+    )
