@@ -289,25 +289,46 @@ class Processor:
         trans = getattr(font, "_trans", None)
         out_str = getattr(output, "output_string", None)
         if trans is not None and out_str is not None and s:
-            # Vectorized path (single-byte fonts, string-capable device):
+            # String-level path (single-byte fonts, string-capable device):
             # only the FIRST char's position feeds the whitespace
             # heuristics and only the LAST char's end feeds the next ones
-            # (lib.rs:2161-2190), so per-char work collapses to a numpy
-            # width gather + one str.translate.
-            import numpy as np
+            # (lib.rs:2161-2190), so per-char work collapses to a width
+            # gather + one str.translate.  Typical shown strings are a few
+            # chars (one word per Tj/TJ element): below ~32 chars a plain
+            # Python loop over a width LIST beats the numpy path's
+            # frombuffer/full/fancy-index fixed overhead ~3x.
+            w_list = getattr(font, "_py_w1000", None)
+            if w_list is None:
+                w_list = font._np_w1000.tolist()
+                font._py_w1000 = w_list
+            if len(s) < 32:
+                total = 0.0
+                cum_last = 0.0
+                for code in s:
+                    cum_last = total
+                    sp = char_spacing + (word_spacing if code == 32 else 0.0)
+                    total += h * (w_list[code] * fs + sp)
+                last_w0 = w_list[s[-1]]
+            else:
+                import numpy as np
 
-            codes = np.frombuffer(s, dtype=np.uint8)
-            w0s = font._np_w1000[codes]
-            sp = np.full(len(s), char_spacing, dtype=np.float64)
-            if word_spacing:
-                sp[codes == 32] += word_spacing
-            txs = h * (w0s * fs + sp)
-            total = float(txs.sum())
-            cum_last = total - float(txs[-1])
+                codes = np.frombuffer(s, dtype=np.uint8)
+                w0s = font._np_w1000[codes]
+                if char_spacing == 0.0 and word_spacing == 0.0:
+                    # dominant case: no spacing terms -> one scaled gather
+                    txs = (h * fs) * w0s
+                else:
+                    sp = np.full(len(s), char_spacing, dtype=np.float64)
+                    if word_spacing:
+                        sp[codes == 32] += word_spacing
+                    txs = h * (w0s * fs + sp)
+                total = float(txs.sum())
+                cum_last = total - float(txs[-1])
+                last_w0 = float(w0s[-1])
             out_str(
                 (h * ma, h * mb, mc, md, rise * mc + me, rise * md + mf),
                 s.decode("latin-1").translate(trans),
-                float(w0s[-1]),
+                last_w0,
                 fs,
                 cum_last * ma,
                 cum_last * mb,
