@@ -42,6 +42,7 @@ HEADLINE = [
     "embedding_near_dup",
     "spans_explode",
     "ann_cosine_topk",
+    "html_main_content",
 ]
 
 
