@@ -75,3 +75,28 @@ def test_spans_explode_single_shuffle(spark):
     # one shuffle for the window partitioning + possibly one for orderBy
     # sampling; never more than 2 data exchanges
     assert txt.count("Exchange") <= 2
+
+
+def test_ngram_jaccard_hot_set_is_broadcast_anti(spark):
+    """The df-cap must be applied with a broadcast ANTI-join against the
+    tiny hot-shingle set — never a shuffle join against the huge rare set —
+    and doc sizes must come from size(array) with no extra doc_id shuffle."""
+    from pdf_extract_spark.queries import ngram_jaccard_q
+
+    df = ngram_jaccard_q(spark, SF)
+    df.collect()  # AQE-final plan
+    txt = plan_of(df)
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", txt) or (
+        "LeftAnti, BuildRight" in txt and "Broadcast" in txt
+    ), txt[:2000]
+
+
+def test_winnow_is_single_arrow_pass(spark):
+    """Winnowing must run inside one mapInArrow stage: no posexplode of
+    character positions, no window exchange over (doc_id, pos)."""
+    from pdf_extract_spark.queries import doc_winnow_fingerprints
+
+    txt = plan_of(doc_winnow_fingerprints(spark, SF))
+    assert "PythonMapInArrow" in txt or "MapInArrow" in txt, txt[:1500]
+    assert "Window" not in txt
+    assert "Generate" not in txt  # the old char-level explode
