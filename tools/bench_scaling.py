@@ -83,11 +83,15 @@ def doc_bytes(i):
     return cache[name]
 docs = [doc_bytes(i) for i in range(n_docs)]
 def work(chunk):
+    # EQUAL-WORK control: like the Spark job, a real no-framework extractor
+    # must MATERIALIZE the span table and hand it to the coordinator, so
+    # the worker returns the flat span arrays (pickled through the Pool
+    # pipe — the mp equivalent of the Arrow batch transfer), not a count.
     from pdf_extract_spark.extract import extract_spans_flat_from_mem
-    n = 0
+    out = []
     for d in chunk:
-        n += len(extract_spans_flat_from_mem(d)[0])
-    return n
+        out.append(extract_spans_flat_from_mem(d))
+    return out
 def chunks(lst, k):
     step = (len(lst) + k - 1) // k
     return [lst[i:i + step] for i in range(0, len(lst), step)]
@@ -95,9 +99,10 @@ with mp.Pool(procs) as p:
     p.map(work, chunks(docs[:256], procs))  # warm-up
     t0 = time.time()
     r = p.map(work, chunks(docs, procs * 4))
+    n_spans = sum(len(flat[0]) for res in r for flat in res)
     dt = time.time() - t0
 print(json.dumps({"cpus": procs, "docs": n_docs, "sec": dt,
-                  "docs_per_sec": n_docs / dt, "spans": sum(r)}))
+                  "docs_per_sec": n_docs / dt, "spans": n_spans}))
 """
 
 
@@ -126,11 +131,20 @@ def _round(d: dict) -> dict:
     return {k: round(v, 2) if isinstance(v, float) else v for k, v in d.items()}
 
 
+def best_of(worker: str, cpus: int, n_docs: int, samples: int = 2) -> dict:
+    """Best-of-N solo runs per level: the shared sandbox VM shows ±40%
+    CPU-steal swings run-to-run, so a single sample measures the host, not
+    the engine.  min-wall (max docs/s) is the standard steal-resistant
+    estimator."""
+    results = [run(worker, cpus, n_docs) for _ in range(samples)]
+    return max(results, key=lambda r: r["docs_per_sec"])
+
+
 def measure_pair(lo: int, hi: int, n_docs: int) -> dict:
-    s_lo = run(SPARK_WORKER, lo, n_docs)
-    s_hi = run(SPARK_WORKER, hi, n_docs)
-    m_lo = run(MP_WORKER, lo, n_docs)
-    m_hi = run(MP_WORKER, hi, n_docs)
+    s_lo = best_of(SPARK_WORKER, lo, n_docs)
+    s_hi = best_of(SPARK_WORKER, hi, n_docs)
+    m_lo = best_of(MP_WORKER, lo, n_docs)
+    m_hi = best_of(MP_WORKER, hi, n_docs)
     factor = hi / lo
     spark_speedup = s_hi["docs_per_sec"] / s_lo["docs_per_sec"]
     control_speedup = m_hi["docs_per_sec"] / m_lo["docs_per_sec"]
