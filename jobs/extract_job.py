@@ -99,12 +99,18 @@ def main(argv=None) -> None:
                 f"iceberg runtime not on classpath: wrote parquet fallback "
                 f"instead of {args.iceberg_table}"
             )
-        lineage_rows(extracted, args.run_id).write.mode("append").parquet(lineage_path)
         metrics_rows(extracted).write.mode("append").parquet(f"{args.output}/metrics")
         # per-partition rollup table + observed (free) totals
         run_metrics(extracted, args.run_id).write.mode("append").parquet(
             f"{args.output}/run_metrics"
         )
+        # lineage appends LAST: it is the resume anti-join's "done" marker,
+        # so (a) a crash mid-run never marks docs done whose outputs did
+        # not land, and (b) no later action can re-evaluate the resume
+        # filter against a lineage table that already contains THIS run's
+        # rows (that re-scan silently emptied metrics on --resume runs
+        # when a cached partition was evicted)
+        lineage_rows(extracted, args.run_id).write.mode("append").parquet(lineage_path)
         m = obs.get
         print(
             f"run={args.run_id} docs={m.get('docs', 0)} "
