@@ -148,3 +148,52 @@ def test_mutation_sweep_never_raises_or_hangs():
     # bounded wall time: no pathological O(n^2)/hang on malformed input
     assert time.perf_counter() - t0 < 120, "mutation sweep too slow"
     assert n_cases == len(FIXTURES) * 8
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=300, deadline=None)
+def test_decode_content_never_raises(data):
+    """The regex-scanner content tokenizer must be total: any byte soup
+    tokenizes to a list without raising and always terminates."""
+    from pdf_extract_spark.pdfmini.content import decode_content
+
+    ops = decode_content(data)
+    assert isinstance(ops, list)
+    for op, operands in ops:
+        assert isinstance(op, str) and isinstance(operands, list)
+
+
+def test_decode_content_token_shapes():
+    """Spot-parity with the PDF content grammar: numbers (incl. the
+    int->float->0 malformed fallback), names with #-escapes, nested TJ
+    arrays, strings with escapes, booleans/null, stray delimiters, dicts,
+    comments, and BI..EI skipping."""
+    from pdf_extract_spark.pdfmini.content import decode_content
+    from pdf_extract_spark.pdfmini.objects import Name, PdfString
+
+    ops = decode_content(
+        b"% comment\n"
+        b"1 0 0 1 72 720 cm "
+        b"/F0#41 12 Tf "
+        b"[(a) -120 (b \\(c\\)) 4.5e2] TJ "
+        b"5x 2. -.5 junk "
+        b"true false null flags "
+        b"<< /K 1 >> <414243> dictop "
+        b"BI /W 2 ID \xff\xfe EI (after) Tj "
+        b") ] } stray"
+    )
+    d = dict()
+    for op, operands in ops:
+        d.setdefault(op, operands)
+    assert d["cm"] == [1, 0, 0, 1, 72, 720]
+    assert d["Tf"] == [Name("F0A"), 12]
+    tj = d["TJ"][0]
+    assert tj[0] == PdfString(b"a") and tj[1] == -120
+    assert tj[2] == PdfString(b"b (c)") and tj[3] == 4.5e2
+    # malformed numeric tokens mirror Lexer.read_number: 5x -> 0, 2. -> 2.0
+    assert d["junk"] == [0, 2.0, -0.5]
+    assert d["flags"] == [True, False, None]
+    assert d["dictop"] == [{"K": 1}, PdfString(b"ABC")]
+    assert ("BI", []) in ops
+    assert d["Tj"] == [PdfString(b"after")]
+    assert d["stray"] == []
