@@ -88,6 +88,55 @@ def fingerprint(col) -> Column:
     return F.md5(F.encode(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "), "utf-8"))
 
 
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(docs: DataFrame, text_col: str = "text",
+                         min_words: int = 20, max_words: int = 100_000) -> DataFrame:
+    """Gopher-style document quality filter (Rae et al. 2021 §A1.1, as
+    popularized by CCNet/Dolma pipelines) — the rule chain a pretraining
+    corpus runs before dedup.  All rules are JVM-side codegen expressions
+    with an exact DuckDB oracle:
+
+      * word count within [min_words, max_words]
+      * mean word length within [3, 10] chars
+      * < 20% of words contain a non-alphanumeric symbol (#, $, %, ...)
+      * at least 2 distinct Gopher stopwords present
+      * alpha ratio: >= 70% of words contain at least one letter
+
+    Emits one row per doc with the individual rule booleans and the
+    conjunction `keep` — keep the flags, not just the verdict, so a 100 TB
+    run can report WHY documents were dropped (the rule histogram is the
+    standard pipeline health metric)."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    ltoks = tokens(F.lower(c))
+    n = F.size(toks)
+    mean_len_x100 = avg_token_len_x100(c)
+    n_symbol = F.size(F.filter(toks, lambda t: t.rlike("[^A-Za-z0-9]")))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    n_stop = F.size(
+        F.array_distinct(F.filter(ltoks, lambda t: t.isin(GOPHER_STOPWORDS)))
+    )
+    rule_words = (n >= min_words) & (n <= max_words)
+    rule_mean_len = (mean_len_x100 >= 300) & (mean_len_x100 <= 1000)
+    rule_symbols = n_symbol * 5 < n  # < 20%
+    rule_stop = n_stop >= 2
+    rule_alpha = n_alpha * 10 >= n * 7  # >= 70%
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        rule_words.alias("rule_word_count"),
+        rule_mean_len.alias("rule_mean_word_len"),
+        rule_symbols.alias("rule_symbol_ratio"),
+        rule_stop.alias("rule_stopwords"),
+        rule_alpha.alias("rule_alpha_ratio"),
+        (rule_words & rule_mean_len & rule_symbols & rule_stop & rule_alpha).alias(
+            "keep"
+        ),
+    )
+
+
 def document_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return docs.select(

@@ -378,6 +378,48 @@ ORDER BY doc_a, doc_b
 """
 
 
+def doc_quality_filter(spark, sf_dir):
+    """Gopher-rule pretraining quality filter over the documents table
+    (functions/text.py:gopher_quality_flags); per-rule booleans + keep."""
+    from .functions.text import gopher_quality_flags
+
+    return gopher_quality_flags(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+DOC_QUALITY_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks,
+         text
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(floor(list_sum(list_transform(toks, t -> length(t))) * 100.0
+              / greatest(len(toks), 1)) AS BIGINT) AS mean_len_x100,
+         len(list_filter(toks, t -> regexp_matches(t, '[^A-Za-z0-9]'))) AS n_symbol,
+         len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha,
+         len(list_distinct(list_filter(ltoks, t -> list_contains(
+             ['the','be','to','of','and','that','have','with'], t)))) AS n_stop
+  FROM base
+)
+SELECT doc_id, n_words,
+       n_words >= 20 AND n_words <= 100000 AS rule_word_count,
+       mean_len_x100 >= 300 AND mean_len_x100 <= 1000 AS rule_mean_word_len,
+       n_symbol * 5 < n_words AS rule_symbol_ratio,
+       n_stop >= 2 AS rule_stopwords,
+       n_alpha * 10 >= n_words * 7 AS rule_alpha_ratio,
+       (n_words >= 20 AND n_words <= 100000)
+         AND (mean_len_x100 >= 300 AND mean_len_x100 <= 1000)
+         AND (n_symbol * 5 < n_words)
+         AND (n_stop >= 2)
+         AND (n_alpha * 10 >= n_words * 7) AS keep
+FROM m
+ORDER BY doc_id
+"""
+
+
 def dedup_clusters_q(spark, sf_dir):
     """Candidate pairs -> connected components -> dedup clusters with a
     canonical representative (operators/graph.py).  Uses the SAME minhash
@@ -1104,6 +1146,7 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "events_hourly_rollup": events_hourly_rollup,
     "doc_stats": doc_stats,
+    "doc_quality_filter": doc_quality_filter,
     "dedup_exact": dedup_exact_q,
     "minhash_lsh_candidates": minhash_lsh_q,
     "dedup_clusters": dedup_clusters_q,
@@ -1138,6 +1181,7 @@ ORACLES = {
     "events_sessionize": SESSIONIZE_SQL,
     "events_hourly_rollup": HOURLY_SQL,
     "doc_stats": DOC_STATS_SQL,
+    "doc_quality_filter": DOC_QUALITY_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "minhash_lsh_candidates": MINHASH_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,

@@ -407,3 +407,28 @@ def test_ivf_topk_recall_gate(spark):
     recall = len(e & a) / len(e)
     print(f"ivf_topk recall@5 n_probe=4/16: {recall:.3f}")
     assert recall >= 0.8, recall
+
+
+def test_gopher_quality_flags(spark):
+    """Rule-by-rule spot checks on crafted docs."""
+    from pdf_extract_spark.functions.text import gopher_quality_flags
+
+    good = ("the quick brown fox likes to jump over lazy dogs and it does that "
+            "with great patience because they have nothing better to do today "
+            "while the sun shines over the quiet meadow near town")
+    docs = spark.createDataFrame(
+        [
+            (1, good),                                    # passes all rules
+            (2, "short text"),                            # word count
+            (3, ("## ## %% @@ " * 10) + good),            # symbol ratio
+            (4, " ".join(["zz"] * 60)),                   # stopwords + mean len
+            (5, " ".join(["12345"] * 30) + " the of"),    # alpha ratio
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_quality_flags(docs).collect()}
+    assert rows[1]["keep"] is True
+    assert rows[2]["keep"] is False and rows[2]["rule_word_count"] is False
+    assert rows[3]["keep"] is False and rows[3]["rule_symbol_ratio"] is False
+    assert rows[4]["keep"] is False and rows[4]["rule_stopwords"] is False
+    assert rows[5]["keep"] is False and rows[5]["rule_alpha_ratio"] is False
