@@ -33,6 +33,7 @@ HEADLINE = [
     "events_asof_orders",
     "lineitem_rollup",
     "doc_stats",
+    "doc_quality_filter",
     "doc_token_bpe",
     "doc_winnow_fingerprints",
     "dedup_exact",
