@@ -816,6 +816,59 @@ def fx_devicen_colorspace() -> tuple[bytes, str]:
     return b.build(catalog), "\n\ndevicen text"
 
 
+def fx_xref_stream_objstm() -> tuple[bytes, str]:
+    """PDF 1.5 modern layout: cross-reference STREAM (/Type /XRef, W [1 2 1],
+    Flate) + catalog/pages/page packed in an object stream (/Type /ObjStm,
+    type-2 xref entries) — the layout every post-2006 producer emits.
+    Exercises xref-stream parse, ObjStm header/offset parse and type-2
+    object resolution through the full Spark extraction path."""
+    content = b"BT /F1 12 Tf 72 720 Td (xref stream text) Tj ET"
+    objstm_payload = (
+        b"<< /Type /Catalog /Pages 4 0 R >>"
+        b"<< /Type /Pages /Kids [5 0 R] /Count 1 /MediaBox [0 0 612 792] >>"
+        b"<< /Type /Page /Parent 4 0 R /Contents 1 0 R /Resources << /Font "
+        b"<< /F1 << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> >> >> >>"
+    )
+    off2 = objstm_payload.index(b"<< /Type /Pages")
+    off3 = objstm_payload.index(b"<< /Type /Page /")
+    header = f"3 0 4 {off2} 5 {off3} ".encode()
+    stm_data = header + objstm_payload
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    offsets[1] = len(out)
+    out += (
+        b"1 0 obj\n<< /Length %d >>\nstream\n" % len(content)
+        + content + b"\nendstream\nendobj\n"
+    )
+    offsets[2] = len(out)
+    out += (
+        b"2 0 obj\n<< /Type /ObjStm /N 3 /First %d /Length %d >>\nstream\n"
+        % (len(header), len(stm_data))
+        + stm_data + b"\nendstream\nendobj\n"
+    )
+    xref_pos = len(out)
+    rows = [
+        (0, 0, 0),            # obj 0: free
+        (1, offsets[1], 0),   # content stream
+        (1, offsets[2], 0),   # the ObjStm container
+        (2, 2, 0),            # catalog: in stream 2, index 0
+        (2, 2, 1),            # pages
+        (2, 2, 2),            # page
+        (1, xref_pos, 0),     # obj 6: this xref stream
+    ]
+    xref_data = b"".join(
+        bytes([t]) + o.to_bytes(2, "big") + bytes([g]) for t, o, g in rows
+    )
+    xref_data_z = zlib.compress(xref_data)
+    out += (
+        b"6 0 obj\n<< /Type /XRef /Size 7 /W [1 2 1] /Root 3 0 R /Filter "
+        b"/FlateDecode /Length %d >>\nstream\n" % len(xref_data_z)
+        + xref_data_z + b"\nendstream\nendobj\n"
+    )
+    out += b"startxref\n%d\n%%%%EOF" % xref_pos
+    return bytes(out), "\n\nxref stream text"
+
+
 def fx_encrypted_identity_stmf() -> tuple[bytes, str]:
     """V4/R4 doc whose /StmF is Identity (spec default): stream bodies are
     NOT encrypted even though an AESV2 StdCF exists for strings.  Covers the
@@ -914,6 +967,7 @@ FIXTURES: dict[str, callable] = {
     "macexpert_encoding": fx_macexpert_encoding,
     "alternate_colorspace": fx_alternate_colorspace,
     "devicen_colorspace": fx_devicen_colorspace,
+    "xref_stream_objstm": fx_xref_stream_objstm,
     "lzw_stream": fx_lzw_stream,
     "cid_embedded_cmap": fx_cid_embedded_cmap,
     "type3_font": fx_type3_font,

@@ -9,11 +9,13 @@ value hash):
     Spark size() to long)
   * float outputs rounded or integer-scaled where engines could differ in
     summation order
-Non-SQL-expressible ops (LSH/IVF ANN — hyperplane/k-means internals,
-multimodal decode, paged extraction, HTML render) have no oracle entry ->
-rows-only check.  Everything else, including the flagship extraction (via
-the golden-spans parquet) and simhash (md5 bit votes replicated in SQL),
-is value-hash checked against DuckDB.
+Non-SQL-expressible ops fall back to golden-parquet oracles (flagship /
+paged / metadata extraction, multimodal decode, HTML render, HTML main
+content — all under dist/, spec-derived or reviewed snapshots) or to the
+`ann_recall` boolean gate (LSH/IVF top-k, whose hyperplane/k-means
+internals no SQL engine replicates — the only two rows-only queries).
+Everything else, including simhash (md5 bit votes replicated in SQL), is
+value-hash checked against DuckDB.
 """
 
 from __future__ import annotations

@@ -29,10 +29,12 @@ def golden_rows(replicas: int = 1) -> dict[str, list]:
     cols = {k: [] for k in
             ("doc_id", "version", "page_count", "title", "author",
              "subject", "producer", "creator", "error")}
-    for doc_id, _pdf, _expected in corpus(replicas):
+    for doc_id, pdf, _expected in corpus(replicas):
         family = doc_id.rsplit("-", 1)[0]
         cols["doc_id"].append(doc_id)
-        cols["version"].append("1.4")
+        # version = the header's own literal (%PDF-1.x), not engine output
+        assert pdf.startswith(b"%PDF-"), doc_id
+        cols["version"].append(pdf[5:8].decode("ascii"))
         cols["page_count"].append(EXPECTED_PAGES.get(family, 1))
         for k in ("title", "author", "subject", "producer", "creator", "error"):
             cols[k].append(None)
