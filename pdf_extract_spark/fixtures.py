@@ -869,6 +869,44 @@ def fx_xref_stream_objstm() -> tuple[bytes, str]:
     return bytes(out), "\n\nxref stream text"
 
 
+def fx_form_xobject() -> tuple[bytes, str]:
+    """Do-operator family: an Image XObject (-> kind='media' span, the
+    interleaved text+media data model) plus a Form XObject whose content
+    runs recursively with the form's OWN resources (lib.rs:1860-1869).
+    The image Do comes first so the media span precedes all text spans
+    (the device flushes text lines lazily).  Expected text hand-derived:
+    'inside form' at dy=20 > 1.5*12 fires rule 1 and the moved-left rule
+    -> two newlines, exactly like the fx_multiline gamma case."""
+    b = PdfBuilder()
+    img = b.add_stream(
+        "/Type /XObject /Subtype /Image /Width 2 /Height 2 "
+        "/ColorSpace /DeviceGray /BitsPerComponent 8",
+        b"\x00\x40\x80\xc0",
+    )
+    form_content = b"BT /F2 12 Tf 72 700 Td (inside form) Tj ET"
+    form = b.add_stream(
+        "/Type /XObject /Subtype /Form /BBox [0 0 612 792] /Resources "
+        "<< /Font << /F2 << /Type /Font /Subtype /Type1 "
+        "/BaseFont /Helvetica >> >> >>",
+        form_content,
+    )
+    content = b"/Im1 Do BT /F1 12 Tf 72 720 Td (outside) Tj ET /Fm1 Do"
+    c = b.add_stream("", content)
+    page = b.add(b"")
+    pages = b.add(
+        (
+            f"<< /Type /Pages /Kids [{page} 0 R] /Count 1 /MediaBox [0 0 612 792] >>"
+        ).encode("latin-1")
+    )
+    res = f"<< /Font {_HELV} /XObject << /Im1 {img} 0 R /Fm1 {form} 0 R >> >>"
+    b.objects[page - 1] = (
+        f"<< /Type /Page /Parent {pages} 0 R /Contents {c} 0 R "
+        f"/Resources {res} >>"
+    ).encode("latin-1")
+    catalog = b.add(f"<< /Type /Catalog /Pages {pages} 0 R >>".encode("latin-1"))
+    return b.build(catalog), "\n\noutside\n\ninside form"
+
+
 def fx_encrypted_identity_stmf() -> tuple[bytes, str]:
     """V4/R4 doc whose /StmF is Identity (spec default): stream bodies are
     NOT encrypted even though an AESV2 StdCF exists for strings.  Covers the
@@ -968,6 +1006,7 @@ FIXTURES: dict[str, callable] = {
     "alternate_colorspace": fx_alternate_colorspace,
     "devicen_colorspace": fx_devicen_colorspace,
     "xref_stream_objstm": fx_xref_stream_objstm,
+    "form_xobject": fx_form_xobject,
     "lzw_stream": fx_lzw_stream,
     "cid_embedded_cmap": fx_cid_embedded_cmap,
     "type3_font": fx_type3_font,
@@ -979,6 +1018,10 @@ FIXTURES: dict[str, callable] = {
 # golden-spans oracle derivation (tools/gen_golden_spans.py), never by the
 # engine.
 EXPECTED_PAGES: dict[str, int] = {"multipage": 2}
+
+# media spans (kind='media', text '', offset 0) emitted BEFORE any text
+# span — families whose content issues the Image-XObject Do before text
+EXPECTED_MEDIA: dict[str, list[str]] = {"form_xobject": ["Im1"]}
 
 # Hand-derived per-page expected text for multi-page families (by-pages
 # semantics: a FRESH device per page, so each page opens with the rule-1+2

@@ -61,11 +61,12 @@ def fixture_corpus_df(spark: SparkSession, replicas: int = 1) -> DataFrame:
 def golden_spans_df(spark: SparkSession, replicas: int = 1) -> DataFrame:
     """Golden documents_spans derived from fixture expected text (the
     fixture builder's own prediction — independent of the engine)."""
-    from ..fixtures import corpus
+    from ..fixtures import EXPECTED_MEDIA, corpus
 
     rows = []
     for doc_id, _pdf, expected in corpus(replicas):
-        spans = []
+        family = doc_id.rsplit("-", 1)[0]
+        spans = [("media", "", name, 0) for name in EXPECTED_MEDIA.get(family, [])]
         offset = 0
         for seg in expected.split("\n"):
             spans.append(

@@ -23,12 +23,9 @@ def test_extract_matches_goldens(spark):
     out = extract_documents(raw, num_partitions=8).cache()
     assert out.filter(F.col("error").isNotNull()).count() == 0
 
-    # span-sequence equality (kind, text, media_ref, order) vs goldens.
-    # goldens derive from expected text, so media spans are excluded.
-    got = out.select(
-        "doc_id",
-        F.expr("filter(spans, s -> s.kind != 'media')").alias("spans"),
-    )
+    # span-sequence equality (kind, text, media_ref, order) vs goldens —
+    # INCLUDING media spans (EXPECTED_MEDIA hand-derivation)
+    got = out.select("doc_id", "spans")
     golden = golden_spans_df(spark, replicas=3)
     joined = got.alias("g").join(golden.alias("x"), "doc_id", "inner")
     n = golden.count()

@@ -20,7 +20,11 @@ import pyarrow.parquet as pq
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from pdf_extract_spark.fixtures import EXPECTED_PAGE_TEXTS, corpus  # noqa: E402
+from pdf_extract_spark.fixtures import (  # noqa: E402
+    EXPECTED_MEDIA,
+    EXPECTED_PAGE_TEXTS,
+    corpus,
+)
 
 OUT = Path(__file__).resolve().parent.parent / "dist" / "golden_paged.parquet"
 
@@ -30,10 +34,13 @@ def golden_rows(replicas: int = 1) -> dict[str, list]:
     for doc_id, _pdf, expected in corpus(replicas):
         family = doc_id.rsplit("-", 1)[0]
         page_texts = EXPECTED_PAGE_TEXTS.get(family, [expected])
+        # media spans (EXPECTED_MEDIA) are emitted on page 1 of the family
+        n_media = len(EXPECTED_MEDIA.get(family, []))
         for page_num, text in enumerate(page_texts, start=1):
             cols["doc_id"].append(doc_id)
             cols["page_num"].append(page_num)
-            cols["n_spans"].append(len(text.split("\n")))
+            extra = n_media if page_num == 1 else 0
+            cols["n_spans"].append(len(text.split("\n")) + extra)
     return cols
 
 

@@ -23,7 +23,7 @@ import pyarrow.parquet as pq
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from pdf_extract_spark.fixtures import EXPECTED_PAGES, corpus  # noqa: E402
+from pdf_extract_spark.fixtures import EXPECTED_MEDIA, EXPECTED_PAGES, corpus  # noqa: E402
 
 OUT = Path(__file__).resolve().parent.parent / "dist" / "golden_spans.parquet"
 
@@ -35,8 +35,18 @@ def golden_rows(replicas: int = 2) -> dict[str, list]:
     for doc_id, _pdf, expected in corpus(replicas):
         family = doc_id.rsplit("-", 1)[0]
         pages = EXPECTED_PAGES.get(family, 1)
+        media = EXPECTED_MEDIA.get(family, [])
+        for pos, name in enumerate(media):
+            cols["doc_id"].append(doc_id)
+            cols["pages"].append(pages)
+            cols["decode_failures"].append(0)
+            cols["pos"].append(pos)
+            cols["kind"].append("media")
+            cols["text"].append("")
+            cols["media_ref"].append(name)
+            cols["offset"].append(0)
         offset = 0
-        for pos, seg in enumerate(expected.split("\n")):
+        for pos, seg in enumerate(expected.split("\n"), start=len(media)):
             cols["doc_id"].append(doc_id)
             cols["pages"].append(pages)
             cols["decode_failures"].append(0)
