@@ -115,6 +115,26 @@ def main() -> None:
     spans_per_sec = round((agg[0] or 0) / dt, 1)
     raw.unpersist()
 
+    # HTML boilerplate-strip throughput (the north rule's HTML half):
+    # deterministic executor-side corpus, same scale rule as the PDF bench
+    from pdf_extract_spark.html_main import extract_main_content
+    from pdf_extract_spark.sources.raw_docs import synthetic_html_corpus_df
+
+    html_raw = synthetic_html_corpus_df(spark, n_target).cache()
+    n_html = html_raw.count()
+    hdt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        hagg = (
+            extract_main_content(html_raw, num_partitions=cpus * 2)
+            .groupBy().sum("n_spans").collect()[0]
+        )
+        hdt = min(hdt, time.perf_counter() - t0)
+    timings["extract_html_main"] = round(hdt, 3)
+    html_docs_per_sec = round(n_html / hdt, 1)
+    html_spans_per_sec = round((hagg[0] or 0) / hdt, 1)
+    html_raw.unpersist()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -127,6 +147,9 @@ def main() -> None:
                 "extract_docs": n_docs,
                 "extract_docs_per_sec": docs_per_sec,
                 "extract_spans_per_sec": spans_per_sec,
+                "html_docs": n_html,
+                "html_docs_per_sec": html_docs_per_sec,
+                "html_spans_per_sec": html_spans_per_sec,
                 "cpus": cpus,
             }
         )

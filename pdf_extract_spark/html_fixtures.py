@@ -165,6 +165,23 @@ FAMILIES = {
 }
 
 
+def make_large_page(n_paras: int, seed: int = 0) -> str:
+    """Deterministic big page: n_paras keepable paragraphs (cycling the P*
+    sentences with a per-para uniqueness token) inside the full boilerplate
+    template, plus one figure every 8 paragraphs — the scale-bench shape."""
+    sents = [P1, P2, P3]
+    parts = ["<article>"]
+    for i in range(n_paras):
+        parts.append(f"<p>{sents[(seed + i) % 3]} Paragraph marker {seed}-{i}.</p>")
+        if i % 8 == 7:
+            parts.append(
+                f"<figure><img src='img{seed}-{i}.png' alt='figure {i}'>"
+                f"<figcaption>{CAP}</figcaption></figure>"
+            )
+    parts.append("</article>")
+    return _page("".join(parts))
+
+
 def html_corpus(replicas: int = 1) -> list[tuple[str, str, list]]:
     """(doc_id, html, expected_spans) — replicated deterministically."""
     out = []

@@ -143,6 +143,53 @@ def synthetic_corpus_df(
     )
 
 
+def synthetic_html_corpus_df(
+    spark: SparkSession,
+    n_docs: int,
+    num_partitions: int | None = None,
+    paras: tuple = (6, 12, 24, 48),
+) -> DataFrame:
+    """Deterministic HTML corpus generated ON THE EXECUTORS (same unbounded
+    pattern as synthetic_corpus_df): page i cycles the fixture families and
+    every 4th doc is a large article with a paras-cycle paragraph count —
+    the input for the boilerplate-strip throughput bench."""
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def gen(batches):
+        import pandas as pd
+
+        from ..html_fixtures import FAMILIES, make_large_page
+
+        fams = sorted(FAMILIES)
+        cache: dict = {}
+
+        for b in batches:
+            rows = {"doc_id": [], "html": []}
+            for i in b["id"]:
+                i = int(i)
+                if i % 4 == 0:
+                    n_paras = paras[(i // 4) % len(paras)]
+                    key = f"large{n_paras}-{i % 16}"
+                    if key not in cache:
+                        cache[key] = make_large_page(n_paras, seed=i % 16)
+                    name, html = f"large{n_paras}", cache[key]
+                else:
+                    name = fams[i % len(fams)]
+                    if name not in cache:
+                        cache[name] = FAMILIES[name]()[0]
+                    html = cache[name]
+                rows["doc_id"].append(f"{name}-{i:09d}")
+                rows["html"].append(html)
+            yield pd.DataFrame(rows)
+
+    return (
+        spark.range(n_docs)
+        .repartition(num_partitions)
+        .mapInPandas(gen, "doc_id string, html string")
+    )
+
+
 def balanced_corpus_df(
     spark: SparkSession,
     n_docs: int,

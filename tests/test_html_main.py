@@ -84,3 +84,46 @@ def test_golden_html_main_parquet_current():
     assert [tuple(r) for r in on_disk] == sorted(expected_span_rows(1)), (
         "dist/golden_html_main.parquet stale — re-run tools/gen_golden_html_main.py"
     )
+
+
+def test_parser_never_raises_fuzz():
+    """Byte-soup / tag-soup totality for the HTML tree builder."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.text(max_size=2048))
+    @settings(max_examples=300, deadline=None)
+    def run(s):
+        spans = extract_main_spans(s)
+        offset = 0
+        for _k, text, _r, off in spans:
+            assert off == offset
+            offset += len(text) + 1
+
+    run()
+
+
+def test_synthetic_html_corpus_extracts(spark):
+    """Scale-bench corpus: deterministic, extracts with expected shape
+    (large pages keep their paragraph count + figure media spans)."""
+    from pyspark.sql import functions as F
+
+    from pdf_extract_spark.html_main import extract_main_content
+    from pdf_extract_spark.sources.raw_docs import synthetic_html_corpus_df
+
+    raw = synthetic_html_corpus_df(spark, 32, num_partitions=4)
+    out = extract_main_content(raw, num_partitions=4)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 32
+    # doc 0: large page with 6 paras -> 6 text spans, no figure (i%8==7 never)
+    large6 = next(k for k in rows if k.startswith("large6-"))
+    assert rows[large6]["n_spans"] == 6
+    # large 24-para page: figure after paras 7/15/23 -> 3 x (media+caption)
+    large24 = next(k for k in rows if k.startswith("large24-"))
+    assert rows[large24]["n_spans"] == 24 + 3 * 2
+    # determinism: same id -> same spans
+    again = extract_main_content(
+        synthetic_html_corpus_df(spark, 32, num_partitions=2), num_partitions=2
+    )
+    a = {r["doc_id"]: r["spans"] for r in again.collect()}
+    assert a[large24] == rows[large24]["spans"]
