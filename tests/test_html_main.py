@@ -127,3 +127,40 @@ def test_synthetic_html_corpus_extracts(spark):
     )
     a = {r["doc_id"]: r["spans"] for r in again.collect()}
     assert a[large24] == rows[large24]["spans"]
+
+
+def test_streaming_html_main_content(spark, tmp_path):
+    """The boilerplate-strip stage runs unchanged under Structured
+    Streaming (stateless mapInPandas): availableNow file stream over the
+    HTML corpus -> same spans as the batch run."""
+    from pdf_extract_spark.html_main import extract_main_content
+    from pdf_extract_spark.sources.raw_docs import synthetic_html_corpus_df
+
+    src = str(tmp_path / "html_in")
+    out = str(tmp_path / "html_spans")
+    ckpt = str(tmp_path / "html_ckpt")
+    raw = synthetic_html_corpus_df(spark, 24, num_partitions=4)
+    raw.write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    q = (
+        extract_main_content(stream, num_partitions=4)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    got = {r["doc_id"]: r["spans"] for r in spark.read.parquet(out).collect()}
+    batch = {
+        r["doc_id"]: r["spans"]
+        for r in extract_main_content(raw, num_partitions=4).collect()
+    }
+    assert got == batch and len(got) == 24
