@@ -301,30 +301,17 @@ class Processor:
             if w_list is None:
                 w_list = font._np_w1000.tolist()
                 font._py_w1000 = w_list
-            if len(s) < 32:
-                total = 0.0
-                cum_last = 0.0
-                for code in s:
-                    cum_last = total
-                    sp = char_spacing + (word_spacing if code == 32 else 0.0)
-                    total += h * (w_list[code] * fs + sp)
-                last_w0 = w_list[s[-1]]
-            else:
-                import numpy as np
-
-                codes = np.frombuffer(s, dtype=np.uint8)
-                w0s = font._np_w1000[codes]
-                if char_spacing == 0.0 and word_spacing == 0.0:
-                    # dominant case: no spacing terms -> one scaled gather
-                    txs = (h * fs) * w0s
-                else:
-                    sp = np.full(len(s), char_spacing, dtype=np.float64)
-                    if word_spacing:
-                        sp[codes == 32] += word_spacing
-                    txs = h * (w0s * fs + sp)
-                total = float(txs.sum())
-                cum_last = total - float(txs[-1])
-                last_w0 = float(w0s[-1])
+            # closed form — no per-char Python loop and no numpy fixed
+            # overhead: total advance = h*(sum(w)*fs + cs*n + ws*#spaces),
+            # with sum/map/count all C-level primitives
+            last_code = s[-1]
+            last_w0 = w_list[last_code]
+            sum_w = sum(map(w_list.__getitem__, s))
+            total = h * (sum_w * fs + char_spacing * len(s))
+            if word_spacing:
+                total += h * word_spacing * s.count(32)
+            last_sp = char_spacing + (word_spacing if last_code == 32 else 0.0)
+            cum_last = total - h * (last_w0 * fs + last_sp)
             out_str(
                 (h * ma, h * mb, mc, md, rise * mc + me, rise * md + mf),
                 s.decode("latin-1").translate(trans),
