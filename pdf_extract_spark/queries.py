@@ -1012,6 +1012,35 @@ def html_main_content(spark, sf_dir):
     )
 
 
+def unified_spans(spark, sf_dir):
+    """The north rule's single-table data model: PDF extraction and HTML
+    main-content extraction land in ONE interleaved text+media spans table
+    (doc_id, source_format, pos, kind, text, media_ref, offset) — a user
+    queries both halves through the same schema.  Oracle = union of the
+    two golden parquets."""
+    pdf = extract_pdf_spans(spark, sf_dir).select(
+        "doc_id", F.lit("pdf").alias("source_format"),
+        "pos", "kind", "text", "media_ref", "offset",
+    )
+    html = html_main_content(spark, sf_dir).select(
+        "doc_id", F.lit("html").alias("source_format"),
+        "pos", "kind", "text", "media_ref", "offset",
+    )
+    return pdf.unionByName(html).orderBy("source_format", "doc_id", "pos")
+
+
+UNIFIED_SPANS_SQL = f"""
+SELECT doc_id, 'pdf' AS source_format, pos, kind, text, media_ref,
+       "offset" AS offset
+FROM read_parquet('{_GOLDEN_SPANS_PARQUET}')
+UNION ALL
+SELECT doc_id, 'html' AS source_format, pos, kind, text, media_ref,
+       "offset" AS offset
+FROM read_parquet('{_GOLDEN_HTML_MAIN_PARQUET}')
+ORDER BY source_format, doc_id, pos
+"""
+
+
 def simhash_pairs(spark, sf_dir):
     out = simhash_near_pairs(load(spark, sf_dir, "documents"), max_hamming=8)
     return out.select(
@@ -1162,6 +1191,7 @@ QUERIES = {
     "media_features": media_features,
     "ann_recall": ann_recall,
     "html_main_content": html_main_content,
+    "unified_spans": unified_spans,
     "doc_metadata": doc_metadata_q,
     "extract_paged_spans": extract_paged_spans,
     "render_html": render_html,
@@ -1204,6 +1234,7 @@ ORACLES = {
     "media_features": MEDIA_FEATURES_SQL,
     "ann_recall": ANN_RECALL_SQL,
     "html_main_content": HTML_MAIN_SQL,
+    "unified_spans": UNIFIED_SPANS_SQL,
     "render_html": RENDER_HTML_SQL,
     # ann_lsh_topk / ann_ivf_topk (hyperplane/k-means internals):
     # non-SQL-expressible -> rows-only; recall is driver-visible through
