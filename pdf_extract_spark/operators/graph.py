@@ -30,7 +30,7 @@ def connected_components(
     dst: str = "doc_b",
     max_iterations: int = 25,
     checkpoint_dir: str | None = None,
-    pointer_jump: bool = True,
+    pointer_jump: bool | str = "auto",
 ) -> DataFrame:
     """pairs(src, dst) -> (doc_id, cluster_id) where cluster_id is the
     minimum vertex id in the component.  Vertices are exactly the ids that
@@ -45,12 +45,17 @@ def connected_components(
     local[N], NOT for a 1000-executor run — pass a dir there.
 
     Convergence: each round folds in (a) the min over neighbor labels and,
-    when `pointer_jump` (default), (b) the label OF the current label —
-    pointer jumping, which cuts rounds from O(diameter) to O(log diameter),
-    so a 25-round budget covers any realizable component.  The jump join is
-    against the labels table (vertices, not edges) — cheap next to the
-    edge join at any scale.  If the budget is still exhausted before
-    fixpoint a warning is raised naming the unconverged count."""
+    when pointer jumping is active, (b) the label OF the current label —
+    which cuts rounds from O(diameter) to O(log diameter), so a 25-round
+    budget covers any realizable component.  `pointer_jump="auto"`
+    (default) enables the jump join only from round 8 onward: dense
+    near-dup graphs converge in 2-4 plain rounds (the jump join is pure
+    overhead there, ~20% per round), while a pathological chain still
+    closes within budget once jumping kicks in.  True/False force it
+    always-on/off.  The jump join is against the labels table (vertices,
+    not edges) — cheap next to the edge join at any scale.  If the budget
+    is still exhausted before fixpoint a warning is raised naming the
+    unconverged count."""
     sc = pairs.sparkSession.sparkContext
     if checkpoint_dir is not None:
         sc.setCheckpointDir(checkpoint_dir)
@@ -79,7 +84,9 @@ def connected_components(
     )
     converged = False
     new_labels = None
-    for _ in range(max_iterations):
+    jump_from = 0 if pointer_jump is True else (8 if pointer_jump == "auto" else max_iterations + 1)
+    for round_no in range(max_iterations):
+        do_jump = round_no >= jump_from
         # neighbor labels: for vertex a, the labels of all b's
         neighbor_min = (
             edges.join(labels.withColumnRenamed("id", "b"), "b")
@@ -89,7 +96,7 @@ def connected_components(
         )
         cand = labels.join(neighbor_min, "id", "left")
         best = F.least(F.col("label"), F.coalesce("nbr_label", "label"))
-        if pointer_jump:
+        if do_jump:
             # label-of-label: every label IS a vertex id, so look its own
             # label up in the same table (left join: always hits, but safe)
             jump = labels.toDF("jid", "grand")
