@@ -20,8 +20,11 @@ built only on the stdlib ``html.parser`` (no lxml/bs4 in this container):
    when it is a heading (h1-h6) with chars >= 8 and link_density < 0.5 —
    the classic density rule: boilerplate is short and link-heavy, content
    is long and link-light.
-6. <img>/<video>/<audio> inside kept blocks or inside a kept <figure>
-   become MEDIA spans (media_ref = src, text = alt or "").
+6. <img>/<video>/<audio> inline in a KEPT block become MEDIA spans
+   (media_ref = src, text = alt or ""); media inside a <figure> in the
+   main flow is emitted unconditionally (a figure is content even without
+   a caption), with figures acting as boundaries so a span is never
+   emitted twice.
 
 Output per doc: ordered spans (kind: text|heading|media, text, media_ref,
 offset) with offset the running character offset (len(text)+1 per span) —
@@ -149,7 +152,8 @@ def _norm(s: str) -> str:
 
 def _block_text(node: _Node, in_link: bool = False) -> tuple[str, int, int]:
     """(raw_text, chars, link_chars) over the INLINE content of a block:
-    block-element children are excluded (scored as their own blocks)."""
+    block-element children (and figures, which are their own unit) are
+    excluded — they are scored/emitted separately."""
     parts: list[str] = []
     chars = 0
     link_chars = 0
@@ -161,7 +165,10 @@ def _block_text(node: _Node, in_link: bool = False) -> tuple[str, int, int]:
             if in_link:
                 link_chars += n
         elif isinstance(ch, _Node):
-            if ch.tag in _BLOCK_TAGS or ch.boiler or ch.tag in _MEDIA_TAGS:
+            if (
+                ch.tag in _BLOCK_TAGS or ch.boiler or ch.tag in _MEDIA_TAGS
+                or ch.tag == "figure"
+            ):
                 continue
             t, c, lc = _block_text(ch, in_link or ch.tag == "a")
             parts.append(t)
@@ -171,7 +178,9 @@ def _block_text(node: _Node, in_link: bool = False) -> tuple[str, int, int]:
 
 
 def _block_media(node: _Node) -> list[tuple[int, str, str]]:
-    """(pos, src, alt) media refs in the INLINE content of a block."""
+    """(pos, src, alt) media refs in the INLINE content of a block.
+    Figures are a boundary: their media is emitted by _walk's figure
+    branch (emitting it here too would duplicate the span)."""
     out: list[tuple[int, str, str]] = []
     for ch in node.children:
         if isinstance(ch, _Node):
@@ -179,7 +188,7 @@ def _block_media(node: _Node) -> list[tuple[int, str, str]]:
                 src = ch.attrs.get("src", "")
                 if src:
                     out.append((ch.pos, src, _norm(ch.attrs.get("alt", ""))))
-            elif ch.tag not in _BLOCK_TAGS and not ch.boiler:
+            elif ch.tag not in _BLOCK_TAGS and not ch.boiler and ch.tag != "figure":
                 out.extend(_block_media(ch))
     return out
 
@@ -199,8 +208,9 @@ def _walk(node: _Node, out: list[tuple[int, str, str, str]]):
         if not isinstance(ch, _Node) or ch.boiler or ch.tag in _SKIP_TAGS:
             continue
         if ch.tag == "figure":
-            # a figure is kept when its caption passes OR it holds media
-            text, chars, lc = _block_text(ch)
+            # figure media is emitted unconditionally (a figure in the
+            # main flow is content even without a caption); its
+            # figcaption/nested blocks score as their own blocks below
             for pos, src, alt in _block_media(ch):
                 out.append((pos, "media", alt, src))
             _walk(ch, out)

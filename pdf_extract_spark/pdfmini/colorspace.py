@@ -119,7 +119,10 @@ def make_colorspace(doc, name: str, resources: dict):
     if cs is None:
         raise ColorSpaceError(f"missing colorspace {name!r}")
     if not isinstance(cs, list):
-        # name-valued resource entry (lib.rs:1558-1563): DeviceRGB/DeviceGray
+        # name-valued resource entry (lib.rs:1558-1563): the reference's
+        # name branch matches ONLY DeviceRGB/DeviceGray and panics on
+        # anything else (incl. DeviceCMYK/Pattern) — our raise surfaces as
+        # a decode_failure row, the graceful analogue of that panic
         from .objects import Name
 
         if isinstance(cs, (Name, str)) and str(cs) in ("DeviceRGB", "DeviceGray"):

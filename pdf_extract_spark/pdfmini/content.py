@@ -84,11 +84,14 @@ def decode_content(data: bytes) -> list[tuple[str, list]]:
                 i = 0
                 while i < len(raw):
                     if raw[i] == 0x23 and i + 2 < len(raw):
-                        out.append(int(raw[i + 1 : i + 3], 16))
-                        i += 3
-                    else:
-                        out.append(raw[i])
-                        i += 1
+                        try:
+                            out.append(int(raw[i + 1 : i + 3], 16))
+                            i += 3
+                            continue
+                        except ValueError:
+                            pass  # malformed #-escape: keep the literal '#'
+                    out.append(raw[i])
+                    i += 1
                 raw = bytes(out)
             sink.append(Name(raw.decode("latin-1")))
             continue

@@ -763,14 +763,12 @@ def doc_winnow_fingerprints(spark, sf_dir):
     lambdas) — measured as a >9 min hang at sf0.1."""
     import pyarrow as pa
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    # the kernel is CPU-bound per doc: if the scan yields fewer splits than
-    # cores (small files), spread it — a 1x-text-bytes round-robin exchange,
-    # vs the 40x char-explode shuffle this kernel replaced; at real scale the
-    # scan already has >= cores splits and this is a no-op
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    from .operators.dedup import _spread
+
+    # CPU-bound per-doc kernel: spread a small-file scan over all cores
+    # (a 1x-text-bytes round-robin exchange vs the 40x char-explode shuffle
+    # this kernel replaced; no-op at real scale)
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def kernel(batches):
         import hashlib

@@ -86,6 +86,12 @@ def make_sessionizer(gap_seconds: int = GAP_SECONDS_DEFAULT, tz: str = "UTC"):
                     elif t - cur[1] > gap_seconds:
                         emit(*cur)
                         cur = [t, t, 1, float(v)]
+                    elif cur[0] - t > gap_seconds:
+                        # late event MORE than a gap before the open
+                        # session's start: in batch order it forms its own
+                        # earlier session — emit it closed immediately
+                        # instead of wrongly merging across the gap
+                        emit(t, t, 1, float(v))
                     else:
                         # a late-but-in-watermark event can precede the open
                         # session carried in state: extend start backwards

@@ -164,3 +164,15 @@ def test_streaming_html_main_content(spark, tmp_path):
         for r in extract_main_content(raw, num_partitions=4).collect()
     }
     assert got == batch and len(got) == 24
+
+
+def test_figure_in_kept_block_emits_media_once():
+    """Regression: a figure nested inside a text-bearing kept block must
+    emit its media span exactly once (figure acts as a boundary for
+    _block_media; _walk's figure branch owns the emission)."""
+    spans = extract_main_spans(
+        "<td>This sentence is definitely long enough to keep here."
+        "<figure><img src='x.png' alt='pic'></figure></td>"
+    )
+    media = [s for s in spans if s[0] == "media"]
+    assert media == [("media", "pic", "x.png", 54)]

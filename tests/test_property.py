@@ -174,6 +174,7 @@ def test_decode_content_token_shapes():
     ops = decode_content(
         b"% comment\n"
         b"1 0 0 1 72 720 cm "
+        b"/bad#zz#4 name "
         b"/F0#41 12 Tf "
         b"[(a) -120 (b \\(c\\)) 4.5e2] TJ "
         b"5x 2. -.5 junk "
@@ -186,6 +187,8 @@ def test_decode_content_token_shapes():
     for op, operands in ops:
         d.setdefault(op, operands)
     assert d["cm"] == [1, 0, 0, 1, 72, 720]
+    # malformed #-escapes keep the literal '#' instead of raising
+    assert d["name"] == [Name("bad#zz#4")]
     assert d["Tf"] == [Name("F0A"), 12]
     tj = d["TJ"][0]
     assert tj[0] == PdfString(b"a") and tj[1] == -120

@@ -273,3 +273,25 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
     # timeout-closed finals
     assert got.count() >= closed_batch.count()
     assert got.count() > 0
+
+
+def test_sessionizer_very_late_event_is_own_session():
+    """Regression: an event more than a gap BEFORE the open session's start
+    must close as its own singleton (batch parity), not merge across the
+    gap via the extend-backwards rule."""
+    import pandas as pd
+
+    from pdf_extract_spark.streaming.sessionize import make_sessionizer
+
+    fn = make_sessionizer(gap_seconds=1800)
+    base = pd.Timestamp("2024-01-01 12:00:00")
+    epoch = int(base.timestamp())
+    state = _FakeState((epoch, epoch + 10, 2, 4.0))
+    late = base - pd.Timedelta(seconds=3600)
+    (closed,) = list(fn((7,), iter([pd.DataFrame({"ts": [late], "value": [9.0]})]), state))
+    assert len(closed) == 1
+    row = closed.iloc[0]
+    assert row["start_ts"] == late and row["end_ts"] == late
+    assert row["n_events"] == 1 and row["session_value"] == 9.0
+    # the open session is untouched
+    assert state.get == (epoch, epoch + 10, 2, 4.0)
