@@ -120,14 +120,9 @@ class Processor:
         current_point = (0.0, 0.0)
 
         for op, operands in ops:
-            if op in ("BT", "ET"):
-                tlm = IDENTITY
-                gs.ts.tm = tlm
-            elif op == "cm":
-                if len(operands) == 6:
-                    m = tuple(_num(x) for x in operands)
-                    gs.ctm = mat_mul(m, gs.ctm)
-            elif op == "TJ":
+            # dispatch ordered by frequency in text-heavy streams:
+            # TJ/Tj/Td dominate, then state/matrix ops, then the rest
+            if op == "TJ":
                 if operands and isinstance(operands[0], list):
                     for e in operands[0]:
                         if isinstance(e, (PdfString, bytes)):
@@ -140,6 +135,18 @@ class Processor:
             elif op == "Tj":
                 if operands and isinstance(operands[0], (PdfString, bytes)):
                     self._show_text(gs, bytes(operands[0]), output)
+            elif op == "Td":
+                if len(operands) == 2:
+                    tlm = mat_mul(translate(_num(operands[0]), _num(operands[1])), tlm)
+                    gs.ts.tm = tlm
+                    output.end_line()
+            elif op in ("BT", "ET"):
+                tlm = IDENTITY
+                gs.ts.tm = tlm
+            elif op == "cm":
+                if len(operands) == 6:
+                    m = tuple(_num(x) for x in operands)
+                    gs.ctm = mat_mul(m, gs.ctm)
             elif op == "Tc":
                 gs.ts.character_spacing = _num(operands[0]) if operands else 0.0
             elif op == "Tw":
@@ -164,11 +171,6 @@ class Processor:
             elif op == "Tm":
                 if len(operands) == 6:
                     tlm = tuple(_num(x) for x in operands)
-                    gs.ts.tm = tlm
-                    output.end_line()
-            elif op == "Td":
-                if len(operands) == 2:
-                    tlm = mat_mul(translate(_num(operands[0]), _num(operands[1])), tlm)
                     gs.ts.tm = tlm
                     output.end_line()
             elif op == "TD":
