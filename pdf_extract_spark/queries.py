@@ -1143,7 +1143,15 @@ def media_features(spark, sf_dir):
     (real PPM/BMP/WAV decoders + documented stub tier) plus the fixture PDFs
     as opaque MB-scale blobs.  Oracled against dist/golden_media.parquet —
     expectations derived from the corpus SPECS by closed-form math
-    (tools/gen_golden_media.py), never from the decoders."""
+    (tools/gen_golden_media.py), never from the decoders.
+
+    The feature vector is serialized to a canonical string so the driver's
+    pandas canonicalizer can sort/hash the cell (list cells are unhashable):
+    each float32 element -> floor(double(x) * 1e6 + 0.5) as a long, joined
+    with commas.  floor is exact on IEEE doubles in both the JVM and the
+    Python golden generator, so there is no cross-engine rounding-mode or
+    float-formatting ambiguity (unlike %.6f, whose half-way handling differs
+    between Java HALF_UP and Python round-half-even)."""
     from .operators.multimodal import extract_media_features
     from .sources.media_corpus import synthetic_media_rows
     from .sources.raw_docs import fixture_corpus_df
@@ -1160,7 +1168,15 @@ def media_features(spark, sf_dir):
         extract_media_features(synth.unionByName(pdfs), num_partitions=4)
         .select(
             "media_id", "media_kind", "byte_len", "sha256", "width", "height",
-            "feature", "decoder",
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "feature",
+                    lambda x: F.floor(x.cast("double") * F.lit(1e6) + F.lit(0.5))
+                    .cast("string"),
+                ),
+            ).alias("feature"),
+            "decoder",
         )
         .orderBy("media_id")
     )

@@ -320,26 +320,33 @@ def test_golden_media_parquet_current(spark):
     import hashlib
 
     fresh = golden_rows()
+    import math
+
     import numpy as np
+
+    def canon(feat):
+        # mirror the query's serialization: float32 -> double,
+        # floor(x*1e6+0.5) as long, comma-joined
+        return ",".join(
+            str(math.floor(float(v) * 1e6 + 0.5))
+            for v in np.asarray(feat, dtype=np.float32)
+        )
 
     fresh_rows = sorted(
         (r[0], r[1], len(r[2]), hashlib.sha256(r[2]).hexdigest(), r[3], r[4],
-         tuple(np.asarray(r[5], dtype=np.float32).tolist()), r[6])
+         canon(r[5]), r[6])
         for r in fresh
     )
     on_disk = duckdb.sql(
         f"SELECT * FROM read_parquet('{OUT}') ORDER BY media_id"
     ).fetchall()
-    assert sorted((*r[:6], tuple(r[6]), r[7]) for r in on_disk) == fresh_rows, (
+    assert sorted(on_disk) == fresh_rows, (
         "dist/golden_media.parquet stale — re-run tools/gen_golden_media.py"
     )
 
     from pdf_extract_spark.queries import media_features
 
-    got = sorted(
-        (*t[:6], tuple(t[6]), t[7])
-        for t in (tuple(r) for r in media_features(spark, "").collect())
-    )
+    got = sorted(tuple(r) for r in media_features(spark, "").collect())
     assert got == fresh_rows
 
 

@@ -14,6 +14,7 @@ fixtures change; tests/test_operators.py guards staleness).
 from __future__ import annotations
 
 import hashlib
+import math
 import sys
 from pathlib import Path
 
@@ -82,10 +83,20 @@ def main():
             ),
             "width": pa.array([r[3] for r in rows], pa.int32()),
             "height": pa.array([r[4] for r in rows], pa.int32()),
-            # cast through float32 exactly as the engine's column type does
+            # canonical string form matching the query's serialization:
+            # float32 (the engine's column type) widened to double, then
+            # floor(x*1e6 + 0.5) as a long — exact IEEE ops on both engines,
+            # so no formatting/rounding-mode ambiguity.  Kept as a string so
+            # the driver's pandas canonicalizer can sort/hash the cell.
             "feature": pa.array(
-                [np.asarray(r[5], dtype=np.float32).tolist() for r in rows],
-                pa.list_(pa.float32()),
+                [
+                    ",".join(
+                        str(math.floor(float(v) * 1e6 + 0.5))
+                        for v in np.asarray(r[5], dtype=np.float32)
+                    )
+                    for r in rows
+                ],
+                pa.string(),
             ),
             "decoder": pa.array([r[6] for r in rows], pa.string()),
         }
