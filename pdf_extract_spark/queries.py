@@ -1083,8 +1083,10 @@ ORDER BY doc_a, doc_b
 def ann_ivf_topk(spark, sf_dir):
     """IVF coarse-quantizer ANN: deterministic sampled k-means centroids,
     cell-assignment pass, n_probe-cell candidate join, exact re-rank
-    (operators/similarity.py:ivf_topk).  Non-SQL-expressible (k-means
-    training) -> rows-only driver check; recall gated in pytest."""
+    (operators/similarity.py:ivf_topk).  Oracled against an independent
+    single-node numpy reimplementation of the spec (tools/gen_golden_ann.py,
+    ANN_IVF_SQL golden keyed by corpus fingerprint); recall additionally
+    gated in pytest and by the oracled ann_recall row."""
     from .operators.similarity import ivf_topk
 
     return ivf_topk(
@@ -1094,6 +1096,10 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 def ann_lsh_topk(spark, sf_dir):
+    """SRP-LSH ANN top-k (operators/similarity.py:lsh_topk).  Oracled by a
+    full DuckDB SQL reimplementation (ANN_LSH_SQL) — the md5-derived
+    hyperplane family is engine-independent, so buckets, multiprobe,
+    candidate join, and re-rank are all recomputed in SQL."""
     # dim=64 is the testdata embedding width (TESTDATA.md) — passing it
     # keeps plan construction free of driver actions
     return lsh_topk(
@@ -1102,11 +1108,13 @@ def ann_lsh_topk(spark, sf_dir):
 
 
 def ann_recall(spark, sf_dir):
-    """Driver-visible recall gate for the two approximate ANN paths
-    (rows-only queries ann_lsh_topk / ann_ivf_topk): per-variant hit count
-    against in-query brute-force ground truth (brute_force_topk is itself
-    value-hash oracled via ann_cosine_topk), reduced to a deterministic
-    mean-recall >= 0.8 boolean the DuckDB oracle can assert."""
+    """Driver-visible recall check for the two approximate ANN paths:
+    per-variant hit count against in-query brute-force ground truth
+    (brute_force_topk is itself value-hash oracled via ann_cosine_topk),
+    emitting BOTH the >= 0.8 gate boolean and the actual mean recall —
+    the DuckDB oracle recomputes the value independently (exact top-k in
+    SQL joined against the ANN_LSH_SQL / ANN_IVF_SQL oracles), so the
+    recall number itself is hash-checked, not merely asserted."""
     from .operators.similarity import ivf_topk
 
     emb = load(spark, sf_dir, "embeddings")
@@ -1118,10 +1126,12 @@ def ann_recall(spark, sf_dir):
         hits = exact.join(
             approx.select("query_id", "nbr_id"), ["query_id", "nbr_id"], "left_semi"
         ).agg(F.count("*").alias("n_hits"))
+        denom = float(len(qids) * k)
         return hits.select(
             F.lit(variant).alias("variant"),
             F.lit(len(qids)).cast("long").alias("n_queries"),
             (F.col("n_hits") >= F.lit(int(0.8 * len(qids) * k))).alias("recall_pass"),
+            (F.col("n_hits").cast("double") / F.lit(denom)).alias("mean_recall"),
         )
 
     ivf = gate("ivf", ivf_topk(emb, query_ids=qids, k=k, n_centroids=16, n_probe=4))
@@ -1129,11 +1139,118 @@ def ann_recall(spark, sf_dir):
     return ivf.unionByName(lsh).orderBy("variant")
 
 
-ANN_RECALL_SQL = """
-SELECT * FROM (VALUES
-  ('ivf', CAST(10 AS BIGINT), true),
-  ('lsh', CAST(10 AS BIGINT), true)
-) AS t(variant, n_queries, recall_pass)
+# Full DuckDB reimplementation of SRP-LSH ANN top-k
+# (operators/similarity.py:lsh_topk with the queries.py pinned parameters:
+# query_ids 0..9, k=5, n_planes=6, n_tables=8, multiprobe=1, dim=64).
+# The md5-derived hyperplane family is engine-independent by design
+# (similarity.py:_hyperplanes), so the whole pipeline — plane generation,
+# signed-projection buckets, 1-bit Hamming multiprobe, candidate equi-join,
+# exact cosine re-rank with (desc cos, asc nbr_id) tie-break — is
+# expressible in SQL and this is a true independent oracle, valid at any
+# scale factor.
+ANN_LSH_SQL = r"""
+WITH idx AS (SELECT unnest(range(0, 64)) AS i),
+tp AS (
+  SELECT t, p
+  FROM (SELECT unnest(range(0, 8)) AS t), (SELECT unnest(range(0, 6)) AS p)
+),
+comp AS (
+  SELECT t, p, i,
+    (('0x' || substr(md5(t::VARCHAR || ':' || p::VARCHAR || ':' || i::VARCHAR), 1, 16))::UBIGINT)::DOUBLE
+      / 9223372036854775808.0 - 1.0 AS c
+  FROM tp, idx
+),
+planes AS (SELECT t, p, list(c ORDER BY i) AS plane FROM comp GROUP BY t, p),
+vb AS (
+  SELECT e.vec_id, pl.t,
+         sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.plane) >= 0
+                  THEN (1::BIGINT << pl.p) ELSE 0 END)::BIGINT AS bucket
+  FROM embeddings e, planes pl
+  GROUP BY e.vec_id, pl.t
+),
+q AS (SELECT vec_id AS query_id, t, bucket FROM vb WHERE vec_id < 10),
+offs AS (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS o),
+qprobe AS (SELECT DISTINCT query_id, t, xor(bucket, o) AS qbucket FROM q, offs),
+cand AS (
+  SELECT DISTINCT qp.query_id, v.vec_id AS nbr_id
+  FROM qprobe qp JOIN vb v ON v.t = qp.t AND v.bucket = qp.qbucket
+  WHERE v.vec_id <> qp.query_id
+),
+scored AS (
+  SELECT c.query_id, c.nbr_id,
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.query_id
+  JOIN embeddings b ON b.vec_id = c.nbr_id
+)
+SELECT query_id, nbr_id, rank
+FROM (
+  SELECT query_id, nbr_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+_GOLDEN_ANN_IVF_PARQUET = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "dist",
+    "golden_ann_ivf.parquet",
+)
+
+# IVF top-k oracle: the k-means trainer is not SQL-expressible, so the
+# expectations come from an independent single-node numpy reimplementation
+# of the spec (tools/gen_golden_ann.py — no Spark, no operator imports).
+# Each golden slice is keyed by a fingerprint of the embeddings corpus
+# computed HERE in DuckDB, so the oracle self-selects the right slice for
+# whatever scale factor the harness runs, and an unknown corpus returns 0
+# rows (a loud row-count failure, never a silent pass).
+ANN_IVF_SQL = f"""
+SELECT query_id, nbr_id, rank
+FROM read_parquet('{_GOLDEN_ANN_IVF_PARQUET}')
+WHERE corpus_fp = (
+  SELECT md5(string_agg(vec_id::VARCHAR || embedding::VARCHAR, '|' ORDER BY vec_id))
+  FROM embeddings
+)
+ORDER BY query_id, rank
+"""
+
+# Recall gate oracle: with both approximate paths now fully oracled
+# (ANN_LSH_SQL reimplementation + ANN_IVF_SQL independent golden), the
+# ACTUAL mean recall is computable in DuckDB — exact top-k via brute-force
+# SQL, hits via join against the approximate oracles — so the driver
+# hashes the recall VALUE, not a hardcoded boolean.
+ANN_RECALL_SQL = f"""
+WITH exact AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) DESC,
+             b.vec_id) AS rank
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+  ) WHERE rank <= 5
+),
+approx AS (
+  SELECT 'lsh' AS variant, query_id, nbr_id FROM ({ANN_LSH_SQL}) lsh
+  UNION ALL
+  SELECT 'ivf' AS variant, query_id, nbr_id FROM ({ANN_IVF_SQL}) ivf
+),
+hits AS (
+  SELECT variant, count(*) AS n_hits
+  FROM approx JOIN exact USING (query_id, nbr_id)
+  GROUP BY variant
+)
+SELECT variant,
+       CAST(10 AS BIGINT) AS n_queries,
+       n_hits::DOUBLE / 50.0 >= 0.8 AS recall_pass,
+       n_hits::DOUBLE / 50.0 AS mean_recall
+FROM hits
 ORDER BY variant
 """
 
@@ -1250,7 +1367,10 @@ ORACLES = {
     "html_main_content": HTML_MAIN_SQL,
     "unified_spans": UNIFIED_SPANS_SQL,
     "render_html": RENDER_HTML_SQL,
-    # ann_lsh_topk / ann_ivf_topk (hyperplane/k-means internals):
-    # non-SQL-expressible -> rows-only; recall is driver-visible through
-    # the oracled ann_lsh_recall / ann_ivf_recall companion queries
+    # ANN approximate paths: LSH has a full DuckDB SQL reimplementation
+    # (the md5 hyperplane family is engine-independent); IVF has an
+    # independent numpy golden keyed by corpus fingerprint
+    # (tools/gen_golden_ann.py) since k-means isn't SQL-expressible.
+    "ann_lsh_topk": ANN_LSH_SQL,
+    "ann_ivf_topk": ANN_IVF_SQL,
 }

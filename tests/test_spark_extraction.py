@@ -350,6 +350,42 @@ def test_golden_media_parquet_current(spark):
     assert got == fresh_rows
 
 
+def test_golden_ann_ivf_parquet_current(spark):
+    """dist/golden_ann_ivf.parquet regenerates identically from the
+    independent numpy IVF reimplementation (tools/gen_golden_ann.py), and
+    the distributed ivf_topk query reproduces the sf0.001 slice exactly
+    (driver-harness parity for the other SFs is covered by
+    tools/check_oracles.py / the driver itself)."""
+    import sys
+    from pathlib import Path
+
+    import duckdb
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from gen_golden_ann import FINGERPRINT_SQL, OUT, ivf_rows
+
+    sf_dir = "/root/testdata/sf0.001"
+    fp = duckdb.sql(
+        FINGERPRINT_SQL.format(src=f"'{sf_dir}/embeddings.parquet'")
+    ).fetchone()[0]
+    fresh = sorted(ivf_rows(sf_dir))
+    on_disk = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            f"SELECT query_id, nbr_id, rank FROM read_parquet('{OUT}') "
+            f"WHERE corpus_fp = '{fp}'"
+        ).fetchall()
+    )
+    assert on_disk == fresh, (
+        "dist/golden_ann_ivf.parquet stale — re-run tools/gen_golden_ann.py"
+    )
+
+    from pdf_extract_spark.queries import ann_ivf_topk
+
+    got = sorted(tuple(r) for r in ann_ivf_topk(spark, sf_dir).collect())
+    assert got == fresh
+
+
 def test_golden_html_parquet_current(spark):
     """dist/golden_html.parquet is a reviewed SNAPSHOT of the single-node
     HTML device: guard that it regenerates identically, and that the
