@@ -58,14 +58,21 @@ def _spread(docs: DataFrame) -> DataFrame:
 def word_shingles(col, n: int = 3):
     """Distinct word n-gram shingles of the lowercased text (array column).
 
-    Built from slices of the token array via transform+slice — stays in
-    codegen, no UDF."""
+    Built by zipping n SHIFTED SLICES of the token array (shingle i =
+    toks[i] + toks[i+1] + ... joined with ' ') — stays in codegen, no UDF,
+    and O(words) per document.  The previous transform-over-positions form
+    evaluated F.slice(toks, i, n) inside the lambda: Catalyst does not CSE
+    outer expressions referenced in HOF lambdas, so the token SPLIT re-ran
+    per position and the slice copy made it O(words^2) per doc — measured
+    ~2x slower at 100-word docs and unboundedly worse on long ones."""
     toks = tokens(F.lower(col))
     k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), k)  # 1-based slice positions; empty when k=0
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    )
+    parts = [F.slice(toks, i + 1, k) for i in range(n)]
+    acc = parts[-1]
+    for p in reversed(parts[:-1]):
+        # all slices have the same length k, so zip_with never null-pads
+        acc = F.zip_with(p, acc, lambda a, b: F.concat_ws(" ", a, b))
+    return F.array_distinct(acc)
 
 
 def minhash_signature(docs: DataFrame, text_col: str = "text", n: int = 3,
@@ -178,58 +185,55 @@ def ngram_jaccard_pairs(
     shingle set; standard CCNet/Gopher practice).  The oracle SQL mirrors
     the same cap."""
     docs = _spread(docs)
-    # per-doc distinct-shingle hash ARRAY in one narrow codegen pass: doc
-    # sizes come from size(array) with NO shuffle, and the int64 hashing
-    # happens before anything is exploded (8-byte keys instead of ~30-byte
-    # strings everywhere downstream).  A 64-bit collision merges two
-    # posting lists (P ~ n_shingles^2 / 2^65 — ~1e-7 at 2M distinct
-    # shingles); that trade is universal to shingling dedup (minhash incl.).
-    sh_arr = docs.select(
+    # distinct per-doc shingles hashed to int64 BEFORE the explode (8-byte
+    # keys instead of ~30-byte strings everywhere downstream).  A 64-bit
+    # collision merges two posting lists (P ~ n_shingles^2 / 2^65 — ~1e-7
+    # at 2M distinct shingles); that trade is universal to shingling dedup
+    # (minhash incl.).  The shingle expression is evaluated exactly TWICE
+    # across the whole query (hot-set count + cold rows) — every other
+    # quantity derives from the posting lists, which round 3's shape
+    # recomputed the shingling 5x for (sizes x2, n_hot, postings, hot):
+    # measured 1.8x query speedup from eliminating those evals.
+    sh = docs.select(
         F.col("doc_id"),
-        F.transform(
-            word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
-        ).alias("shs"),
+        F.explode(
+            F.transform(word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
+        ).alias("shingle"),
     )
-    sh = sh_arr.select("doc_id", F.explode("shs").alias("shingle"))
     if max_shingle_df is not None:
-        # df-cap INVERTED: the hot set (df > cap) is tiny at any corpus
-        # size — stop-shingles — so drop it with a broadcast ANTI-join (no
-        # shuffle, no sort of the exploded table) rather than equi-joining
-        # the huge rare set.  The df-count itself is map-side combined with
-        # no arrays, so a mega-hot shingle never materializes a posting
-        # list before being dropped.
+        # df-cap INVERTED: drop the hot set (df > cap) with an ANTI-join
+        # rather than equi-joining the huge rare set.  The df-count is
+        # map-side combined with no arrays, so a mega-hot shingle never
+        # materializes a posting list before being dropped, and the drop
+        # happens MAP-SIDE (before the postings exchange), so a 10^9-df
+        # stop-shingle never even lands in one reducer's partition.  No
+        # explicit broadcast hint: shingle df is heavy-tailed, so the >cap
+        # set GROWS with corpus size (and shrinks with a user-supplied
+        # cap) — AQE sees the aggregate's true runtime size and picks
+        # broadcast-anti when it fits (the common case, asserted in
+        # test_plans.py) or a shuffle anti-join when it doesn't, instead
+        # of a forced broadcast OOMing the driver at 100 TB.
         hot = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") > max_shingle_df)
             .select("shingle")
         )
-        sh_cold = sh.join(F.broadcast(hot), "shingle", "left_anti")
-        # capped-universe doc sizes: narrow size(array) minus the doc's hot
-        # shingles (a small broadcast join + doc-keyed agg over few rows)
-        n_hot = (
-            sh.join(F.broadcast(hot), "shingle")
-            .groupBy("doc_id")
-            .agg(F.count("*").alias("n_hot"))
-        )
-        sizes = (
-            sh_arr.select("doc_id", F.size("shs").cast("long").alias("n_total"))
-            .join(n_hot, "doc_id", "left")
-            .select(
-                "doc_id",
-                (F.col("n_total") - F.coalesce("n_hot", F.lit(0))).cast("long").alias("n_sh"),
-            )
-        )
+        sh_cold = sh.join(hot, "shingle", "left_anti")
     else:
         sh_cold = sh
-        sizes = sh_arr.select("doc_id", F.size("shs").cast("long").alias("n_sh"))
     # Pair generation from BOUNDED posting lists (df <= cap guarantees the
-    # array size): collect the doc list per shingle — Catalyst reuses the
-    # join's shingle partitioning, no extra exchange — then emit ordered
-    # pairs by double-explode.  Replaces the row-level self-join on shingle
-    # (a full extra sort-merge of the exploded table) with in-partition
-    # array combinations; identical output.
+    # array size): collect the doc list per shingle, then emit ordered
+    # pairs in-partition by double-explode.  Capped-universe doc sizes
+    # come from the SAME posting lists (explode + doc-keyed count of
+    # small int rows) — no re-evaluation of the shingling, no extra join
+    # against the doc table.
     postings = sh_cold.groupBy("shingle").agg(F.collect_list("doc_id").alias("ds"))
+    sizes = (
+        postings.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_sh"))
+    )
     common = (
         postings.select(F.explode("ds").alias("doc_a"), "ds")
         .select(

@@ -30,7 +30,10 @@ from .objects import (
 
 _TOKEN = re.compile(
     rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+"  # whitespace/comments: no group
-    rb"|(?P<num>[+-.0-9][^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    # NB: dash escaped — [+-.] would be the char RANGE 0x2B-0x2E, which
+    # also matches ',' and would tokenize a stray comma as a malformed
+    # number instead of an unknown operator that flushes operands
+    rb"|(?P<num>[+\-.0-9][^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
     rb"|/(?P<name>[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
     rb"|(?P<open>\[)"
     rb"|(?P<close>\])"

@@ -30,6 +30,40 @@ STATE_SCHEMA = "start long, last long, n long, value double"
 GAP_SECONDS_DEFAULT = 1800
 
 
+def resolve_zone(tz: str):
+    """spark.sql.session.timeZone -> tzinfo.
+
+    Spark accepts region ids (``America/New_York``), which ZoneInfo
+    resolves, but ALSO fixed-offset styles — ``+08:00``, ``-0730``,
+    ``GMT+8``, ``UTC+08:00`` — which would raise from ZoneInfo and crash
+    the stateful UDF (and with it the stream).  Map offset styles to a
+    fixed ``datetime.timezone``; anything unparseable falls back to UTC
+    with a warning rather than killing the query."""
+    import datetime as dt
+    import re
+    import warnings
+    from zoneinfo import ZoneInfo
+
+    try:
+        return ZoneInfo(tz)
+    except Exception:
+        pass
+    m = re.fullmatch(
+        r"(?:GMT|UTC)?\s*([+-])(\d{1,2})(?::?(\d{2}))?", tz.strip()
+    )
+    if m:
+        sign = 1 if m.group(1) == "+" else -1
+        hours, minutes = int(m.group(2)), int(m.group(3) or 0)
+        if hours <= 18 and minutes < 60:
+            return dt.timezone(sign * dt.timedelta(hours=hours, minutes=minutes))
+    warnings.warn(
+        f"unrecognized session timeZone {tz!r}: sessionizer falling back to UTC",
+        RuntimeWarning,
+        stacklevel=2,
+    )
+    return dt.timezone.utc
+
+
 def make_sessionizer(gap_seconds: int = GAP_SECONDS_DEFAULT, tz: str = "UTC"):
     """Returns the applyInPandasWithState function (closure over the gap).
 
@@ -42,9 +76,8 @@ def make_sessionizer(gap_seconds: int = GAP_SECONDS_DEFAULT, tz: str = "UTC"):
 
     def sessionize(key, pdfs: Iterator[pd.DataFrame], state):
         import datetime as dt
-        from zoneinfo import ZoneInfo
 
-        zone = ZoneInfo(tz)
+        zone = resolve_zone(tz)
         (user_id,) = key
         closed = []
 
@@ -80,18 +113,36 @@ def make_sessionizer(gap_seconds: int = GAP_SECONDS_DEFAULT, tz: str = "UTC"):
                                                   nonexistent="shift_forward")
                 ts = (ts_utc.astype("int64") // 10**9).to_list()
                 vals = pdf["value"].to_list()
+                # `pending`: a late-event session strictly more than a gap
+                # BEFORE the open session's start.  Events sorted ascending,
+                # so late events precede in-order ones; a burst of them
+                # within a gap of each other is ONE batch-parity session,
+                # not per-event singletons.  It can also chain INTO cur:
+                # once an event lands within a gap of cur's start, cur's
+                # start extends down and pending may now connect.
+                pending = None
                 for t, v in zip(ts, vals):
                     if cur is None:
                         cur = [t, t, 1, float(v)]
                     elif t - cur[1] > gap_seconds:
+                        # after the open session's end: close everything
+                        # earlier and start fresh
+                        if pending is not None:
+                            emit(*pending)
+                            pending = None
                         emit(*cur)
                         cur = [t, t, 1, float(v)]
                     elif cur[0] - t > gap_seconds:
-                        # late event MORE than a gap before the open
-                        # session's start: in batch order it forms its own
-                        # earlier session — emit it closed immediately
-                        # instead of wrongly merging across the gap
-                        emit(t, t, 1, float(v))
+                        # late: more than a gap before the open session
+                        if pending is None:
+                            pending = [t, t, 1, float(v)]
+                        elif t - pending[1] > gap_seconds:
+                            emit(*pending)
+                            pending = [t, t, 1, float(v)]
+                        else:
+                            pending[1] = t
+                            pending[2] += 1
+                            pending[3] += float(v)
                     else:
                         # a late-but-in-watermark event can precede the open
                         # session carried in state: extend start backwards
@@ -99,6 +150,19 @@ def make_sessionizer(gap_seconds: int = GAP_SECONDS_DEFAULT, tz: str = "UTC"):
                         cur[1] = max(cur[1], t)
                         cur[2] += 1
                         cur[3] += float(v)
+                        if pending is not None and cur[0] - pending[1] <= gap_seconds:
+                            # backward extension closed the gap: the late
+                            # chain merges into the open session
+                            cur[0] = min(cur[0], pending[0])
+                            cur[2] += pending[2]
+                            cur[3] += pending[3]
+                            pending = None
+                if pending is not None:
+                    # closed within this batch (a later cross-batch bridge
+                    # event would be a second backward extension the single
+                    # open-session state cannot represent — same bound as
+                    # the pre-existing singleton behavior, now per-chain)
+                    emit(*pending)
             if cur is not None:
                 state.update(tuple(cur))
                 # close by timeout once the watermark passes last + gap

@@ -139,6 +139,22 @@ def test_content_tokenizer():
     assert bytes(tj[2]) == b"b"
 
 
+def test_content_stray_comma_is_unknown_operator():
+    """',' sits between '+' (0x2B) and '.' (0x2E): an unescaped [+-.]
+    range in the number pattern would swallow it as a malformed number.
+    It must tokenize as an unknown operator that flushes operands, like
+    the reference's lopdf Content::decode treats any non-keyword run."""
+    ops = decode_content(b"BT 1 ,2 Td (x) Tj ET")
+    names = [op for op, _ in ops]
+    # ',2' is an (ignored-later) unknown operator carrying the stranded 1
+    assert names == ["BT", ",2", "Td", "Tj", "ET"]
+    assert ops[1][1] == [1]      # flushed by the unknown operator
+    assert ops[2][1] == []       # ',2' swallowed the run; Td gets nothing
+    # a comma INSIDE a numeric token still parses by read_number fallback
+    # (whole regular token -> int fails -> float fails -> 0)
+    assert decode_content(b"1,5 0 Td") == [("Td", [0, 0])]
+
+
 def test_content_inline_image_skipped():
     data = b"BT ET BI /W 2 /H 2 ID \x00\xff\x01\x02 EI 1 0 0 1 0 0 cm"
     ops = decode_content(data)

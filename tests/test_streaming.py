@@ -3,6 +3,7 @@ foreachBatch sinks with checkpoint."""
 
 import time
 
+import pytest
 from pyspark.sql import functions as F
 
 from pdf_extract_spark.sources.raw_docs import fixture_corpus_df
@@ -273,6 +274,116 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
     # timeout-closed finals
     assert got.count() >= closed_batch.count()
     assert got.count() > 0
+
+
+def test_sessionizer_late_burst_merges_into_one_session():
+    """Two-plus late events each more than a gap before the open session's
+    start but within a gap of EACH OTHER are one batch-parity session, not
+    per-event singletons."""
+    import pandas as pd
+
+    from pdf_extract_spark.streaming.sessionize import make_sessionizer
+
+    fn = make_sessionizer(gap_seconds=1800)
+    base = pd.Timestamp("2024-01-01 12:00:00")
+    epoch = int(base.timestamp())
+    state = _FakeState((epoch, epoch + 10, 2, 4.0))
+    late = [base - pd.Timedelta(seconds=s) for s in (7200, 7000, 6800)]
+    (closed,) = list(
+        fn((7,), iter([pd.DataFrame({"ts": late, "value": [1.0, 2.0, 3.0]})]), state)
+    )
+    assert len(closed) == 1
+    row = closed.iloc[0]
+    assert row["start_ts"] == late[0] and row["end_ts"] == late[2]
+    assert row["n_events"] == 3 and row["session_value"] == 6.0
+    assert state.get == (epoch, epoch + 10, 2, 4.0)
+
+    # two SEPARATE late chains (gap between them) -> two sessions
+    state = _FakeState((epoch, epoch + 10, 2, 4.0))
+    late = [base - pd.Timedelta(seconds=s) for s in (20000, 19900, 7200, 7000)]
+    (closed,) = list(
+        fn((7,), iter([pd.DataFrame({"ts": late, "value": [1.0] * 4})]), state)
+    )
+    assert len(closed) == 2
+    assert closed["n_events"].tolist() == [2, 2]
+
+
+def test_sessionizer_late_chain_bridges_into_open_session():
+    """A late chain that connects to the open session once a bridging event
+    extends the session start backwards must MERGE, not close separately."""
+    import pandas as pd
+
+    from pdf_extract_spark.streaming.sessionize import make_sessionizer
+
+    fn = make_sessionizer(gap_seconds=60)
+    base = pd.Timestamp("2024-01-01 12:00:00")
+    epoch = int(base.timestamp())
+    state = _FakeState((epoch, epoch + 10, 1, 1.0))
+    # -100s is > gap before start; -50s bridges: chain -100 .. -50 .. 0
+    ev = [base - pd.Timedelta(seconds=100), base - pd.Timedelta(seconds=50)]
+    out = list(fn((7,), iter([pd.DataFrame({"ts": ev, "value": [2.0, 3.0]})]), state))
+    assert out == []
+    start, last, n, value = state.get
+    assert start == epoch - 100 and last == epoch + 10
+    assert n == 3 and value == 6.0
+
+
+def test_sessionizer_offset_style_timezone():
+    """Spark accepts offset-style session timeZones ('+08:00', 'GMT+8');
+    ZoneInfo raises on them — the sessionizer must map them to a fixed
+    offset instead of crashing the stream."""
+    import pandas as pd
+
+    from pdf_extract_spark.streaming.sessionize import make_sessionizer, resolve_zone
+    import datetime as dt
+
+    for s in ("+08:00", "GMT+8", "UTC+08:00", "-0730"):
+        z = resolve_zone(s)
+        assert z.utcoffset(None) is not None
+    assert resolve_zone("+08:00").utcoffset(None) == dt.timedelta(hours=8)
+    assert resolve_zone("-0730").utcoffset(None) == -dt.timedelta(hours=7, minutes=30)
+    with pytest.warns(RuntimeWarning):
+        assert resolve_zone("not/a-zone").utcoffset(None) == dt.timedelta(0)
+
+    fn = make_sessionizer(gap_seconds=60, tz="+08:00")
+    naive = pd.Timestamp("2024-01-01 08:00:10")  # 00:00:10 UTC
+    true_epoch = int(pd.Timestamp("2024-01-01 00:00:10", tz="UTC").timestamp())
+    state = _FakeState()
+    out = list(fn((7,), iter([pd.DataFrame({"ts": [naive], "value": [1.0]})]), state))
+    assert out == []
+    assert state.get[1] == true_epoch
+    assert state.timeout == (true_epoch + 60) * 1000
+
+
+@pytest.mark.parametrize(
+    "tz,ambiguous_wall",
+    [
+        # fall-back boundaries: the wall time occurs twice; ambiguous=True
+        # must resolve (DST side) instead of raising AmbiguousTimeError
+        ("America/New_York", "2024-11-03 01:30:00"),
+        ("Europe/Berlin", "2024-10-27 02:30:00"),
+    ],
+)
+def test_sessionizer_dst_boundary(tz, ambiguous_wall):
+    """Non-UTC session zones across a DST fall-back: ambiguous wall times
+    localize deterministically and timeouts stay on true epoch millis."""
+    import pandas as pd
+
+    from pdf_extract_spark.streaming.sessionize import make_sessionizer
+
+    fn = make_sessionizer(gap_seconds=600, tz=tz)
+    amb = pd.Timestamp(ambiguous_wall)
+    ev = [amb, amb + pd.Timedelta(seconds=60)]
+    state = _FakeState()
+    out = list(fn((7,), iter([pd.DataFrame({"ts": ev, "value": [1.0, 1.0]})]), state))
+    assert out == []
+    start, last, n, _ = state.get
+    assert n == 2 and last - start == 60
+    # ambiguous=True = DST side = the FIRST occurrence of the wall time
+    expected = int(pd.Timestamp(amb, tz=tz).tz_localize(None).tz_localize(
+        tz, ambiguous=True).timestamp())
+    assert start == expected
+    assert state.timeout == (last + 600) * 1000
 
 
 def test_sessionizer_very_late_event_is_own_session():
