@@ -59,10 +59,25 @@ def extraction_replicas(sf: float) -> int:
     return max(1, int(sf * 3000))
 
 
+def _spin_control() -> float:
+    """Single-thread busy-loop timed at a fixed work size: a host-steal
+    indicator.  On an idle host this is ~constant; inflation between the
+    start and end samples means another tenant stole CPU mid-run, and the
+    absolute level calibrates cross-round comparisons (r3's 'extraction
+    regression' turned out to be unconfirmable because no such control was
+    recorded)."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(5_000_000):
+        acc += i * i
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = _sf_from_dir(sf_dir)
+    spin_start = _spin_control()
 
     from pdf_extract_spark.operators.extraction import extract_documents
     from pdf_extract_spark.plans.session import get_spark
@@ -100,17 +115,21 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     # extraction throughput: deterministic mixed corpus (5% multi-page
-    # docs for skew), generated executor-side, scaled by sf
+    # docs for skew), generated executor-side, scaled by sf.  min-of-3
+    # with EVERY sample recorded: the host suffers intermittent multi-x
+    # CPU steal, and per-sample spread (plus the spin control) is the
+    # evidence that separates a real regression from a stolen window.
     n_target = extraction_replicas(sf) * 16
     raw = synthetic_corpus_df(spark, n_target, pct_large=0.05).cache()
     n_docs = raw.count()  # materialize input outside the timed region
-    dt = float("inf")
-    for _ in range(2):  # min-of-2, same rationale as the query loop
+    extract_samples = []
+    for _ in range(3):
         t0 = time.perf_counter()
         out = extract_documents(raw, num_partitions=cpus * 2)
         agg = out.groupBy().sum("n_spans", "decode_failures").collect()[0]
-        dt = min(dt, time.perf_counter() - t0)
-    timings["extract_pdf_spans"] = round(dt, 3)
+        extract_samples.append(round(time.perf_counter() - t0, 3))
+    dt = min(extract_samples)
+    timings["extract_pdf_spans"] = dt
     docs_per_sec = round(n_docs / dt, 1)
     spans_per_sec = round((agg[0] or 0) / dt, 1)
     raw.unpersist()
@@ -122,15 +141,16 @@ def main() -> None:
 
     html_raw = synthetic_html_corpus_df(spark, n_target).cache()
     n_html = html_raw.count()
-    hdt = float("inf")
-    for _ in range(2):
+    html_samples = []
+    for _ in range(3):
         t0 = time.perf_counter()
         hagg = (
             extract_main_content(html_raw, num_partitions=cpus * 2)
             .groupBy().sum("n_spans").collect()[0]
         )
-        hdt = min(hdt, time.perf_counter() - t0)
-    timings["extract_html_main"] = round(hdt, 3)
+        html_samples.append(round(time.perf_counter() - t0, 3))
+    hdt = min(html_samples)
+    timings["extract_html_main"] = hdt
     html_docs_per_sec = round(n_html / hdt, 1)
     html_spans_per_sec = round((hagg[0] or 0) / hdt, 1)
     html_raw.unpersist()
@@ -150,6 +170,9 @@ def main() -> None:
                 "html_docs": n_html,
                 "html_docs_per_sec": html_docs_per_sec,
                 "html_spans_per_sec": html_spans_per_sec,
+                "extract_samples_sec": extract_samples,
+                "html_samples_sec": html_samples,
+                "spin_control_sec": {"start": spin_start, "end": _spin_control()},
                 "cpus": cpus,
             }
         )
