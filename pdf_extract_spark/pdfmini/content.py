@@ -43,22 +43,9 @@ _TOKEN = re.compile(
 )
 
 
-def _to_number(raw: bytes):
-    """Same semantics as Lexer.read_number (objects.py): whole regular
-    token, '.'-bearing tokens parse as float, else int -> float -> 0."""
-    s = raw.decode("latin-1")
-    if "." in s:
-        try:
-            return float(s)
-        except ValueError:
-            return 0.0
-    try:
-        return int(s)
-    except ValueError:
-        try:
-            return float(s)
-        except ValueError:
-            return 0
+# number parsing shares Lexer.read_number's exact semantics (whole regular
+# token; '.'-bearing -> float, else int -> float -> 0) via the same helper
+from .objects import _to_number  # noqa: E402
 
 
 def decode_content(data: bytes) -> list[tuple[str, list]]:

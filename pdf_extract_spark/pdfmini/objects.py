@@ -32,6 +32,74 @@ _RE_REGULAR = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
 _RE_WS = re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+")
 _RE_LITERAL_PLAIN = re.compile(rb"[^\\()]*")
 
+# One-match scalar classifier for read_object: consumes leading
+# whitespace/comments AND the next scalar token (name / number / keyword —
+# the bulk of all tokens in page and font dictionaries) in a single
+# C-speed regex step.  The empty `end` alternative always matches, so
+# whitespace is consumed even when the next object is a composite
+# (string/dict/array) handled by the explicit dispatch.  NB: dash escaped
+# in the num class — [+-.] would be the range 0x2B-0x2E (includes ',').
+_RE_OBJ_SCALAR = re.compile(
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"
+    rb"(?:"
+    rb"/(?P<name>[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    rb"|(?P<num>[+\-.0-9][^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    rb"|(?P<kw>true|false|null)(?![^\x00\t\n\x0c\r ()<>\[\]{}/%])"
+    rb"|(?P<end>)"
+    rb")"
+)
+# Dict-body step: consumes whitespace/comments then either the closing
+# `>>` or a `/key` name — one match per dictionary entry instead of
+# skip_ws + slice-compare + read_name round trips.  No match -> junk or
+# EOF, handled by the explicit fallback.
+_RE_DICT_STEP = re.compile(
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"
+    rb"(?:(?P<close>>>)|/(?P<key>[^\x00\t\n\x0c\r ()<>\[\]{}/%]*))"
+)
+# Reference tail after a non-negative integer: `G R` with the generation a
+# whole all-digits token and R a LONE token, whitespace/comments permitted
+# between tokens — exactly the conditions of the step-by-step path.
+_RE_REF_TAIL = re.compile(
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+(\d+)(?![^\x00\t\n\x0c\r ()<>\[\]{}/%])"
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+R(?![^\x00\t\n\x0c\r ()<>\[\]{}/%])"
+)
+
+
+def _to_number(raw: bytes):
+    """PDF number fallback chain: '.'-bearing tokens parse as float, else
+    int -> float -> 0 (Lexer.read_number and the content tokenizer share
+    these exact semantics)."""
+    s = raw.decode("latin-1")
+    if "." in s:
+        try:
+            return float(s)
+        except ValueError:
+            return 0.0
+    try:
+        return int(s)
+    except ValueError:
+        try:
+            return float(s)
+        except ValueError:
+            return 0
+
+
+def _unescape_name(raw: bytes) -> bytes:
+    """#xx hex escapes in names; malformed escapes keep the literal '#'."""
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        if raw[i] == 0x23 and i + 2 < len(raw):
+            try:
+                out.append(int(raw[i + 1 : i + 3], 16))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(raw[i])
+        i += 1
+    return bytes(out)
+
 
 class Name(str):
     __slots__ = ()
@@ -104,21 +172,8 @@ class Lexer:
         assert self.data[self.pos] == 0x2F  # '/'
         self.pos += 1
         raw = self.read_regular()
-        # #xx hex escapes in names
         if b"#" in raw:
-            out = bytearray()
-            i = 0
-            while i < len(raw):
-                if raw[i] == 0x23 and i + 2 < len(raw):
-                    try:
-                        out.append(int(raw[i + 1 : i + 3], 16))
-                        i += 3
-                        continue
-                    except ValueError:
-                        pass  # malformed #-escape: keep the literal '#'
-                out.append(raw[i])
-                i += 1
-            raw = bytes(out)
+            raw = _unescape_name(raw)
         return Name(raw.decode("latin-1"))
 
     def read_literal_string(self) -> PdfString:
@@ -196,36 +251,52 @@ class Lexer:
         return PdfString(bytes(int(digits[i] + digits[i + 1], 16) for i in range(0, len(digits), 2)))
 
     def read_number(self):
-        raw = self.read_regular()
-        s = raw.decode("latin-1")
-        if "." in s:
-            try:
-                return float(s)
-            except ValueError:
-                return 0.0
-        try:
-            return int(s)
-        except ValueError:
-            try:
-                return float(s)
-            except ValueError:
-                return 0
+        return _to_number(self.read_regular())
 
     # -- objects -----------------------------------------------------------
 
     def read_object(self, resolve_streams: bool = True):
         """Parse one object at the cursor.  Detects ``R`` references and
-        ``stream`` bodies (when ``resolve_streams``)."""
-        self.skip_ws()
+        ``stream`` bodies (when ``resolve_streams``).
+
+        The scalar hot path — names, numbers, references, keywords, i.e.
+        most tokens in page/font dictionaries — is classified by ONE
+        _RE_OBJ_SCALAR match that also consumes leading whitespace and
+        comments; only composites (strings, dicts, arrays) and junk fall
+        through to the explicit dispatch.  Semantics are identical to the
+        step-by-step path: same number fallback chain (_to_number), same
+        whole-token/lone-R reference test (_RE_REF_TAIL), same tolerance
+        for junk tokens."""
+        data = self.data
+        m = _RE_OBJ_SCALAR.match(data, self.pos)
+        g = m.lastgroup
+        if g == "num":
+            self.pos = m.end()
+            val = _to_number(m.group("num"))
+            if type(val) is int and val >= 0:
+                m2 = _RE_REF_TAIL.match(data, self.pos)
+                if m2:
+                    self.pos = m2.end()
+                    return Ref(val, int(m2.group(1)))
+            return val
+        if g == "name":
+            self.pos = m.end()
+            raw = m.group("name")
+            if b"#" in raw:
+                raw = _unescape_name(raw)
+            return Name(raw.decode("latin-1"))
+        if g == "kw":
+            self.pos = m.end()
+            kw = m.group("kw")
+            return True if kw == b"true" else (False if kw == b"false" else None)
+        self.pos = m.end()  # whitespace/comments consumed; composite next
         b = self.peek()
         if b == -1:
             raise EOFError("unexpected end of PDF data")
-        if b == 0x2F:
-            return self.read_name()
         if b == 0x28:
             return self.read_literal_string()
         if b == 0x3C:
-            if self.data[self.pos : self.pos + 2] == b"<<":
+            if data[self.pos : self.pos + 2] == b"<<":
                 return self._read_dict_or_stream(resolve_streams)
             return self.read_hex_string()
         if b == 0x5B:  # '['
@@ -239,58 +310,34 @@ class Lexer:
                 if self.peek() == -1:
                     return arr
                 arr.append(self.read_object(resolve_streams))
-        if b in b"+-.0123456789":
-            return self._read_number_or_ref()
         word = self.read_regular()
-        if word == b"true":
-            return True
-        if word == b"false":
-            return False
-        if word == b"null":
-            return None
         if not word:
             # delimiter we don't handle; skip a byte to guarantee progress
             self.pos += 1
             return None
         raise ValueError(f"unexpected token {word!r} at {self.pos}")
 
-    def _read_number_or_ref(self):
-        save = self.pos
-        first = self.read_number()
-        if isinstance(first, int) and first >= 0:
-            save2 = self.pos
-            self.skip_ws()
-            if self.peek() >= 0 and self.peek() in b"0123456789":
-                second = self.read_regular()
-                if second.isdigit():
-                    self.skip_ws()
-                    if self.peek() == ord("R"):
-                        nxt = self.pos
-                        self.pos += 1
-                        # 'R' must be a lone token
-                        if self.pos >= len(self.data) or not _is_regular(self.data[self.pos]):
-                            return Ref(first, int(second))
-                        self.pos = nxt
-            self.pos = save2
-        return first
 
     def _read_dict_or_stream(self, resolve_streams: bool):
         self.pos += 2  # '<<'
         d: dict = {}
+        data = self.data
         while True:
+            m = _RE_DICT_STEP.match(data, self.pos)
+            if m:
+                self.pos = m.end()
+                if m.lastgroup == "close":
+                    break
+                raw = m.group("key")
+                if b"#" in raw:
+                    raw = _unescape_name(raw)
+                d[raw.decode("latin-1")] = self.read_object(resolve_streams)
+                continue
+            # junk key or EOF: same tolerance as before — skip one object
             self.skip_ws()
-            if self.data[self.pos : self.pos + 2] == b">>":
-                self.pos += 2
-                break
             if self.peek() == -1:
                 break
-            if self.peek() != 0x2F:
-                # tolerate junk keys: skip one object
-                self.read_object(resolve_streams)
-                continue
-            key = self.read_name()
-            val = self.read_object(resolve_streams)
-            d[str(key)] = val
+            self.read_object(resolve_streams)
         if resolve_streams:
             save = self.pos
             self.skip_ws()
