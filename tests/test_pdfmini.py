@@ -139,6 +139,40 @@ def test_content_tokenizer():
     assert bytes(tj[2]) == b"b"
 
 
+def test_lexer_scalar_fast_path_parity():
+    """The one-match scalar classifier must keep the step-by-step parser's
+    exact semantics: whole-token/lone-R reference test (with comments
+    permitted between tokens, as skip_ws treated them), number fallback
+    chain, keyword lone-token test, name #-escapes."""
+    from pdf_extract_spark.pdfmini.objects import Lexer, Name, Ref
+
+    cases = [
+        (b"5 0 R", Ref(5, 0)),
+        (b"5 % c\n0 % c\nR", Ref(5, 0)),  # comments between ref tokens
+        (b"5 0 RT", 5),                   # R not a lone token
+        (b"5 0R", 5),                     # '0R' is not an all-digits token
+        (b"5 00 R", Ref(5, 0)),
+        (b"-5 0 R", -5),                  # negative first: never a ref
+        (b"+5 0 R", Ref(5, 0)),           # int('+5') == 5 — historic parity
+        (b"5.0 0 R", 5.0),                # real first: never a ref
+        (b"5 0.5 R", 5),                  # gen not all digits
+        (b"true", True),
+        (b"false", False),
+        (b"null", None),
+        (b"/Name#20x", Name("Name x")),
+        (b"2. 1 R", 2.0),                 # '.'-bearing parses float
+        # malformed number falls back to int 0, which (being a
+        # non-negative int) still takes the ref tail — historic parity
+        (b"5x 0 R", Ref(0, 0)),
+    ]
+    for data, want in cases:
+        got = Lexer(data).read_object()
+        assert got == want and type(got) is type(want), (data, got, want)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        Lexer(b"trueish").read_object()
+
+
 def test_content_stray_comma_is_unknown_operator():
     """',' sits between '+' (0x2B) and '.' (0x2E): an unescaped [+-.]
     range in the number pattern would swallow it as a malformed number.
