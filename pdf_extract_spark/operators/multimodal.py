@@ -2,11 +2,13 @@
 with typed metadata, processed through Arrow-batched mapInPandas.
 
 Decode kernels, by honesty tier:
-  * REAL, dependency-free: PPM (P6) and uncompressed 24-bit BMP images
-    (pure numpy), WAV audio (stdlib `wave` + numpy).  Feature = 4x4
-    grayscale thumbnail (images) / 16 RMS windows (audio), both in [0,1].
-  * STUB: compressed formats (JPEG/PNG/MP3/H.264) need PIL/ffmpeg, which
-    this container does not ship — ``decode_image_real`` raises
+  * REAL, dependency-free: PPM (P6), uncompressed 24-bit BMP, and PNG
+    (8-bit gray/RGB/RGBA non-interlaced: stdlib zlib inflate + numpy
+    scanline unfilter — all 5 RFC 2083 filter types) images, WAV audio
+    (stdlib `wave` + numpy).  Feature = 4x4 grayscale thumbnail (images)
+    / 16 RMS windows (audio), both in [0,1].
+  * STUB: formats needing PIL/ffmpeg (JPEG/MP3/H.264), which this
+    container does not ship — ``decode_image_real`` raises
     NotImplementedError for them and ``decode_image_stub`` provides
     deterministic fake features so the Spark-side plumbing (schema, batch
     iteration, partitioning, output shape) stays fully exercised.
@@ -103,6 +105,105 @@ def _decode_bmp(payload: bytes):
     return rows[:, :, ::-1]  # BGR -> RGB
 
 
+def _png_unfilter(raw, w: int, h: int, bpp: int):
+    """Reverse PNG scanline filtering (RFC 2083 §6): per-row filter byte
+    0=None 1=Sub 2=Up 3=Average 4=Paeth.  Rows are sequential (each needs
+    the reconstructed previous row) but each row reconstructs with numpy
+    vector ops where the filter allows."""
+    import numpy as np
+
+    stride = w * bpp
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        pos += 1
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos).astype(
+            np.int32
+        )
+        pos += stride
+        if ftype == 0:
+            rec = row
+        elif ftype == 2:  # Up
+            rec = (row + prev) & 0xFF
+        elif ftype == 1:  # Sub — sequential in pixels, vector across channels
+            rec = row.copy()
+            for i in range(bpp, stride):
+                rec[i] = (rec[i] + rec[i - bpp]) & 0xFF
+        elif ftype == 3:  # Average
+            rec = row.copy()
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (rec[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            rec = row.copy()
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (rec[i] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def _decode_png(payload: bytes):
+    """PNG -> HxWx3 uint8 array.  REAL, dependency-free: stdlib zlib
+    inflates IDAT, numpy reverses the scanline filters (the engine already
+    speaks PNG predictors — pdfmini.filters uses the same family for
+    FlateDecode Predictor 10-15).  Supported: 8-bit depth, color types
+    0 (gray), 2 (RGB), 6 (RGBA; alpha dropped), non-interlaced — the
+    dominant web shapes.  Anything else raises NotImplementedError and
+    falls to the tagged stub tier."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise ValueError("not a PNG")
+    pos = 8
+    idat = []
+    w = h = None
+    bit_depth = color_type = interlace = None
+    n = len(payload)
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + data + crc
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("truncated PNG")
+    if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 6):
+        raise NotImplementedError(
+            f"PNG depth={bit_depth} color_type={color_type} interlace={interlace}"
+        )
+    bpp = {0: 1, 2: 3, 6: 4}[color_type]
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (1 + w * bpp):
+        raise ValueError("PNG data length mismatch")
+    img = _png_unfilter(raw, w, h, bpp).reshape(h, w, bpp)
+    if color_type == 0:
+        img = np.repeat(img, 3, axis=2)
+    elif color_type == 6:
+        img = img[:, :, :3]
+    return img
+
+
 def _thumb_feature(img) -> list[float]:
     """4x4 grayscale thumbnail, nearest-neighbor, row-major, in [0,1]."""
     import numpy as np
@@ -125,10 +226,12 @@ def decode_image_real(payload: bytes) -> tuple[int, int, list[float]]:
         img = _decode_ppm(payload)
     elif payload.startswith(b"BM"):
         img = _decode_bmp(payload)
+    elif payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        img = _decode_png(payload)
     else:
         raise NotImplementedError(
-            "JPEG/PNG/... decode requires PIL/cv2 which are not installed; "
-            "PPM/BMP decode natively, other formats use decode_image_stub"
+            "JPEG/... decode requires PIL/cv2 which are not installed; "
+            "PPM/BMP/PNG decode natively, other formats use decode_image_stub"
         )
     return img.shape[1], img.shape[0], _thumb_feature(img)
 
@@ -180,7 +283,12 @@ def _decode_any(kind: str, data: bytes) -> tuple[int, int, list[float], str]:
             return rate, nch, feat, "wav"
         if kind == "image":
             w, h, feat = decode_image_real(data)
-            return w, h, feat, "ppm" if data.startswith(b"P6") else "bmp"
+            decoder = (
+                "ppm" if data.startswith(b"P6")
+                else "png" if data.startswith(b"\x89PNG")
+                else "bmp"
+            )
+            return w, h, feat, decoder
     except NotImplementedError:
         pass
     except Exception:

@@ -378,11 +378,15 @@ def test_real_audio_decoder():
 def test_media_features_mixed_decoders(spark):
     """Real formats decode for real; unsupported formats fall back to the
     deterministic stub — per-row, inside one Arrow batch."""
+    from pdf_extract_spark.sources.media_corpus import make_png, png_pixel
+
     rows = [
         ("ppm1", "image", _make_ppm(8, 8)),
         ("bmp1", "image", _make_bmp(5, 5)),
         ("wav1", "audio", _make_wav()),
         ("jpg1", "image", b"\xff\xd8\xff\xe0 fake jpeg"),
+        ("png1", "image", make_png(9, 6, color_type=2)),
+        ("pngx", "image", b"\x89PNG\r\n\x1a\ngarbage-after-signature"),
     ]
     media = spark.createDataFrame(rows, "media_id string, media_kind string, payload binary")
     out = {r["media_id"]: r for r in extract_media_features(media, num_partitions=2).collect()}
@@ -390,6 +394,17 @@ def test_media_features_mixed_decoders(spark):
     assert out["bmp1"]["decoder"] == "bmp" and out["bmp1"]["height"] == 5
     assert out["wav1"]["decoder"] == "wav" and out["wav1"]["width"] == 8000
     assert out["jpg1"]["decoder"] == "stub"
+    # real PNG decode: 6 rows cover all 5 scanline filter types (y % 5);
+    # features equal the closed-form pixel spec, never the stub
+    assert out["png1"]["decoder"] == "png"
+    assert (out["png1"]["width"], out["png1"]["height"]) == (9, 6)
+    xs = [min(i * 9 // 4, 8) for i in range(4)]
+    ys = [min(i * 6 // 4, 5) for i in range(4)]
+    expect = [png_pixel(x, y) / 255.0 for y in ys for x in xs]
+    got = out["png1"]["feature"]
+    assert all(abs(a - b) < 1e-6 for a, b in zip(got, expect))
+    # valid signature + garbage chunks -> decode failure -> tagged stub
+    assert out["pngx"]["decoder"] == "stub"
 
 
 def test_ivf_topk_recall_gate(spark):

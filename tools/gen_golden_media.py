@@ -27,12 +27,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pdf_extract_spark.fixtures import corpus  # noqa: E402
 from pdf_extract_spark.sources.media_corpus import (  # noqa: E402
     BMP_SPECS,
+    PNG_SPECS,
     PPM_SPECS,
     STUB_SPECS,
     WAV_SPECS,
     make_bmp,
+    make_png,
     make_ppm,
     make_wav,
+    png_pixel,
 )
 
 OUT = Path(__file__).resolve().parent.parent / "dist" / "golden_media.parquet"
@@ -57,6 +60,12 @@ def golden_rows():
         rows.append((name, "image", make_ppm(w, h), w, h, feat, "ppm"))
     for name, w, h, v in BMP_SPECS:
         rows.append((name, "image", make_bmp(w, h, v), w, h, [v / 255.0] * 16, "bmp"))
+    for name, w, h, ct in PNG_SPECS:
+        # closed-form: gray at (x, y) = png_pixel(x, y) / 255 (channels are
+        # equal, so the channel mean is exactly the value in float64)
+        xs, ys = thumb_indices(w), thumb_indices(h)
+        feat = [png_pixel(x, y) / 255.0 for y in ys for x in xs]
+        rows.append((name, "image", make_png(w, h, ct), w, h, feat, "png"))
     for name, rate, nch, amps in WAV_SPECS:
         feat = [abs(a) / 32768.0 for a in amps]
         rows.append((name, "audio", make_wav(rate, nch, amps), rate, nch, feat, "wav"))
