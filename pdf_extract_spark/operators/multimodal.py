@@ -7,8 +7,11 @@ Decode kernels, by honesty tier:
     scanline unfilter — all 5 RFC 2083 filter types) images, WAV audio
     (stdlib `wave` + numpy).  Feature = 4x4 grayscale thumbnail (images)
     / 16 RMS windows (audio), both in [0,1].
-  * STUB: formats needing PIL/ffmpeg (JPEG/MP3/H.264), which this
-    container does not ship — ``decode_image_real`` raises
+  * REAL, dependency-free: baseline JPEG (operators/jpeg.py — full
+    T.81 sequential-DCT decode: canonical Huffman, dequant, matrix IDCT,
+    4:2:0/4:2:2 upsampling, JFIF YCbCr->RGB).  Progressive JPEG raises.
+  * STUB: formats needing PIL/ffmpeg (progressive JPEG/GIF/MP3/H.264),
+    which this container does not ship — ``decode_image_real`` raises
     NotImplementedError for them and ``decode_image_stub`` provides
     deterministic fake features so the Spark-side plumbing (schema, batch
     iteration, partitioning, output shape) stays fully exercised.
@@ -228,10 +231,15 @@ def decode_image_real(payload: bytes) -> tuple[int, int, list[float]]:
         img = _decode_bmp(payload)
     elif payload.startswith(b"\x89PNG\r\n\x1a\n"):
         img = _decode_png(payload)
+    elif payload.startswith(b"\xff\xd8"):
+        from .jpeg import decode_jpeg
+
+        img = decode_jpeg(payload)
     else:
         raise NotImplementedError(
-            "JPEG/... decode requires PIL/cv2 which are not installed; "
-            "PPM/BMP/PNG decode natively, other formats use decode_image_stub"
+            "GIF/WebP/... decode requires PIL/cv2 which are not installed; "
+            "PPM/BMP/PNG/baseline-JPEG decode natively, other formats use "
+            "decode_image_stub"
         )
     return img.shape[1], img.shape[0], _thumb_feature(img)
 
@@ -286,6 +294,7 @@ def _decode_any(kind: str, data: bytes) -> tuple[int, int, list[float], str]:
             decoder = (
                 "ppm" if data.startswith(b"P6")
                 else "png" if data.startswith(b"\x89PNG")
+                else "jpeg" if data.startswith(b"\xff\xd8")
                 else "bmp"
             )
             return w, h, feat, decoder

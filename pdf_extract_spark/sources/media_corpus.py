@@ -137,6 +137,146 @@ def make_png(w: int, h: int, color_type: int = 0) -> bytes:
     )
 
 
+# Baseline-JPEG handcrafting (ITU-T T.81): DC-only flat 8x8 blocks with an
+# all-ones quant table decode to EXACTLY pixel = F(0,0)/8 + 128, so fixture
+# expectations are closed-form.  DC Huffman table = the public Annex K.3.3.1
+# luminance table (exercises multi-length canonical decode); AC table is a
+# minimal one-symbol (EOB) table since flat blocks emit no AC coefficients.
+_JPEG_DC_COUNTS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_SYMBOLS = list(range(12))
+_JPEG_AC_COUNTS = [1] + [0] * 15
+_JPEG_AC_SYMBOLS = [0x00]  # EOB
+
+
+def _huff_codes(counts: list[int], symbols: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical (same construction the decoder
+    reverses)."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, nbits: int):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+
+
+def make_jpeg(block_vals: list[list[int]], color: bool = False,
+              subsample420: bool = False) -> bytes:
+    """Baseline JFIF bytes for a grid of flat 8x8 blocks: pixel value of
+    block (r, c) = block_vals[r][c] (0..255 integers).  With `color`, a
+    3-component image with Cb = Cr = 128 (decodes to gray RGB exactly);
+    with `subsample420` (implies color), Y is 2x2-sampled vs 1x1 chroma —
+    the dominant web-JPEG layout — and the block grid must be even."""
+    rows, cols = len(block_vals), len(block_vals[0])
+    w, h = cols * 8, rows * 8
+    if subsample420:
+        color = True
+        assert rows % 2 == 0 and cols % 2 == 0, "4:2:0 needs an even grid"
+    dc = _huff_codes(_JPEG_DC_COUNTS, _JPEG_DC_SYMBOLS)
+    ac = _huff_codes(_JPEG_AC_COUNTS, _JPEG_AC_SYMBOLS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # DQT id 0, all ones
+    ncomp = 3 if color else 1
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    y_hv = 0x22 if subsample420 else 0x11
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, y_hv if cid == 1 else 0x11, 0])
+    out += seg(0xC0, sof)
+    out += seg(
+        0xC4, bytes([0x00]) + bytes(_JPEG_DC_COUNTS) + bytes(_JPEG_DC_SYMBOLS)
+    )
+    out += seg(
+        0xC4, bytes([0x10]) + bytes(_JPEG_AC_COUNTS) + bytes(_JPEG_AC_SYMBOLS)
+    )
+    sos = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos += bytes([cid, 0x00])  # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+
+    bw = _BitWriter()
+    pred = {cid: 0 for cid in range(1, ncomp + 1)}
+
+    def put_block(cid: int, coeff: int):
+        diff = coeff - pred[cid]
+        pred[cid] = coeff
+        mag = abs(diff)
+        t = mag.bit_length()
+        code, length = dc[t]
+        bw.put(code, length)
+        if t:
+            bw.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+        code, length = ac[0x00]  # EOB: no AC coefficients
+        bw.put(code, length)
+
+    if subsample420:
+        for mr in range(rows // 2):
+            for mc in range(cols // 2):
+                # MCU: 4 Y blocks (2x2, raster) then one Cb, one Cr
+                for by in range(2):
+                    for bx in range(2):
+                        put_block(1, (block_vals[mr * 2 + by][mc * 2 + bx] - 128) * 8)
+                put_block(2, 0)
+                put_block(3, 0)
+    else:
+        for r in range(rows):
+            for c in range(cols):
+                # MCU order (4:4:4 / gray): Y block then Cb, Cr
+                put_block(1, (block_vals[r][c] - 128) * 8)
+                if color:
+                    put_block(2, 0)  # Cb = 128
+                    put_block(3, 0)  # Cr = 128
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# (name, block grid, color, subsample420) — values chosen to cover
+# positive/negative/zero DC diffs across blocks; expectations are the grid
+# values themselves
+JPEG_SPECS = [
+    ("jpeg-gray-1blk", [[200]], False, False),
+    ("jpeg-gray-4x2", [[0, 64, 128, 255], [255, 128, 64, 0]], False, False),
+    ("jpeg-color-2x2", [[32, 224], [224, 32]], True, False),
+    ("jpeg-420-4x4", [[16, 48, 80, 112], [144, 176, 208, 240],
+                      [240, 208, 176, 144], [112, 80, 48, 16]], True, True),
+]
+
+
+def jpeg_pixel(block_vals: list[list[int]], x: int, y: int) -> int:
+    return block_vals[y // 8][x // 8]
+
+
 def make_wav(rate: int, n_channels: int, amplitudes: list[int],
              samples_per_window: int = 64) -> bytes:
     frames = bytearray()
@@ -160,6 +300,8 @@ def synthetic_media_rows() -> list[tuple[str, str, bytes]]:
         rows.append((name, "image", make_bmp(w, h, v)))
     for name, w, h, ct in PNG_SPECS:
         rows.append((name, "image", make_png(w, h, ct)))
+    for name, grid, color, sub in JPEG_SPECS:
+        rows.append((name, "image", make_jpeg(grid, color, sub)))
     for name, rate, nch, amps in WAV_SPECS:
         rows.append((name, "audio", make_wav(rate, nch, amps)))
     for name, payload in STUB_SPECS:

@@ -407,6 +407,25 @@ def test_media_features_mixed_decoders(spark):
     assert out["pngx"]["decoder"] == "stub"
 
 
+def test_media_features_real_jpeg(spark):
+    """Baseline JPEG decodes for real in the Spark pipeline; features equal
+    the closed-form grid expectation (DC-only blocks: pixel = F00/8+128)."""
+    from pdf_extract_spark.sources.media_corpus import make_jpeg
+
+    grid = [[0, 64, 128, 255], [255, 128, 64, 0]]
+    rows = [("j1", "image", make_jpeg(grid)),
+            ("j420", "image", make_jpeg([[10, 20], [30, 40]], subsample420=True))]
+    media = spark.createDataFrame(rows, "media_id string, media_kind string, payload binary")
+    out = {r["media_id"]: r for r in extract_media_features(media, num_partitions=2).collect()}
+    assert out["j1"]["decoder"] == "jpeg"
+    assert (out["j1"]["width"], out["j1"]["height"]) == (32, 16)
+    xs = [min(i * 32 // 4, 31) for i in range(4)]
+    ys = [min(i * 16 // 4, 15) for i in range(4)]
+    expect = [grid[y // 8][x // 8] / 255.0 for y in ys for x in xs]
+    assert all(abs(a - b) < 1e-6 for a, b in zip(out["j1"]["feature"], expect))
+    assert out["j420"]["decoder"] == "jpeg" and out["j420"]["width"] == 16
+
+
 def test_ivf_topk_recall_gate(spark):
     """IVF coarse-quantizer ANN vs exact brute force: recall@5 >= 0.8 at
     n_probe=4 of 16 cells (a 4x scan reduction even on this weakly

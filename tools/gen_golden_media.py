@@ -27,11 +27,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pdf_extract_spark.fixtures import corpus  # noqa: E402
 from pdf_extract_spark.sources.media_corpus import (  # noqa: E402
     BMP_SPECS,
+    JPEG_SPECS,
     PNG_SPECS,
     PPM_SPECS,
     STUB_SPECS,
     WAV_SPECS,
+    jpeg_pixel,
     make_bmp,
+    make_jpeg,
     make_png,
     make_ppm,
     make_wav,
@@ -66,6 +69,14 @@ def golden_rows():
         xs, ys = thumb_indices(w), thumb_indices(h)
         feat = [png_pixel(x, y) / 255.0 for y in ys for x in xs]
         rows.append((name, "image", make_png(w, h, ct), w, h, feat, "png"))
+    for name, grid, color, sub in JPEG_SPECS:
+        # closed-form per the T.81 math of the fixture: a DC-only block
+        # with an all-ones quant table decodes to exactly F(0,0)/8 + 128 =
+        # the grid value (Cb=Cr=128 make RGB == Y exactly)
+        w, h = len(grid[0]) * 8, len(grid) * 8
+        xs, ys = thumb_indices(w), thumb_indices(h)
+        feat = [jpeg_pixel(grid, x, y) / 255.0 for y in ys for x in xs]
+        rows.append((name, "image", make_jpeg(grid, color, sub), w, h, feat, "jpeg"))
     for name, rate, nch, amps in WAV_SPECS:
         feat = [abs(a) / 32768.0 for a in amps]
         rows.append((name, "audio", make_wav(rate, nch, amps), rate, nch, feat, "wav"))
