@@ -569,12 +569,32 @@ _UNCACHEABLE = object()
 def _font_cache_key(doc, obj, depth: int = 0):
     """Hashable canonical form of a font dict: dereferenced, stream bodies
     digested.  Returns _UNCACHEABLE when the structure can't be keyed
-    (cycle-deep or exotic) — caller then skips the cache."""
+    (cycle-deep or exotic) — caller then skips the cache.
+
+    Fast path: a dict whose values are all scalars/names (the common
+    non-embedded simple-font shape — BaseFont/Subtype/Encoding names) keys
+    in one shallow pass with no deref recursion."""
     if depth > 8:
         return _UNCACHEABLE
     from .pdfmini.objects import Name as _Name
     from .pdfmini.objects import PdfString as _PdfString
     from .pdfmini.objects import Stream as _Stream
+
+    if isinstance(obj, dict):
+        items = []
+        for k in sorted(obj):
+            v = obj[k]
+            # str covers Name (a str subclass); bytes subclasses
+            # (PdfString) deliberately fall to the deep path
+            if v is None or (
+                isinstance(v, (bool, int, float, str)) and not isinstance(v, bytes)
+            ):
+                items.append((str(k), ("v", v) if not isinstance(v, str) else ("n", str(v))))
+            else:
+                items = None
+                break
+        if items is not None:
+            return ("d", tuple(items))
 
     obj = doc.deref(obj)
     if obj is None or isinstance(obj, (bool, int, float)):

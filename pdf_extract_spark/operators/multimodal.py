@@ -9,8 +9,9 @@ Decode kernels, by honesty tier:
     / 16 RMS windows (audio), both in [0,1].
   * REAL, dependency-free: baseline JPEG (operators/jpeg.py — full
     T.81 sequential-DCT decode: canonical Huffman, dequant, matrix IDCT,
-    4:2:0/4:2:2 upsampling, JFIF YCbCr->RGB).  Progressive JPEG raises.
-  * STUB: formats needing PIL/ffmpeg (progressive JPEG/GIF/MP3/H.264),
+    4:2:0/4:2:2 upsampling, JFIF YCbCr->RGB; progressive raises) and
+    GIF first-frame (operators/gif.py — variable-width LSB LZW).
+  * STUB: formats needing PIL/ffmpeg (progressive JPEG/WebP/MP3/H.264),
     which this container does not ship — ``decode_image_real`` raises
     NotImplementedError for them and ``decode_image_stub`` provides
     deterministic fake features so the Spark-side plumbing (schema, batch
@@ -235,11 +236,15 @@ def decode_image_real(payload: bytes) -> tuple[int, int, list[float]]:
         from .jpeg import decode_jpeg
 
         img = decode_jpeg(payload)
+    elif payload.startswith(b"GIF87a") or payload.startswith(b"GIF89a"):
+        from .gif import decode_gif
+
+        img = decode_gif(payload)
     else:
         raise NotImplementedError(
-            "GIF/WebP/... decode requires PIL/cv2 which are not installed; "
-            "PPM/BMP/PNG/baseline-JPEG decode natively, other formats use "
-            "decode_image_stub"
+            "WebP/TIFF/... decode requires PIL/cv2 which are not installed; "
+            "PPM/BMP/PNG/baseline-JPEG/GIF decode natively, other formats "
+            "use decode_image_stub"
         )
     return img.shape[1], img.shape[0], _thumb_feature(img)
 
@@ -295,6 +300,7 @@ def _decode_any(kind: str, data: bytes) -> tuple[int, int, list[float], str]:
                 "ppm" if data.startswith(b"P6")
                 else "png" if data.startswith(b"\x89PNG")
                 else "jpeg" if data.startswith(b"\xff\xd8")
+                else "gif" if data.startswith(b"GIF8")
                 else "bmp"
             )
             return w, h, feat, decoder

@@ -277,6 +277,69 @@ def jpeg_pixel(block_vals: list[list[int]], x: int, y: int) -> int:
     return block_vals[y // 8][x // 8]
 
 
+# (name, w, h, palette_bits) GIFs: palette entry i is gray
+# i * 255 // (2^bits - 1); pixel index at (x, y) = (x + y) % 2^bits
+GIF_SPECS = [
+    ("gif-2bit-13x9", 13, 9, 2),
+    ("gif-4bit-20x11", 20, 11, 4),
+]
+
+
+def gif_gray(bits: int, x: int, y: int) -> int:
+    """Closed-form gray value of the GIF spec pattern (shared with the
+    golden generator)."""
+    n = 1 << bits
+    return ((x + y) % n) * 255 // (n - 1)
+
+
+def make_gif(w: int, h: int, bits: int = 2) -> bytes:
+    """GIF89a bytes via the classic 'uncompressed GIF' technique: every
+    pixel index is emitted as a literal LZW code, with a CLEAR code every
+    2^bits - 2 literals so the decoder's dictionary (which inserts one
+    entry per literal after the first, and widens the code size the
+    moment next_code reaches 2^width) never leaves width bits+1 — the
+    encoder stays fixed there.  Exercises the decoder's variable-width
+    reader, CLEAR handling, and palette map."""
+    n = 1 << bits
+    palette = b"".join(bytes([i * 255 // (n - 1)] * 3) for i in range(n))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += palette
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out += bytes([bits])  # LZW minimum code size
+    clear, eoi = n, n + 1
+    width = bits + 1
+    acc = nb = 0
+    coded = bytearray()
+
+    def put(code: int):
+        nonlocal acc, nb
+        acc |= code << nb
+        nb += width
+        while nb >= 8:
+            coded.append(acc & 0xFF)
+            acc >>= 8
+            nb -= 8
+
+    put(clear)
+    since_clear = 0
+    for y in range(h):
+        for x in range(w):
+            if since_clear == n - 2:
+                put(clear)
+                since_clear = 0
+            put((x + y) % n)
+            since_clear += 1
+    put(eoi)
+    if nb:
+        coded.append(acc & 0xFF)
+    for i in range(0, len(coded), 255):
+        chunk = coded[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def make_wav(rate: int, n_channels: int, amplitudes: list[int],
              samples_per_window: int = 64) -> bytes:
     frames = bytearray()
@@ -302,6 +365,8 @@ def synthetic_media_rows() -> list[tuple[str, str, bytes]]:
         rows.append((name, "image", make_png(w, h, ct)))
     for name, grid, color, sub in JPEG_SPECS:
         rows.append((name, "image", make_jpeg(grid, color, sub)))
+    for name, w, h, bits in GIF_SPECS:
+        rows.append((name, "image", make_gif(w, h, bits)))
     for name, rate, nch, amps in WAV_SPECS:
         rows.append((name, "audio", make_wav(rate, nch, amps)))
     for name, payload in STUB_SPECS:

@@ -361,8 +361,13 @@ def test_real_image_decoders():
     assert all(abs(v - 128 / 255) < 1e-9 for v in feat)
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
+    # PNG now decodes for real: a truncated payload is a decode FAILURE
+    # (ValueError), not an unimplemented format
+    with _pytest.raises(ValueError):
         decode_image_real(b"\x89PNG\r\n\x1a\nxxxx")
+    # genuinely unimplemented formats still raise NotImplementedError
+    with _pytest.raises(NotImplementedError):
+        decode_image_real(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
 
 def test_real_audio_decoder():

@@ -27,13 +27,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pdf_extract_spark.fixtures import corpus  # noqa: E402
 from pdf_extract_spark.sources.media_corpus import (  # noqa: E402
     BMP_SPECS,
+    GIF_SPECS,
     JPEG_SPECS,
     PNG_SPECS,
     PPM_SPECS,
     STUB_SPECS,
     WAV_SPECS,
+    gif_gray,
     jpeg_pixel,
     make_bmp,
+    make_gif,
     make_jpeg,
     make_png,
     make_ppm,
@@ -77,6 +80,11 @@ def golden_rows():
         xs, ys = thumb_indices(w), thumb_indices(h)
         feat = [jpeg_pixel(grid, x, y) / 255.0 for y in ys for x in xs]
         rows.append((name, "image", make_jpeg(grid, color, sub), w, h, feat, "jpeg"))
+    for name, w, h, bits in GIF_SPECS:
+        # closed-form: palette gray of index (x+y) % 2^bits
+        xs, ys = thumb_indices(w), thumb_indices(h)
+        feat = [gif_gray(bits, x, y) / 255.0 for y in ys for x in xs]
+        rows.append((name, "image", make_gif(w, h, bits), w, h, feat, "gif"))
     for name, rate, nch, amps in WAV_SPECS:
         feat = [abs(a) / 32768.0 for a in amps]
         rows.append((name, "audio", make_wav(rate, nch, amps), rate, nch, feat, "wav"))
