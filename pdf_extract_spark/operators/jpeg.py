@@ -211,6 +211,9 @@ def decode_jpeg(payload: bytes):
             for s in range(ns):
                 cid, tt = seg[1 + 2 * s : 3 + 2 * s]
                 scan_map[cid] = (tt >> 4, tt & 15)
+            if set(scan_map) != {c[0] for c in comps}:
+                # spec-legal but rare: multiple single-component scans
+                raise NotImplementedError("non-interleaved multi-scan JPEG")
             data_start = pos + seglen
             return _decode_scan(
                 payload, data_start, w, h, comps, scan_map, qt,

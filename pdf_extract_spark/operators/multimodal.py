@@ -109,62 +109,15 @@ def _decode_bmp(payload: bytes):
     return rows[:, :, ::-1]  # BGR -> RGB
 
 
-def _png_unfilter(raw, w: int, h: int, bpp: int):
-    """Reverse PNG scanline filtering (RFC 2083 §6): per-row filter byte
-    0=None 1=Sub 2=Up 3=Average 4=Paeth.  Rows are sequential (each needs
-    the reconstructed previous row) but each row reconstructs with numpy
-    vector ops where the filter allows."""
-    import numpy as np
-
-    stride = w * bpp
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    pos = 0
-    for y in range(h):
-        ftype = raw[pos]
-        pos += 1
-        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos).astype(
-            np.int32
-        )
-        pos += stride
-        if ftype == 0:
-            rec = row
-        elif ftype == 2:  # Up
-            rec = (row + prev) & 0xFF
-        elif ftype == 1:  # Sub — sequential in pixels, vector across channels
-            rec = row.copy()
-            for i in range(bpp, stride):
-                rec[i] = (rec[i] + rec[i - bpp]) & 0xFF
-        elif ftype == 3:  # Average
-            rec = row.copy()
-            for i in range(stride):
-                left = rec[i - bpp] if i >= bpp else 0
-                rec[i] = (rec[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            rec = row.copy()
-            for i in range(stride):
-                a = rec[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                c = prev[i - bpp] if i >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                rec[i] = (rec[i] + pr) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter type {ftype}")
-        out[y] = rec.astype(np.uint8)
-        prev = rec
-    return out
-
-
 def _decode_png(payload: bytes):
     """PNG -> HxWx3 uint8 array.  REAL, dependency-free: stdlib zlib
-    inflates IDAT, numpy reverses the scanline filters (the engine already
-    speaks PNG predictors — pdfmini.filters uses the same family for
-    FlateDecode Predictor 10-15).  Supported: 8-bit depth, color types
-    0 (gray), 2 (RGB), 6 (RGBA; alpha dropped), non-interlaced — the
-    dominant web shapes.  Anything else raises NotImplementedError and
-    falls to the tagged stub tier."""
+    inflates IDAT, and the scanline unfilter IS the engine's existing
+    FlateDecode PNG-predictor kernel (pdfmini.filters.apply_predictor,
+    Predictor 15 = per-row filter byte — the identical RFC 2083
+    algorithm; one implementation to maintain).  Supported: 8-bit depth,
+    color types 0 (gray), 2 (RGB), 6 (RGBA; alpha dropped),
+    non-interlaced — the dominant web shapes.  Anything else raises
+    NotImplementedError and falls to the tagged stub tier."""
     import struct
     import zlib
 
@@ -196,11 +149,16 @@ def _decode_png(payload: bytes):
         raise NotImplementedError(
             f"PNG depth={bit_depth} color_type={color_type} interlace={interlace}"
         )
+    from ..pdfmini.filters import apply_predictor
+
     bpp = {0: 1, 2: 3, 6: 4}[color_type]
     raw = zlib.decompress(b"".join(idat))
     if len(raw) != h * (1 + w * bpp):
         raise ValueError("PNG data length mismatch")
-    img = _png_unfilter(raw, w, h, bpp).reshape(h, w, bpp)
+    flat = apply_predictor(
+        raw, {"Predictor": 15, "Colors": bpp, "BitsPerComponent": 8, "Columns": w}
+    )
+    img = np.frombuffer(flat, dtype=np.uint8, count=h * w * bpp).reshape(h, w, bpp)
     if color_type == 0:
         img = np.repeat(img, 3, axis=2)
     elif color_type == 6:

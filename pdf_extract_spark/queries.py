@@ -1246,12 +1246,16 @@ hits AS (
   FROM approx JOIN exact USING (query_id, nbr_id)
   GROUP BY variant
 )
-SELECT variant,
+-- LEFT JOIN from the variant universe: a zero-hit variant must still
+-- emit its (false, 0.0) row to match the engine's cardinality, not
+-- vanish from the GROUP BY and fail as a row-count mismatch
+SELECT v.variant,
        CAST(10 AS BIGINT) AS n_queries,
-       n_hits::DOUBLE / 50.0 >= 0.8 AS recall_pass,
-       n_hits::DOUBLE / 50.0 AS mean_recall
-FROM hits
-ORDER BY variant
+       COALESCE(n_hits, 0)::DOUBLE / 50.0 >= 0.8 AS recall_pass,
+       COALESCE(n_hits, 0)::DOUBLE / 50.0 AS mean_recall
+FROM (VALUES ('ivf'), ('lsh')) AS v(variant)
+LEFT JOIN hits ON hits.variant = v.variant
+ORDER BY v.variant
 """
 
 
