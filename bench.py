@@ -34,6 +34,9 @@ HEADLINE = [
     "lineitem_rollup",
     "doc_stats",
     "doc_quality_filter",
+    "doc_sample_stratified",
+    "doc_source_quota",
+    "corpus_summary_stats",
     "doc_token_bpe",
     "doc_winnow_fingerprints",
     "dedup_exact",

@@ -9,7 +9,7 @@ outputs wherever possible (value-hash-stable across engines).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # marker stopwords per language for the n-gram/stopword language heuristic;
@@ -134,6 +134,68 @@ def gopher_quality_flags(docs: DataFrame, text_col: str = "text",
         (rule_words & rule_mean_len & rule_symbols & rule_stop & rule_alpha).alias(
             "keep"
         ),
+    )
+
+
+def hash_bucket(col, buckets: int = 100) -> Column:
+    """Deterministic engine-portable hash bucket in [0, buckets): the top
+    32 bits of md5 of the value's string form.  Unlike rand()/sampleBy this
+    is reproducible run-over-run AND recomputable by any engine that has
+    md5 — the property a training-data pipeline needs so a sample drawn
+    today can be re-derived (or audited) years later."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+    return (h % buckets).cast("int")
+
+
+def stratified_sample(docs: DataFrame, rates: dict[str, int],
+                      default_pct: int = 0, key_col: str = "source",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-stratum sampling: keep a doc iff its md5 hash
+    bucket < the stratum's percentage.  The workhorse of corpus mixing
+    (e.g. 'keep 10% of commoncrawl, 100% of wikipedia'): one narrow
+    codegen pass, no shuffle, no RNG state, exact DuckDB oracle."""
+    rate = F.lit(default_pct)
+    for k, pct in sorted(rates.items()):
+        rate = F.when(F.col(key_col) == k, F.lit(pct)).otherwise(rate)
+    return docs.filter(hash_bucket(F.col(id_col)) < rate)
+
+
+def source_quota_cap(docs: DataFrame, cap: int, key_col: str = "source",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-source document quota: keep at most `cap` docs per source,
+    chosen by deterministic hash priority (NOT first-seen order, which
+    depends on scan parallelism).  Standard anti-domination step for web
+    corpora — one window over the source partitioning; at 100 TB the
+    hash-priority rank also makes the retained set stable under
+    re-partitioning and resumable re-runs."""
+    # md5 priority, id tiebreak: total order, engine-portable
+    w = F.row_number().over(
+        Window.partitionBy(key_col).orderBy(
+            F.md5(F.col(id_col).cast("string")), F.col(id_col)
+        )
+    )
+    return (
+        docs.withColumn("__rk", w)
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )
+
+
+def corpus_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-(lang, source) corpus composition report: doc/char/token totals
+    and extremes — the table a pipeline run publishes after every stage.
+    Integer-only outputs (value-hash exact across engines); map-side
+    combined aggregation, one shuffle on the tiny group key."""
+    c = F.col(text_col)
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(char_count(c)).alias("total_chars"),
+            F.sum(token_count(c)).alias("total_tokens"),
+            F.min(token_count(c)).alias("min_tokens"),
+            F.max(token_count(c)).alias("max_tokens"),
+        )
     )
 
 

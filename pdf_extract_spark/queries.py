@@ -388,6 +388,82 @@ def doc_quality_filter(spark, sf_dir):
     return gopher_quality_flags(load(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+# per-stratum sampling percentages pinned for the oracled query
+_SAMPLE_RATES = {"src0": 40, "src1": 15}
+_SAMPLE_DEFAULT_PCT = 5
+_QUOTA_CAP = 12  # binds at every test SF (sf0.01 has up to 25 docs/source)
+
+
+def doc_sample_stratified(spark, sf_dir):
+    """Deterministic corpus-mixing sample: keep a doc iff the top 32 bits
+    of md5(doc_id) land in the stratum's percentage bucket — reproducible
+    and auditable by ANY md5-capable engine, unlike rand()/sampleBy
+    (functions/text.py:stratified_sample).  One narrow codegen pass, no
+    shuffle — at 100 TB this is a scan-side filter pushed next to the
+    parquet reader."""
+    from .functions.text import stratified_sample
+
+    return stratified_sample(
+        load(spark, sf_dir, "documents"),
+        rates=_SAMPLE_RATES,
+        default_pct=_SAMPLE_DEFAULT_PCT,
+    ).select("doc_id", "source", "lang").orderBy("doc_id")
+
+
+def doc_source_quota(spark, sf_dir):
+    """Per-source quota cap (anti-domination): at most N docs per source
+    by deterministic md5 priority (functions/text.py:source_quota_cap).
+    Hash priority makes the retained set independent of scan order and
+    partitioning — re-runs and resumes keep the same docs."""
+    from .functions.text import source_quota_cap
+
+    return source_quota_cap(
+        load(spark, sf_dir, "documents"), cap=_QUOTA_CAP
+    ).select("doc_id", "source").orderBy("doc_id")
+
+
+def corpus_summary_stats(spark, sf_dir):
+    """Per-(lang, source) corpus composition: doc/char/token totals and
+    extremes — the post-stage report table of a data pipeline
+    (functions/text.py:corpus_summary).  Integer-only, map-side combined."""
+    from .functions.text import corpus_summary
+
+    return corpus_summary(load(spark, sf_dir, "documents")).orderBy("lang", "source")
+
+
+SAMPLE_STRATIFIED_SQL = r"""
+SELECT doc_id, source, lang
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
+      < CASE source WHEN 'src0' THEN 40 WHEN 'src1' THEN 15 ELSE 5 END
+ORDER BY doc_id
+"""
+
+SOURCE_QUOTA_SQL = r"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+WHERE rk <= 12
+ORDER BY doc_id
+"""
+
+CORPUS_SUMMARY_SQL = r"""
+SELECT lang, source,
+       count(*) AS n_docs,
+       sum(length(text)) AS total_chars,
+       sum(len(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens,
+       min(len(regexp_split_to_array(trim(text), '\s+'))) AS min_tokens,
+       max(len(regexp_split_to_array(trim(text), '\s+'))) AS max_tokens
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
 DOC_QUALITY_SQL = r"""
 WITH base AS (
   SELECT doc_id,
@@ -1313,6 +1389,9 @@ QUERIES = {
     "events_hourly_rollup": events_hourly_rollup,
     "doc_stats": doc_stats,
     "doc_quality_filter": doc_quality_filter,
+    "doc_sample_stratified": doc_sample_stratified,
+    "doc_source_quota": doc_source_quota,
+    "corpus_summary_stats": corpus_summary_stats,
     "dedup_exact": dedup_exact_q,
     "minhash_lsh_candidates": minhash_lsh_q,
     "dedup_clusters": dedup_clusters_q,
@@ -1349,6 +1428,9 @@ ORACLES = {
     "events_hourly_rollup": HOURLY_SQL,
     "doc_stats": DOC_STATS_SQL,
     "doc_quality_filter": DOC_QUALITY_SQL,
+    "doc_sample_stratified": SAMPLE_STRATIFIED_SQL,
+    "doc_source_quota": SOURCE_QUOTA_SQL,
+    "corpus_summary_stats": CORPUS_SUMMARY_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "minhash_lsh_candidates": MINHASH_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,

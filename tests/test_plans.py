@@ -91,6 +91,35 @@ def test_ngram_jaccard_hot_set_is_broadcast_anti(spark):
     ), txt[:2000]
 
 
+def test_stratified_sample_is_scan_side_filter(spark):
+    """The md5 hash-bucket sample must be a narrow filter next to the
+    scan — no exchange, no Python, codegen throughout."""
+    from pdf_extract_spark.queries import doc_sample_stratified
+
+    df = doc_sample_stratified(spark, SF)
+    txt = plan_of(df)
+    body = txt.split("== Physical Plan ==")[-1]
+    # the only exchange allowed is the final orderBy's range partitioning
+    n_ex = body.count("Exchange ")
+    n_range = body.count("Exchange rangepartitioning")
+    assert n_ex == n_range, txt[:2000]
+    assert "Python" not in body
+
+
+def test_source_quota_partition_invariant(spark):
+    """Hash-priority quota: the retained set must be identical however the
+    input is partitioned (first-seen-order quotas are not)."""
+    from pdf_extract_spark.functions.text import source_quota_cap
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = sorted(r["doc_id"] for r in source_quota_cap(docs, 12).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in source_quota_cap(docs.repartition(13, "doc_id"), 12).collect()
+    )
+    assert a == b and len(a) > 0
+
+
 def test_winnow_is_single_arrow_pass(spark):
     """Winnowing must run inside one mapInArrow stage: no posexplode of
     character positions, no window exchange over (doc_id, pos)."""
