@@ -1,0 +1,48 @@
+"""Streaming ingest dedup: drop re-arriving duplicate documents online.
+
+A crawl stream re-delivers the same page (recrawls, mirrors, redirect
+aliases); waiting for the batch dedup pass wastes extraction compute on
+copies.  This stage drops exact duplicates AT INGEST by content
+fingerprint using Spark's built-in streaming state:
+
+  * ``dropDuplicatesWithinWatermark([fingerprint])`` keeps one row per
+    fingerprint among events whose event times fall within the watermark
+    delay of each other — state is EVICTED once the watermark passes, so
+    long-running streams hold bounded state (vs plain ``dropDuplicates``
+    on a stream, whose state grows forever).  At 10^12 docs the state
+    store shards by fingerprint across executors; eviction is what makes
+    the operator deployable.
+  * the fingerprint is the SAME md5 normalization the batch exact-dedup
+    operator uses (functions/text.py:fingerprint), so stream-time dedup
+    and batch dedup agree on what "duplicate" means.
+
+Semantics note (documented trade): duplicates farther apart in event time
+than the delay are NOT caught — the scale-bounded online pass removes the
+near-in-time bulk (recrawl storms), and the periodic batch dedup_exact
+remains the total guarantee.  This is the standard two-tier design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint
+
+
+def dedup_stream(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """(doc_id, ts, text, ...) stream -> same rows minus in-window exact
+    duplicates (first arrival per fingerprint wins)."""
+    ev = docs_stream
+    if dict(ev.dtypes).get(ts_col) == "timestamp_ntz":
+        ev = ev.withColumn(ts_col, F.col(ts_col).cast("timestamp_ltz"))
+    return (
+        ev.withColumn("fingerprint", fingerprint(F.col(text_col)))
+        .withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
