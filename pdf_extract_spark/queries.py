@@ -1047,6 +1047,52 @@ def render_html(spark, sf_dir):
     )
 
 
+def render_svg(spark, sf_dir):
+    """SVG device over the corpus (SVGOutput parity, lib.rs:1995-2087);
+    stable digests, oracled against dist/golden_svg.parquet — the
+    distributed path must reproduce the single-node device bit-for-bit."""
+    from .sources.raw_docs import fixture_corpus_df
+
+    def svg_batches(batches):
+        import hashlib
+
+        import pandas as pd
+
+        from .extract import extract_svg_from_mem
+
+        for b in batches:
+            rows = {"doc_id": [], "svg_len": [], "svg_md5": []}
+            for doc_id, content in zip(b["doc_id"], b["content"]):
+                try:
+                    s = extract_svg_from_mem(bytes(content))
+                except Exception:
+                    s = ""
+                rows["doc_id"].append(doc_id)
+                rows["svg_len"].append(len(s))
+                rows["svg_md5"].append(hashlib.md5(s.encode()).hexdigest())
+            yield pd.DataFrame(rows)
+
+    raw = fixture_corpus_df(spark, replicas=1)
+    return (
+        raw.select("doc_id", "content")
+        .mapInPandas(svg_batches, "doc_id string, svg_len long, svg_md5 string")
+        .orderBy("doc_id")
+    )
+
+
+_GOLDEN_SVG_PARQUET = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "dist",
+    "golden_svg.parquet",
+)
+
+RENDER_SVG_SQL = f"""
+SELECT doc_id, svg_len, svg_md5
+FROM read_parquet('{_GOLDEN_SVG_PARQUET}')
+ORDER BY doc_id
+"""
+
+
 _GOLDEN_HTML_MAIN_PARQUET = _os.path.join(
     _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
     "dist",
@@ -1409,6 +1455,7 @@ QUERIES = {
     "doc_metadata": doc_metadata_q,
     "extract_paged_spans": extract_paged_spans,
     "render_html": render_html,
+    "render_svg": render_svg,
     "events_asof_orders": events_asof_orders,
     "lineitem_rollup": lineitem_rollup,
     "custkeys_without_urgent_orders": custkeys_without_urgent_orders,
@@ -1453,6 +1500,7 @@ ORACLES = {
     "html_main_content": HTML_MAIN_SQL,
     "unified_spans": UNIFIED_SPANS_SQL,
     "render_html": RENDER_HTML_SQL,
+    "render_svg": RENDER_SVG_SQL,
     # ANN approximate paths: LSH has a full DuckDB SQL reimplementation
     # (the md5 hyperplane family is engine-independent); IVF has an
     # independent numpy golden keyed by corpus fingerprint

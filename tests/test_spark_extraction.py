@@ -386,6 +386,31 @@ def test_golden_ann_ivf_parquet_current(spark):
     assert got == fresh
 
 
+def test_golden_svg_parquet_current(spark):
+    """dist/golden_svg.parquet is a reviewed SNAPSHOT of the single-node
+    SVG device: guard that it regenerates identically, and that the
+    distributed render_svg query reproduces it bit-for-bit."""
+    import sys
+    from pathlib import Path
+
+    import duckdb
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from gen_golden_svg import OUT, golden_rows
+
+    fresh = golden_rows()
+    fresh_rows = sorted(zip(fresh["doc_id"], fresh["svg_len"], fresh["svg_md5"]))
+    on_disk = duckdb.sql(f"SELECT * FROM read_parquet('{OUT}') ORDER BY doc_id").fetchall()
+    assert [tuple(r) for r in on_disk] == fresh_rows, (
+        "dist/golden_svg.parquet stale — re-run tools/gen_golden_svg.py"
+    )
+
+    from pdf_extract_spark.queries import render_svg
+
+    got = sorted(tuple(r) for r in render_svg(spark, "").collect())
+    assert got == fresh_rows
+
+
 def test_golden_html_parquet_current(spark):
     """dist/golden_html.parquet is a reviewed SNAPSHOT of the single-node
     HTML device: guard that it regenerates identically, and that the
