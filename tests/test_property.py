@@ -200,3 +200,82 @@ def test_decode_content_token_shapes():
     assert ("BI", []) in ops
     assert d["Tj"] == [PdfString(b"after")]
     assert d["stray"] == []
+
+
+# ---------------------------------------------------------------------------
+# Media decoder roundtrips: random spec-encoded images must decode
+# bit-exactly (the encoders are independent spec implementations, so this
+# is an encoder<->decoder differential test, not a self-check)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    rows=st.integers(1, 3),
+    cols=st.integers(1, 4),
+    color=st.booleans(),
+    data=st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_roundtrip_random_grids(rows, cols, color, data):
+    import numpy as np
+
+    from pdf_extract_spark.operators.jpeg import decode_jpeg
+    from pdf_extract_spark.sources.media_corpus import make_jpeg
+
+    grid = [
+        [data.draw(st.integers(0, 255)) for _ in range(cols)] for _ in range(rows)
+    ]
+    img = decode_jpeg(make_jpeg(grid, color))
+    assert img.shape == (rows * 8, cols * 8, 3)
+    for r in range(rows):
+        for c in range(cols):
+            blk = img[r * 8 : (r + 1) * 8, c * 8 : (c + 1) * 8]
+            assert (blk == grid[r][c]).all(), (r, c, np.unique(blk))
+
+
+@given(
+    rows=st.integers(1, 2),
+    cols=st.integers(1, 2),
+    data=st.data(),
+)
+@settings(max_examples=20, deadline=None)
+def test_jpeg_roundtrip_420(rows, cols, data):
+    from pdf_extract_spark.operators.jpeg import decode_jpeg
+    from pdf_extract_spark.sources.media_corpus import make_jpeg
+
+    grid = [
+        [data.draw(st.integers(0, 255)) for _ in range(cols * 2)]
+        for _ in range(rows * 2)
+    ]
+    img = decode_jpeg(make_jpeg(grid, subsample420=True))
+    for r in range(rows * 2):
+        for c in range(cols * 2):
+            assert (img[r * 8 : (r + 1) * 8, c * 8 : (c + 1) * 8] == grid[r][c]).all()
+
+
+@given(w=st.integers(1, 40), h=st.integers(1, 25), bits=st.integers(2, 5))
+@settings(max_examples=40, deadline=None)
+def test_gif_roundtrip_random_dims(w, h, bits):
+    import numpy as np
+
+    from pdf_extract_spark.operators.gif import decode_gif
+    from pdf_extract_spark.sources.media_corpus import gif_gray, make_gif
+
+    img = decode_gif(make_gif(w, h, bits))
+    expect = np.array(
+        [[gif_gray(bits, x, y) for x in range(w)] for y in range(h)], dtype=np.uint8
+    )
+    assert (img == expect[:, :, None]).all()
+
+
+@given(w=st.integers(1, 24), h=st.integers(1, 24), ct=st.sampled_from([0, 2, 6]))
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_random_dims(w, h, ct):
+    from pdf_extract_spark.operators.multimodal import _decode_png
+    from pdf_extract_spark.sources.media_corpus import make_png, png_pixel
+
+    img = _decode_png(make_png(w, h, ct))
+    assert img.shape == (h, w, 3)
+    for y in range(h):
+        for x in range(w):
+            assert (img[y, x] == png_pixel(x, y)).all()
