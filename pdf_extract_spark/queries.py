@@ -908,35 +908,25 @@ ORDER BY doc_id, fp
 # flagship query from rows-only to a full rows+schema+hash check.
 import os as _os
 
-_GOLDEN_SPANS_PARQUET = _os.path.join(
-    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
-    "dist",
-    "golden_spans.parquet",
-)
 
-_GOLDEN_META_PARQUET = _os.path.join(
-    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
-    "dist",
-    "golden_metadata.parquet",
-)
+def _golden(name: str) -> str:
+    """Absolute path of a committed golden-oracle parquet under dist/."""
+    return _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "dist",
+        name,
+    )
 
-_GOLDEN_PAGED_PARQUET = _os.path.join(
-    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
-    "dist",
-    "golden_paged.parquet",
-)
 
-_GOLDEN_MEDIA_PARQUET = _os.path.join(
-    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
-    "dist",
-    "golden_media.parquet",
-)
+_GOLDEN_SPANS_PARQUET = _golden("golden_spans.parquet")
 
-_GOLDEN_HTML_PARQUET = _os.path.join(
-    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
-    "dist",
-    "golden_html.parquet",
-)
+_GOLDEN_META_PARQUET = _golden("golden_metadata.parquet")
+
+_GOLDEN_PAGED_PARQUET = _golden("golden_paged.parquet")
+
+_GOLDEN_MEDIA_PARQUET = _golden("golden_media.parquet")
+
+_GOLDEN_HTML_PARQUET = _golden("golden_html.parquet")
 
 MEDIA_FEATURES_SQL = f"""
 SELECT media_id, media_kind, byte_len, sha256, width, height, feature, decoder
@@ -1080,11 +1070,7 @@ def render_svg(spark, sf_dir):
     )
 
 
-_GOLDEN_SVG_PARQUET = _os.path.join(
-    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
-    "dist",
-    "golden_svg.parquet",
-)
+_GOLDEN_SVG_PARQUET = _golden("golden_svg.parquet")
 
 RENDER_SVG_SQL = f"""
 SELECT doc_id, svg_len, svg_md5
@@ -1093,11 +1079,7 @@ ORDER BY doc_id
 """
 
 
-_GOLDEN_HTML_MAIN_PARQUET = _os.path.join(
-    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
-    "dist",
-    "golden_html_main.parquet",
-)
+_GOLDEN_HTML_MAIN_PARQUET = _golden("golden_html_main.parquet")
 
 HTML_MAIN_SQL = f"""
 SELECT doc_id, pos, kind, text, media_ref, "offset" AS offset
@@ -1317,11 +1299,7 @@ WHERE rank <= 5
 ORDER BY query_id, rank
 """
 
-_GOLDEN_ANN_IVF_PARQUET = _os.path.join(
-    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
-    "dist",
-    "golden_ann_ivf.parquet",
-)
+_GOLDEN_ANN_IVF_PARQUET = _golden("golden_ann_ivf.parquet")
 
 # IVF top-k oracle: the k-means trainer is not SQL-expressible, so the
 # expectations come from an independent single-node numpy reimplementation

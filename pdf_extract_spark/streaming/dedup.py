@@ -36,13 +36,17 @@ def dedup_stream(
     ts_col: str = "ts",
     delay: str = "30 minutes",
 ) -> DataFrame:
-    """(doc_id, ts, text, ...) stream -> same rows minus in-window exact
-    duplicates (first arrival per fingerprint wins)."""
+    """(doc_id, ts, text, ...) stream -> the same rows, minus in-window
+    exact duplicates (first arrival per fingerprint wins).  The input
+    schema passes through unchanged — the dedup key lives in a temp
+    column dropped before return, so downstream sinks never see schema
+    drift and a pre-existing ``fingerprint`` column is left untouched."""
     ev = docs_stream
     if dict(ev.dtypes).get(ts_col) == "timestamp_ntz":
         ev = ev.withColumn(ts_col, F.col(ts_col).cast("timestamp_ltz"))
     return (
-        ev.withColumn("fingerprint", fingerprint(F.col(text_col)))
+        ev.withColumn("__dedup_fp", fingerprint(F.col(text_col)))
         .withWatermark(ts_col, delay)
-        .dropDuplicatesWithinWatermark(["fingerprint"])
+        .dropDuplicatesWithinWatermark(["__dedup_fp"])
+        .drop("__dedup_fp")
     )

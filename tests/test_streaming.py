@@ -104,13 +104,16 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         .start()
     )
     q.awaitTermination(240)
+    assert not q.isActive or q.awaitTermination(60)
     got = spark.read.parquet(out)
-    kept = sorted(r["doc_id"] for r in got.collect())
+    rows = got.collect()
+    # the input schema passes through unchanged — no dedup-key column leak
+    assert sorted(got.columns) == ["doc_id", "text", "ts"]
     # one row per distinct normalized fingerprint; deterministic winners
     # are not guaranteed by the state store, but cardinality is
-    assert len(kept) == 3
-    texts = {r["fingerprint"] for r in got.collect()}
-    assert len(texts) == 3
+    assert len(rows) == 3
+    norm = {" ".join(r["text"].lower().split()) for r in rows}
+    assert len(norm) == 3
 
 
 def test_streaming_windowed_event_counts(spark, tmp_path):
