@@ -19,6 +19,7 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     direction: str = "backward",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     right_ts <= left_ts (direction='backward') within the same `on` key.
@@ -29,11 +30,26 @@ def asof_join(
     key, no range-explosion, skew-safe for the same reasons a window agg
     is.  This beats a theta-join (ts <= ts') + argmax, which Catalyst can
     only express as a broadcast-nested-loop at scale.
-    """
+
+    `tiebreak`: when multiple right rows share (key, right_ts), the row
+    with the GREATEST tiebreak column wins — without it the winner is
+    whichever row the shuffle happened to order last, which silently
+    varies run-to-run and engine-to-engine (caught by the sf0.1 oracle:
+    duplicate order dates per customer made Spark and DuckDB disagree).
+    Pass a unique column (an id) whenever the right side's (key, ts) is
+    not known to be unique."""
     if direction != "backward":
         raise ValueError("only direction='backward' is implemented")
     lt = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
-    rt = right.select(
+    rsel = right
+    if tiebreak is not None:
+        rw = Window.partitionBy(on, right_ts).orderBy(F.desc(tiebreak))
+        rsel = (
+            right.withColumn("__rk", F.row_number().over(rw))
+            .filter(F.col("__rk") == 1)
+            .drop("__rk")
+        )
+    rt = rsel.select(
         F.col(on),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),

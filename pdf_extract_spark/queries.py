@@ -680,6 +680,10 @@ def events_asof_orders(spark, sf_dir):
     joined = asof_join(
         events, orders, on="user_id", left_ts="ts", right_ts="o_orderdate",
         right_cols=["o_orderkey", "o_totalprice"],
+        # orders are NOT unique per (custkey, orderdate) at sf0.1 — pin
+        # the max-orderkey winner so the result is deterministic and the
+        # oracle (which pre-dedupes the same way) agrees
+        tiebreak="o_orderkey",
     )
     return joined.select(
         "event_id",
@@ -690,11 +694,21 @@ def events_asof_orders(spark, sf_dir):
 
 
 ASOF_SQL = """
+-- right side pre-deduped to the max-orderkey row per (custkey, date):
+-- DuckDB's ASOF picks an unspecified row among exact-timestamp ties, so
+-- determinism requires removing the ties before the join (the engine
+-- applies the identical max-orderkey tie-break)
 SELECT event_id, e.user_id AS user_id, o_orderkey AS last_orderkey,
        round(o_totalprice, 2) AS last_price
 FROM (SELECT event_id, user_id, ts FROM events) e
-ASOF LEFT JOIN (SELECT o_custkey AS user_id, o_orderdate, o_orderkey,
-                       o_totalprice FROM orders) o
+ASOF LEFT JOIN (
+  SELECT user_id, o_orderdate, o_orderkey, o_totalprice FROM (
+    SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                              ORDER BY o_orderkey DESC) AS rn
+    FROM orders
+  ) WHERE rn = 1
+) o
   ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
 ORDER BY event_id
 """

@@ -412,6 +412,29 @@ def test_media_features_mixed_decoders(spark):
     assert out["pngx"]["decoder"] == "stub"
 
 
+def test_asof_join_tiebreak_deterministic(spark):
+    """Multiple right rows sharing (key, ts): without a tiebreak the
+    winner is shuffle-order luck (the sf0.1 oracle caught Spark and
+    DuckDB disagreeing); with tiebreak the max-tiebreak row always wins,
+    independent of input partitioning."""
+    from pdf_extract_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 10)], "event_id long, user_id long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(100, 5, 11, 50.0), (100, 5, 22, 99.0), (100, 5, 17, 70.0)],
+        "user_id long, o_ts long, okey long, price double",
+    )
+    for nparts in (1, 3):
+        got = asof_join(
+            left, right.repartition(nparts), on="user_id", left_ts="ts",
+            right_ts="o_ts", right_cols=["okey", "price"], tiebreak="okey",
+        ).collect()
+        assert len(got) == 1
+        assert got[0]["okey"] == 22 and got[0]["price"] == 99.0
+
+
 def test_media_features_real_jpeg(spark):
     """Baseline JPEG decodes for real in the Spark pipeline; features equal
     the closed-form grid expectation (DC-only blocks: pixel = F00/8+128)."""
