@@ -111,9 +111,11 @@ def connected_components(
                 (best < F.col("label")).alias("moved"),
             )
         )
-        changed = new_labels.filter("moved").limit(1).count()
         labels = new_labels.select("id", F.col("new_label").alias("label"))
-        if changed == 0:
+        # skip the convergence probe on round 0: any graph with at least
+        # one edge moves there, so the probe job is pure scheduling
+        # overhead (an edgeless input merely converges one round later)
+        if round_no > 0 and new_labels.filter("moved").limit(1).count() == 0:
             converged = True
             break
     if not converged and new_labels is not None:
