@@ -10,12 +10,14 @@ value hash):
   * float outputs rounded or integer-scaled where engines could differ in
     summation order
 Non-SQL-expressible ops fall back to golden-parquet oracles (flagship /
-paged / metadata extraction, multimodal decode, HTML render, HTML main
-content — all under dist/, spec-derived or reviewed snapshots) or to the
-`ann_recall` boolean gate (LSH/IVF top-k, whose hyperplane/k-means
-internals no SQL engine replicates — the only two rows-only queries).
-Everything else, including simhash (md5 bit votes replicated in SQL), is
-value-hash checked against DuckDB.
+paged / metadata extraction, multimodal decode, HTML/SVG render, HTML
+main content — all under dist/, spec-derived or reviewed snapshots;
+IVF top-k uses an independent numpy-reimplementation golden keyed by
+corpus fingerprint).  Everything else — including simhash (md5 bit
+votes replicated in SQL) and SRP-LSH top-k (the full hyperplane /
+bucket / multiprobe / re-rank pipeline reimplemented in DuckDB SQL) —
+is value-hash checked against DuckDB.  EVERY query has an oracle; no
+rows-only checks remain.
 """
 
 from __future__ import annotations
