@@ -37,6 +37,9 @@ HEADLINE = [
     "doc_sample_stratified",
     "doc_source_quota",
     "corpus_summary_stats",
+    "doc_repetition_flags",
+    "doc_span_dedup",
+    "doc_decontaminate",
     "doc_token_bpe",
     "doc_winnow_fingerprints",
     "dedup_exact",

@@ -137,6 +137,179 @@ def gopher_quality_flags(docs: DataFrame, text_col: str = "text",
     )
 
 
+def gram_array(ts: Column, n: int) -> Column:
+    """All overlapping word n-grams of a token array as space-joined
+    strings; empty array when the doc has fewer than n tokens.  Pure
+    codegen expression (sequence + slice + concat_ws) — the `when` guard
+    matters because sequence(1, 0) would produce a DESCENDING sequence,
+    not an empty one."""
+    return F.when(
+        F.size(ts) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ts) - n),
+            lambda i: F.concat_ws(" ", F.slice(ts, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text",
+                       top_bigram_pct: int = 20,
+                       dup_trigram_pct: int = 30) -> DataFrame:
+    """Gopher-style intra-document repetition filter (Rae et al. 2021
+    §A1.1: 'fraction of characters in the most common n-gram' and
+    'fraction of characters in duplicate n-grams') — ours uses gram-count
+    fractions rather than char fractions (documented variant; integer
+    outputs keep the cross-engine hash exact):
+
+      * rule_top_bigram: the most frequent bigram accounts for <=
+        `top_bigram_pct`% of all bigram occurrences
+      * rule_dup_trigram: trigram occurrences whose gram appears more than
+        once account for <= `dup_trigram_pct`% of trigram occurrences
+
+    Scale shape: explode -> groupBy(doc_id, gram) with map-side combine ->
+    re-agg per doc.  The (doc_id, gram) key is fine-grained, so no skew;
+    a repetitive 10^6-token doc costs one reducer O(distinct grams), not
+    O(occurrences).  A left join restores docs too short to have grams
+    (vacuously passing)."""
+    base = docs.select("doc_id", tokens(F.lower(F.col(text_col))).alias("ts"))
+    bg = base.select("doc_id", F.explode(gram_array(F.col("ts"), 2)).alias("g"))
+    tg = base.select("doc_id", F.explode(gram_array(F.col("ts"), 3)).alias("g"))
+    bg_doc = (
+        bg.groupBy("doc_id", "g").count()
+        .groupBy("doc_id")
+        .agg(
+            F.max("count").cast("long").alias("top_bigram_cnt"),
+            F.sum("count").cast("long").alias("n_bigrams"),
+        )
+    )
+    tg_doc = (
+        tg.groupBy("doc_id", "g").count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(0))
+            .cast("long").alias("dup_trigram_cnt"),
+            F.sum("count").cast("long").alias("n_trigrams"),
+        )
+    )
+    out = (
+        docs.select("doc_id")
+        .join(bg_doc, "doc_id", "left")
+        .join(tg_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("top_bigram_cnt", F.lit(0)).alias("top_bigram_cnt"),
+            F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+            F.coalesce("dup_trigram_cnt", F.lit(0)).alias("dup_trigram_cnt"),
+        )
+    )
+    rule_top = F.col("top_bigram_cnt") * 100 <= F.col("n_bigrams") * top_bigram_pct
+    rule_dup = F.col("dup_trigram_cnt") * 100 <= F.col("n_trigrams") * dup_trigram_pct
+    return out.select(
+        "doc_id", "n_bigrams", "top_bigram_cnt", "n_trigrams", "dup_trigram_cnt",
+        rule_top.alias("rule_top_bigram"),
+        rule_dup.alias("rule_dup_trigram"),
+        (rule_top & rule_dup).alias("keep"),
+    )
+
+
+def span_dedup_stats(docs: DataFrame, text_col: str = "text",
+                     n: int = 13) -> DataFrame:
+    """C4-style cross-corpus span dedup (Raffel et al. 2020 §2.2: drop any
+    repeated three-sentence span, keeping one occurrence).  Ours operates
+    on overlapping word `n`-grams (n=13 ~ C4's span length) and reports,
+    per document, how many of its spans are corpus-duplicates that would
+    be removed — the keeper is the globally minimal (doc_id, pos)
+    occurrence, so exactly one copy of every duplicated span survives and
+    the decision is independent of scan order.
+
+    Scale shape: posexplode grams -> groupBy(md5 gram key) with map-side
+    combine computing (count, min keeper) -> shuffle join back on the
+    same key -> per-doc re-agg.  Hot grams (the boilerplate this operator
+    exists to kill) collapse map-side in the agg; the join fans the
+    verdict back out.  No windows over corpus-size partitions, no
+    collects."""
+    base = docs.select("doc_id", tokens(F.lower(F.col(text_col))).alias("ts"))
+    grams = base.select(
+        "doc_id",
+        F.posexplode(gram_array(F.col("ts"), n)).alias("pos", "g"),
+    ).select("doc_id", "pos", F.md5(F.encode("g", "utf-8")).alias("h"))
+    stats = grams.groupBy("h").agg(
+        F.count("*").alias("occ"),
+        F.min(F.struct("doc_id", "pos")).alias("keeper"),
+    )
+    verdicts = grams.join(stats, "h").select(
+        "doc_id",
+        (
+            (F.col("occ") > 1)
+            & ~(
+                (F.col("keeper.doc_id") == F.col("doc_id"))
+                & (F.col("keeper.pos") == F.col("pos"))
+            )
+        ).alias("is_dup"),
+    )
+    per_doc = verdicts.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.col("is_dup").cast("long")).cast("long").alias("n_dup_spans"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            (F.coalesce("n_dup_spans", F.lit(0)) == 0).alias("is_clean"),
+        )
+    )
+
+
+def decontaminate(docs: DataFrame, text_col: str = "text", n: int = 8,
+                  eval_pct: int = 3) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C / PaLM-style n-gram
+    overlap): flag training documents sharing any word `n`-gram with a
+    held-out evaluation set.  The eval set here is the deterministic
+    md5-bucket slice `hash_bucket(doc_id) < eval_pct` — in production it
+    is the benchmark corpus itself, which is small (MBs), hence the
+    broadcast below is the real plan, not a test shortcut.
+
+    Scale shape: eval grams -> distinct md5 keys -> broadcast; training
+    grams explode -> broadcast LEFT SEMI join -> per-doc hit count; gram
+    totals come from the array length (no second shuffle).  One explode
+    shuffle total, and the contamination verdict never moves the corpus."""
+    bucket = hash_bucket(F.col("doc_id"))
+    base = docs.select(
+        "doc_id",
+        bucket.alias("bk"),
+        F.array_distinct(gram_array(tokens(F.lower(F.col(text_col))), n)).alias("gs"),
+    )
+    eval_grams = (
+        base.filter(F.col("bk") < eval_pct)
+        .select(F.explode("gs").alias("g"))
+        .select(F.md5(F.encode("g", "utf-8")).alias("h"))
+        .distinct()
+    )
+    train = base.filter(F.col("bk") >= eval_pct)
+    train_grams = train.select(
+        "doc_id", F.explode("gs").alias("g")
+    ).select("doc_id", F.md5(F.encode("g", "utf-8")).alias("h"))
+    hits = (
+        train_grams.join(F.broadcast(eval_grams), "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return (
+        train.select("doc_id", F.size("gs").cast("long").alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def hash_bucket(col, buckets: int = 100) -> Column:
     """Deterministic engine-portable hash bucket in [0, buckets): the top
     32 bits of md5 of the value's string form.  Unlike rand()/sampleBy this

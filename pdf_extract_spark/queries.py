@@ -454,6 +454,128 @@ WHERE rk <= 12
 ORDER BY doc_id
 """
 
+def doc_repetition_flags(spark, sf_dir):
+    """Gopher-style intra-document repetition filter: top-bigram and
+    duplicate-trigram occurrence fractions + per-rule booleans
+    (functions/text.py:repetition_signals)."""
+    from .functions.text import repetition_signals
+
+    return repetition_signals(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def doc_span_dedup(spark, sf_dir):
+    """C4-style cross-corpus duplicate-span statistics over overlapping
+    13-word grams; keeper = global min (doc_id, pos)
+    (functions/text.py:span_dedup_stats)."""
+    from .functions.text import span_dedup_stats
+
+    return span_dedup_stats(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing any 8-word
+    gram with the deterministic md5-bucket<3 eval slice
+    (functions/text.py:decontaminate)."""
+    from .functions.text import decontaminate
+
+    return decontaminate(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+DOC_REPETITION_SQL = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(ts) - 1, 0) + 1),
+                        i -> ts[i] || ' ' || ts[i+1]) AS bg,
+         list_transform(range(1, greatest(len(ts) - 2, 0) + 1),
+                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS tg
+  FROM base
+), m AS (
+  SELECT doc_id,
+         CAST(len(bg) AS BIGINT) AS n_bigrams,
+         CAST(coalesce(list_max(list_transform(list_distinct(bg),
+              x -> len(list_filter(bg, y -> y = x)))), 0) AS BIGINT)
+           AS top_bigram_cnt,
+         CAST(len(tg) AS BIGINT) AS n_trigrams,
+         CAST(len(tg) - len(list_filter(list_distinct(tg),
+              x -> len(list_filter(tg, y -> y = x)) = 1)) AS BIGINT)
+           AS dup_trigram_cnt
+  FROM g
+)
+SELECT doc_id, n_bigrams, top_bigram_cnt, n_trigrams, dup_trigram_cnt,
+       top_bigram_cnt * 100 <= n_bigrams * 20 AS rule_top_bigram,
+       dup_trigram_cnt * 100 <= n_trigrams * 30 AS rule_dup_trigram,
+       (top_bigram_cnt * 100 <= n_bigrams * 20)
+         AND (dup_trigram_cnt * 100 <= n_trigrams * 30) AS keep
+FROM m
+ORDER BY doc_id
+"""
+
+DOC_SPAN_DEDUP_SQL = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(ts) - 12, 0) + 1),
+                        i -> array_to_string(ts[i:i+12], ' ')) AS gs
+  FROM base
+), occ AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, md5(gs[i]) AS h
+  FROM g, unnest(range(1, len(gs) + 1)) AS t(i)
+), judged AS (
+  SELECT doc_id,
+         count(*) OVER (PARTITION BY h) AS occ_cnt,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+  FROM occ
+), per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(CASE WHEN occ_cnt > 1 AND rk > 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_dup_spans
+  FROM judged
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_spans, 0) AS n_spans,
+       coalesce(n_dup_spans, 0) AS n_dup_spans,
+       coalesce(n_dup_spans, 0) = 0 AS is_clean
+FROM documents d
+LEFT JOIN per_doc USING (doc_id)
+ORDER BY doc_id
+"""
+
+DOC_DECONTAMINATE_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
+           AS bk,
+         list_distinct(list_transform(range(1, greatest(len(ts) - 7, 0) + 1),
+                       i -> array_to_string(ts[i:i+7], ' '))) AS gs
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+        FROM documents)
+), ev AS (
+  SELECT DISTINCT md5(g) AS h FROM base, unnest(gs) AS t(g) WHERE bk < 3
+), tr AS (
+  SELECT doc_id, md5(g) AS h FROM base, unnest(gs) AS t(g) WHERE bk >= 3
+), hits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM tr JOIN ev USING (h)
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.gs) AS BIGINT) AS n_grams,
+       coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM base b
+LEFT JOIN hits h USING (doc_id)
+WHERE b.bk >= 3
+ORDER BY doc_id
+"""
+
+
 CORPUS_SUMMARY_SQL = r"""
 SELECT lang, source,
        count(*) AS n_docs,
@@ -1432,6 +1554,9 @@ QUERIES = {
     "doc_sample_stratified": doc_sample_stratified,
     "doc_source_quota": doc_source_quota,
     "corpus_summary_stats": corpus_summary_stats,
+    "doc_repetition_flags": doc_repetition_flags,
+    "doc_span_dedup": doc_span_dedup,
+    "doc_decontaminate": doc_decontaminate,
     "dedup_exact": dedup_exact_q,
     "minhash_lsh_candidates": minhash_lsh_q,
     "dedup_clusters": dedup_clusters_q,
@@ -1472,6 +1597,9 @@ ORACLES = {
     "doc_sample_stratified": SAMPLE_STRATIFIED_SQL,
     "doc_source_quota": SOURCE_QUOTA_SQL,
     "corpus_summary_stats": CORPUS_SUMMARY_SQL,
+    "doc_repetition_flags": DOC_REPETITION_SQL,
+    "doc_span_dedup": DOC_SPAN_DEDUP_SQL,
+    "doc_decontaminate": DOC_DECONTAMINATE_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "minhash_lsh_candidates": MINHASH_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,

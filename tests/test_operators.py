@@ -494,3 +494,76 @@ def test_gopher_quality_flags(spark):
     assert rows[3]["keep"] is False and rows[3]["rule_symbol_ratio"] is False
     assert rows[4]["keep"] is False and rows[4]["rule_stopwords"] is False
     assert rows[5]["keep"] is False and rows[5]["rule_alpha_ratio"] is False
+
+
+def test_repetition_signals(spark):
+    """Hand-computable repetition fractions on crafted docs."""
+    from pdf_extract_spark.functions.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b a b"),        # one bigram dominates
+            (2, "one two three four five six seven"),  # all grams unique
+            (3, "x"),                       # too short for any gram
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    # doc 1: bigrams = [ab, ba, ab, ba, ab, ba, ab] -> top 'a b' = 4 of 7
+    assert rows[1]["n_bigrams"] == 7 and rows[1]["top_bigram_cnt"] == 4
+    # trigrams: [aba x3, bab x3] -> all 6 occurrences are duplicates
+    assert rows[1]["dup_trigram_cnt"] == 6 and rows[1]["keep"] is False
+    assert rows[2]["top_bigram_cnt"] == 1 and rows[2]["dup_trigram_cnt"] == 0
+    assert rows[2]["keep"] is True
+    # short doc: zero grams, vacuously keeps
+    assert rows[3]["n_bigrams"] == 0 and rows[3]["keep"] is True
+
+
+def test_span_dedup_stats(spark):
+    """Duplicated 13-gram across docs: exactly one keeper survives."""
+    from pdf_extract_spark.functions.text import span_dedup_stats
+
+    boiler = " ".join(f"w{i}" for i in range(13))  # exactly one 13-gram
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " extra tail words here"),
+            (2, boiler),                       # same span again -> dup
+            (3, "totally different words " + " ".join(f"u{i}" for i in range(13))),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in span_dedup_stats(docs).collect()}
+    # doc 1 owns the keeper occurrence (min doc_id, pos 0)
+    assert rows[1]["n_spans"] == 5 and rows[1]["n_dup_spans"] == 0
+    assert rows[2]["n_spans"] == 1 and rows[2]["n_dup_spans"] == 1
+    assert rows[2]["is_clean"] is False
+    assert rows[3]["is_clean"] is True
+    assert rows[4]["n_spans"] == 0 and rows[4]["is_clean"] is True
+
+
+def test_decontaminate(spark):
+    """A training doc sharing an 8-gram with an eval-bucket doc is flagged."""
+    from pdf_extract_spark.functions.text import decontaminate, hash_bucket
+
+    # find one id in the eval bucket (<3) and two outside it
+    ids = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    bk = {
+        r["doc_id"]: r["bk"]
+        for r in ids.select("doc_id", hash_bucket(F.col("doc_id")).alias("bk")).collect()
+    }
+    ev = next(i for i in sorted(bk) if bk[i] < 3)
+    tr1, tr2 = [i for i in sorted(bk) if bk[i] >= 3][:2]
+    shared = " ".join(f"s{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (ev, shared + " eval only tail"),
+            (tr1, "prefix words " + shared),       # contaminated
+            (tr2, " ".join(f"c{i}" for i in range(12))),  # clean
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in decontaminate(docs).collect()}
+    assert ev not in rows  # eval docs are not scored
+    assert rows[tr1]["contaminated"] is True and rows[tr1]["n_hits"] == 1
+    assert rows[tr2]["contaminated"] is False and rows[tr2]["n_hits"] == 0
