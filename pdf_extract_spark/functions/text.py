@@ -92,7 +92,8 @@ GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
 def gopher_quality_flags(docs: DataFrame, text_col: str = "text",
-                         min_words: int = 20, max_words: int = 100_000) -> DataFrame:
+                         min_words: int = 20, max_words: int = 100_000,
+                         min_stopwords: int = 2) -> DataFrame:
     """Gopher-style document quality filter (Rae et al. 2021 §A1.1, as
     popularized by CCNet/Dolma pipelines) — the rule chain a pretraining
     corpus runs before dedup.  All rules are JVM-side codegen expressions
@@ -121,7 +122,7 @@ def gopher_quality_flags(docs: DataFrame, text_col: str = "text",
     rule_words = (n >= min_words) & (n <= max_words)
     rule_mean_len = (mean_len_x100 >= 300) & (mean_len_x100 <= 1000)
     rule_symbols = n_symbol * 5 < n  # < 20%
-    rule_stop = n_stop >= 2
+    rule_stop = n_stop >= min_stopwords
     rule_alpha = n_alpha * 10 >= n * 7  # >= 70%
     return docs.select(
         "doc_id",

@@ -1,0 +1,138 @@
+"""End-to-end training-corpus construction pipeline.
+
+Composes the engine's document operators into the standard LLM-data flow
+(the pipeline a user of the reference engine would assemble around its
+extraction output — extraction itself is jobs/extract_job.py; this stage
+consumes the resulting documents table):
+
+    ingest -> quality filters -> exact dedup -> near-dup dedup
+           -> decontamination -> quota/sampling -> corpus report
+
+Stage order is cost-ordered for 100 TB: the narrow, codegen-only quality
+filter runs first and prunes the corpus BEFORE anything shuffles; exact
+dedup (one fingerprint shuffle) runs before MinHash (shingle explode);
+near-dup clustering only sees the exact-dedup survivors; decontamination
+broadcasts the benchmark grams against the already-shrunk corpus.  Every
+stage is expressed on DataFrames — no collects, no driver loops; the
+iterative connected-components step cuts lineage via checkpoints
+(operators/graph.py).
+
+Returned stage frames share one cached spine (the quality survivors), so
+counting the funnel costs one scan of the cache per stage, not a re-run
+of upstream stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .functions.text import (
+    decontaminate,
+    fingerprint,
+    gopher_quality_flags,
+    repetition_signals,
+    source_quota_cap,
+    stratified_sample,
+)
+from .operators.dedup import minhash_lsh_candidates
+from .operators.graph import connected_components
+
+
+def quality_stage(docs: DataFrame, text_col: str = "text",
+                  min_stopwords: int = 2) -> DataFrame:
+    """Gopher rule-chain + repetition filter.  The Gopher rules join back
+    on doc_id (broadcast at report scale, shuffle at corpus scale); the
+    repetition signals need their own explode+agg pass, so this stage
+    costs two gram shuffles — still the cheapest wide stage, and it runs
+    first to shrink everything downstream.  `min_stopwords` tunes the
+    English-stopword rule for corpora whose register lacks function words
+    (e.g. code/log corpora)."""
+    keep_q = (
+        gopher_quality_flags(docs, text_col, min_stopwords=min_stopwords)
+        .filter("keep").select("doc_id")
+    )
+    keep_r = repetition_signals(docs, text_col).filter("keep").select("doc_id")
+    return docs.join(keep_q, "doc_id", "left_semi").join(keep_r, "doc_id", "left_semi")
+
+
+def exact_dedup_stage(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep one canonical (min doc_id) per normalized-content fingerprint.
+    One md5-key shuffle with map-side combine, then a semi-join on
+    (fp, doc_id) — identical mirrors collapse before any gram explode."""
+    with_fp = docs.withColumn("__fp", fingerprint(F.col(text_col)))
+    canon = with_fp.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        with_fp.join(canon, ["__fp", "doc_id"], "left_semi").drop("__fp")
+    )
+
+
+def near_dedup_stage(
+    docs: DataFrame,
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs -> connected components -> keep each
+    cluster's canonical (min doc_id).  Components converge in O(log d)
+    pointer-jumping rounds with checkpointed lineage; docs outside any
+    pair are their own cluster and always survive."""
+    pairs = minhash_lsh_candidates(docs, text_col=text_col)
+    comp = connected_components(pairs, checkpoint_dir=checkpoint_dir)
+    # canonical member per cluster; non-members are implicit singletons
+    canon = comp.groupBy("cluster_id").agg(F.min("doc_id").alias("doc_id"))
+    drop = comp.join(canon, ["cluster_id", "doc_id"], "left_anti").select("doc_id")
+    return docs.join(drop, "doc_id", "left_anti")
+
+
+def corpus_pipeline(
+    docs: DataFrame,
+    text_col: str = "text",
+    eval_pct: int = 3,
+    quota_cap: int | None = None,
+    sample_rates: dict[str, int] | None = None,
+    sample_default_pct: int = 100,
+    min_stopwords: int = 2,
+    checkpoint_dir: str | None = None,
+) -> dict[str, DataFrame]:
+    """Run the full corpus-construction flow; returns the stage frames
+    keyed by stage name (each a filter of the previous — count them for
+    the funnel report, write `final`).
+
+    `eval_pct`: the deterministic md5-bucket slice held out as the
+    benchmark proxy for decontamination (in production, pass the real
+    benchmark corpus through `functions.text.decontaminate` directly).
+    `quota_cap` / `sample_rates`: optional anti-domination cap and
+    per-source mixing percentages (100 = keep all)."""
+    stages: dict[str, DataFrame] = {"ingested": docs}
+
+    quality = quality_stage(docs, text_col, min_stopwords=min_stopwords).cache()
+    stages["quality"] = quality
+
+    exact = exact_dedup_stage(quality, text_col)
+    stages["exact_dedup"] = exact
+
+    near = near_dedup_stage(exact, text_col, checkpoint_dir=checkpoint_dir)
+    stages["near_dedup"] = near
+
+    verdicts = decontaminate(near, text_col, eval_pct=eval_pct)
+    clean = near.join(
+        verdicts.filter(~F.col("contaminated")).select("doc_id"), "doc_id", "left_semi"
+    )
+    stages["decontaminated"] = clean
+
+    mixed = clean
+    if quota_cap is not None:
+        mixed = source_quota_cap(mixed, cap=quota_cap)
+    if sample_rates is not None or sample_default_pct < 100:
+        mixed = stratified_sample(
+            mixed, rates=sample_rates or {}, default_pct=sample_default_pct
+        )
+    stages["final"] = mixed
+    return stages
+
+
+def funnel_report(stages: dict[str, DataFrame]) -> list[tuple[str, int]]:
+    """Count every stage frame (ordered).  Costs one cached-spine scan per
+    stage — the per-run health table a 100 TB pipeline publishes so drops
+    are attributable to a stage, not discovered at training time."""
+    return [(name, df.count()) for name, df in stages.items()]

@@ -1,0 +1,125 @@
+"""End-to-end corpus-construction pipeline tests (pdf_extract_spark/pipeline.py):
+stage semantics on a crafted corpus, funnel monotonicity on real testdata,
+and the spark-submit job wrapper."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pdf_extract_spark.pipeline import (
+    corpus_pipeline,
+    exact_dedup_stage,
+    funnel_report,
+    near_dedup_stage,
+    quality_stage,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+GOOD = ("the quick brown fox likes to jump over lazy dogs and it does that "
+        "with great patience because they have nothing better to do today "
+        "while the sun shines over the quiet meadow near town")
+
+
+def _corpus(spark):
+    rows = [
+        (1, GOOD, "en", "src0"),
+        (2, GOOD, "en", "src0"),                      # exact dup of 1
+        (3, GOOD + " with one extra trailing clause", "en", "src1"),  # near dup
+        (4, "short text", "en", "src1"),              # fails quality
+        (5, GOOD.replace("quick", "slow").replace("meadow", "field"),
+         "en", "src2"),                               # near dup of 1 (lsh)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_quality_stage_drops_bad_docs(spark):
+    out = quality_stage(_corpus(spark)).select("doc_id").collect()
+    ids = {r["doc_id"] for r in out}
+    assert 4 not in ids and 1 in ids
+
+
+def test_exact_dedup_keeps_min_doc_id(spark):
+    out = exact_dedup_stage(_corpus(spark))
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 1 in ids and 2 not in ids        # canonical survives, mirror dies
+    assert {3, 4, 5} <= ids                 # non-dups untouched
+    assert out.columns == ["doc_id", "text", "lang", "source"]  # helper col dropped
+
+
+def test_near_dedup_keeps_cluster_canonical(spark):
+    docs = _corpus(spark).filter(F.col("doc_id") != 2)
+    out = near_dedup_stage(docs)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 1 in ids                          # cluster canonical
+    assert 4 in ids                          # singleton survives
+    assert len(ids) < 4                      # at least one near-dup collapsed
+
+
+def test_corpus_pipeline_funnel_monotone(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # min_stopwords=1: the synthetic corpus' register has only 'the' from
+    # the Gopher stopword list, so the default of 2 empties the funnel
+    stages = corpus_pipeline(docs, min_stopwords=1, checkpoint_dir=None)
+    funnel = funnel_report(stages)
+    names = [n for n, _ in funnel]
+    assert names == ["ingested", "quality", "exact_dedup", "near_dedup",
+                     "decontaminated", "final"]
+    counts = [c for _, c in funnel]
+    assert counts[0] == 500
+    # every stage only removes docs (decontamination also drops the eval slice)
+    assert all(a >= b for a, b in zip(counts, counts[1:])), counts
+    assert counts[-1] > 0
+    # schema is preserved end-to-end
+    assert stages["final"].columns == docs.columns
+
+
+@pytest.mark.slow
+def test_corpus_job_spark_submit(tmp_path):
+    import duckdb
+
+    zip_path = os.path.join(REPO, "dist", "pdf_extract_spark.zip")
+    # rebuild when any package source is newer than the zip (a stale zip
+    # silently tests old code)
+    newest_src = max(
+        os.path.getmtime(os.path.join(root, f))
+        for root, _, files in os.walk(os.path.join(REPO, "pdf_extract_spark"))
+        for f in files if f.endswith(".py")
+    )
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest_src:
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "package_pyfiles.py")],
+            check=True, timeout=120,
+        )
+    out = str(tmp_path / "corpus_out")
+    cmd = [
+        "spark-submit", "--master", "local[4]",
+        "--py-files", zip_path,
+        os.path.join(REPO, "jobs", "corpus_job.py"),
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out, "--run-id", "c1", "--quota-cap", "40",
+        "--min-stopwords", "1",
+    ]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=300, cwd=REPO)
+    assert "final:" in r.stdout, r.stdout[-500:] + r.stderr[-2000:]
+
+    funnel = dict(
+        duckdb.sql(
+            f"SELECT stage, n_docs FROM '{out}/funnel/*.parquet'"
+        ).fetchall()
+    )
+    n_corpus = duckdb.sql(
+        f"SELECT count(*) FROM '{out}/corpus/*.parquet'"
+    ).fetchone()[0]
+    assert funnel["ingested"] == 500
+    assert funnel["final"] == n_corpus > 0
+    # quota cap binds: no source exceeds 40 docs in the output
+    max_per_src = duckdb.sql(
+        f"SELECT max(n) FROM (SELECT count(*) AS n FROM '{out}/corpus/*.parquet' "
+        "GROUP BY source)"
+    ).fetchone()[0]
+    assert max_per_src <= 40
