@@ -1,12 +1,16 @@
-"""Baseline JPEG decoder — pure stdlib + numpy, no PIL/libjpeg.
+"""JPEG decoder (baseline + progressive) — pure stdlib + numpy, no
+PIL/libjpeg.
 
-Implements the baseline sequential DCT process of ITU-T T.81 (the format
-of essentially all web JPEGs that are not progressive): marker parse,
-canonical Huffman entropy decode with byte-stuffing and restart markers,
-dequantization, 8x8 IDCT as two dense matrix products, nearest-neighbor
-chroma upsampling, and the JFIF YCbCr->RGB transform.  Progressive
-(SOF2), arithmetic coding, and 12-bit precision raise NotImplementedError
-and fall to the multimodal stub tier.
+Implements the DCT processes of ITU-T T.81 that cover essentially all web
+JPEGs: baseline sequential (SOF0/1, interleaved or per-component scans)
+and progressive (SOF2: spectral selection + successive approximation for
+both DC and AC, EOB runs).  Marker parse, canonical Huffman entropy
+decode with byte-stuffing and restart markers, a per-frame coefficient
+store filled scan by scan, then one batched dequantize + 8x8 IDCT (two
+dense matrix products over all blocks at once), nearest-neighbor chroma
+upsampling, and the JFIF YCbCr->RGB transform.  Arithmetic coding,
+hierarchical, and 12-bit precision raise NotImplementedError and fall to
+the multimodal stub tier.
 
 The entropy loop is per-symbol Python — correct first, and fast enough
 for thumbnail-feature extraction of typical web images; a numpy batch
@@ -16,10 +20,9 @@ pipeline bottleneck rather than a capability.
 Upstream of this engine the reference has no media decoding at all; this
 module exists for the LLM-data-pipeline multimodal tier
 (operators/multimodal.py), where its correctness is oracled against
-closed-form expectations on handcrafted DC-only fixtures
-(sources/media_corpus.py:make_jpeg_gray) — a flat block decodes to
-exactly F(0,0)/8 + 128, so golden features derive from the spec, never
-from this code.
+closed-form expectations on handcrafted fixtures
+(sources/media_corpus.py:make_jpeg) — coefficients are chosen so pixel
+expectations derive from the T.81 IDCT math, never from this code.
 """
 
 from __future__ import annotations
@@ -39,6 +42,8 @@ _ZIGZAG = [
     (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
     (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
 ]
+# flat (row*8 + col) index per zigzag position, for vectorized scatter
+_ZIG_FLAT = np.array([r * 8 + c for r, c in _ZIGZAG])
 
 # IDCT basis: f = T.T @ F @ T with T[u, x] = c(u) cos((2x+1) u pi / 16) / 2
 _IDCT_T = np.array(
@@ -75,7 +80,8 @@ class _Huff:
 
 class _BitReader:
     """MSB-first bit reader over entropy-coded data with 0xFF00
-    byte-unstuffing; stops at any non-RST marker."""
+    byte-unstuffing; stops at any non-RST marker (pos stays AT the
+    marker's 0xFF, so the caller resumes the marker loop there)."""
 
     __slots__ = ("data", "pos", "acc", "nbits")
 
@@ -143,19 +149,30 @@ def _extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+class _Component:
+    __slots__ = ("cid", "h", "v", "tq", "bw_pad", "bh_pad", "bw", "bh", "coef")
+
+    def __init__(self, cid, h, v, tq):
+        self.cid, self.h, self.v, self.tq = cid, h, v, tq
+
+
 def decode_jpeg(payload: bytes):
-    """Baseline JPEG -> HxWx3 uint8 RGB array."""
+    """Baseline or progressive JPEG -> HxWx3 uint8 RGB array."""
     if not payload.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, _Huff] = {}
     huff_ac: dict[int, _Huff] = {}
-    comps = None  # [(id, H, V, Tq)]
+    comps: list[_Component] | None = None
     w = h = None
+    hmax = vmax = 1
+    mcus_x = mcus_y = 0
+    progressive = False
     restart_interval = 0
+    saw_scan = False
     n = len(payload)
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if payload[pos] != 0xFF:
             pos += 1  # tolerate fill bytes
             continue
@@ -163,7 +180,9 @@ def decode_jpeg(payload: bytes):
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 2 > n:
             break
         (seglen,) = struct.unpack_from(">H", payload, pos)
         seg = payload[pos + 2 : pos + seglen]
@@ -174,10 +193,9 @@ def decode_jpeg(payload: bytes):
                 i += 1
                 if pq != 0:
                     raise NotImplementedError("16-bit quant tables")
-                tbl = np.zeros((8, 8), dtype=np.float64)
-                for k in range(64):
-                    tbl[_ZIGZAG[k]] = seg[i + k]
-                qt[tq] = tbl
+                qt[tq] = np.frombuffer(
+                    seg[i : i + 64], dtype=np.uint8
+                ).astype(np.float64)  # zigzag order
                 i += 64
         elif marker == 0xC4:  # DHT
             i = 0
@@ -188,7 +206,8 @@ def decode_jpeg(payload: bytes):
                 syms = seg[i + 17 : i + 17 + nsym]
                 (huff_dc if tc == 0 else huff_ac)[th] = _Huff(counts, syms)
                 i += 17 + nsym
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             prec = seg[0]
             if prec != 8:
                 raise NotImplementedError("12-bit precision")
@@ -197,90 +216,227 @@ def decode_jpeg(payload: bytes):
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
-                comps.append((cid, hv >> 4, hv & 15, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                comps.append(_Component(cid, hv >> 4, hv & 15, tq))
+            hmax = max(c.h for c in comps)
+            vmax = max(c.v for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            for c in comps:
+                c.bw_pad = mcus_x * c.h
+                c.bh_pad = mcus_y * c.v
+                # non-interleaved scans cover only the component's own
+                # ceil-dims block grid (T.81 A.2.2), not the MCU padding
+                comp_w = -(-(w * c.h) // hmax)
+                comp_h = -(-(h * c.v) // vmax)
+                c.bw = -(-comp_w // 8)
+                c.bh = -(-comp_h // 8)
+                c.coef = np.zeros((c.bh_pad, c.bw_pad, 64), dtype=np.int32)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("progressive/extended JPEG process")
+            raise NotImplementedError("lossless/arithmetic/hierarchical JPEG")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker == 0xDA:  # SOS
             if comps is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
-            scan_map = {}
+            scan_comps = []
+            by_id = {c.cid: c for c in comps}
             for s in range(ns):
                 cid, tt = seg[1 + 2 * s : 3 + 2 * s]
-                scan_map[cid] = (tt >> 4, tt & 15)
-            if set(scan_map) != {c[0] for c in comps}:
-                # spec-legal but rare: multiple single-component scans
-                raise NotImplementedError("non-interleaved multi-scan JPEG")
-            data_start = pos + seglen
-            return _decode_scan(
-                payload, data_start, w, h, comps, scan_map, qt,
-                huff_dc, huff_ac, restart_interval,
+                scan_comps.append((by_id[cid], tt >> 4, tt & 15))
+            ss, se, a = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = a >> 4, a & 15
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            pos = _decode_scan(
+                payload, pos + seglen, scan_comps, ss, se, ah, al,
+                huff_dc, huff_ac, restart_interval, mcus_x, mcus_y,
             )
+            saw_scan = True
+            continue
         pos += seglen
-    raise ValueError("no SOS marker found")
+    if not saw_scan:
+        raise ValueError("no SOS marker found")
+    return _finish(comps, qt, w, h, hmax, vmax)
 
 
-def _decode_scan(payload, pos, w, h, comps, scan_map, qt, huff_dc, huff_ac,
-                 restart_interval):
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    planes = {}
-    for cid, ch, cv, _tq in comps:
-        planes[cid] = np.zeros((mcus_y * cv * 8, mcus_x * ch * 8), dtype=np.float64)
+def _decode_scan(payload, pos, scan_comps, ss, se, ah, al,
+                 huff_dc, huff_ac, restart_interval, mcus_x, mcus_y):
+    """Decode one entropy-coded scan into the components' coefficient
+    stores; returns the byte position of the next marker.  Handles all
+    four progressive scan kinds (DC/AC x first/refine) plus sequential
+    full-band scans; a multi-component scan iterates MCUs, a
+    single-component scan iterates that component's own block raster."""
     br = _BitReader(payload, pos)
-    pred = {c[0]: 0 for c in comps}
+    interleaved = len(scan_comps) > 1
+    pred = {c.cid: 0 for c, _, _ in scan_comps}
+    eobrun = 0
+    p1 = 1 << al
+
+    def dc_first(c, td, by, bx):
+        t = br.huff(huff_dc[td])
+        pred[c.cid] += _extend(br.bits(t), t)
+        c.coef[by, bx, 0] = pred[c.cid] << al
+
+    def dc_refine(c, by, bx):
+        if br.bits(1):
+            c.coef[by, bx, 0] |= p1
+
+    def seq_block(c, td, ta, by, bx):
+        dc_first(c, td, by, bx)
+        blk = c.coef[by, bx]
+        ac = huff_ac[ta]
+        k = 1
+        while k < 64:
+            rs = br.huff(ac)
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += rs >> 4
+            if k > 63:
+                break
+            s = rs & 15
+            blk[k] = _extend(br.bits(s), s)
+            k += 1
+
+    def ac_first(c, ta, by, bx):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        blk = c.coef[by, bx]
+        ac = huff_ac[ta]
+        k = ss
+        while k <= se:
+            rs = br.huff(ac)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:  # EOBn: run of (1<<r)+bits(r) all-done blocks
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.bits(r)
+                    return
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                return
+            blk[k] = _extend(br.bits(s), s) << al
+            k += 1
+
+    def ac_refine(c, ta, by, bx):
+        # T.81 G.1.2.3 AC successive-approximation refinement: newly
+        # nonzero coefficients arrive as +-p1; every already-nonzero
+        # coefficient visited costs one correction bit.  Python's
+        # infinite two's-complement & matches the C bit test exactly.
+        nonlocal eobrun
+        m1 = -p1
+        blk = c.coef[by, bx]
+        ac = huff_ac[ta]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = br.huff(ac)
+                r, s = rs >> 4, rs & 15
+                val = 0
+                if s == 0:
+                    if r < 15:
+                        eobrun = (1 << r)
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    # r == 15: skip 16 zero-history coefficients
+                else:
+                    # s must be 1 in a refinement scan; sign bit follows
+                    val = p1 if br.bits(1) else m1
+                while k <= se:
+                    if blk[k] != 0:
+                        if br.bits(1) and (int(blk[k]) & p1) == 0:
+                            blk[k] += p1 if blk[k] > 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if blk[k] != 0 and br.bits(1) and (int(blk[k]) & p1) == 0:
+                    blk[k] += p1 if blk[k] > 0 else m1
+                k += 1
+            eobrun -= 1
+
+    def do_unit(c, td, ta, by, bx):
+        if ss == 0 and se == 63:  # sequential full band
+            seq_block(c, td, ta, by, bx)
+        elif ss == 0:  # progressive DC scan (se == 0 per spec)
+            if ah == 0:
+                dc_first(c, td, by, bx)
+            else:
+                dc_refine(c, by, bx)
+        elif ah == 0:
+            ac_first(c, ta, by, bx)
+        else:
+            ac_refine(c, ta, by, bx)
+
+    def restart(count):
+        nonlocal eobrun
+        if restart_interval and count and count % restart_interval == 0:
+            m = br.align_to_marker()
+            if m is None or not (0xD0 <= m <= 0xD7):
+                raise ValueError("expected restart marker")
+            for cid in pred:
+                pred[cid] = 0
+            eobrun = 0
+
+    if interleaved:
+        unit = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                restart(unit)
+                for c, td, ta in scan_comps:
+                    for by in range(c.v):
+                        for bx in range(c.h):
+                            do_unit(c, td, ta, my * c.v + by, mx * c.h + bx)
+                unit += 1
+    else:
+        c, td, ta = scan_comps[0]
+        unit = 0
+        for by in range(c.bh):
+            for bx in range(c.bw):
+                restart(unit)
+                do_unit(c, td, ta, by, bx)
+                unit += 1
+
+    # consume any padding bits; pos already rests at the next marker's 0xFF
+    return br.pos
+
+
+def _finish(comps, qt, w, h, hmax, vmax):
+    """Dequantize + batched IDCT + upsample + color transform."""
     T = _IDCT_T
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                m = br.align_to_marker()
-                if m is None or not (0xD0 <= m <= 0xD7):
-                    raise ValueError("expected restart marker")
-                pred = {c[0]: 0 for c in comps}
-            for cid, ch, cv, tq in comps:
-                dc_tbl = huff_dc[scan_map[cid][0]]
-                ac_tbl = huff_ac[scan_map[cid][1]]
-                q = qt[tq]
-                for by in range(cv):
-                    for bx in range(ch):
-                        F = np.zeros((8, 8), dtype=np.float64)
-                        t = br.huff(dc_tbl)
-                        diff = _extend(br.bits(t), t)
-                        pred[cid] += diff
-                        F[0, 0] = pred[cid] * q[0, 0]
-                        k = 1
-                        while k < 64:
-                            rs = br.huff(ac_tbl)
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += rs >> 4
-                            if k > 63:
-                                break
-                            s = rs & 15
-                            F[_ZIGZAG[k]] = _extend(br.bits(s), s) * q[_ZIGZAG[k]]
-                            k += 1
-                        block = T.T @ F @ T + 128.0
-                        y0 = (my * cv + by) * 8
-                        x0 = (mx * ch + bx) * 8
-                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
-            mcu_count += 1
-    # upsample each plane to full padded resolution (nearest), crop, stack
-    full_h, full_w = mcus_y * vmax * 8, mcus_x * hmax * 8
     out = []
-    for cid, ch, cv, _tq in comps:
-        p = planes[cid]
-        if ch != hmax or cv != vmax:
-            p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
-        out.append(p[:full_h, :full_w][:h, :w])
+    for c in comps:
+        deq = c.coef.reshape(-1, 64).astype(np.float64) * qt[c.tq]
+        F = np.zeros((deq.shape[0], 64))
+        F[:, _ZIG_FLAT] = deq
+        F = F.reshape(-1, 8, 8)
+        blocks = np.einsum("ux,nuv,vy->nxy", T, F, T) + 128.0
+        plane = (
+            blocks.reshape(c.bh_pad, c.bw_pad, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c.bh_pad * 8, c.bw_pad * 8)
+        )
+        if c.h != hmax or c.v != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // c.v, axis=0), hmax // c.h, axis=1
+            )
+        out.append(plane[:h, :w])
     if len(out) == 1:
         g = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
         return np.repeat(g[:, :, None], 3, axis=2)

@@ -7,11 +7,13 @@ Decode kernels, by honesty tier:
     scanline unfilter — all 5 RFC 2083 filter types) images, WAV audio
     (stdlib `wave` + numpy).  Feature = 4x4 grayscale thumbnail (images)
     / 16 RMS windows (audio), both in [0,1].
-  * REAL, dependency-free: baseline JPEG (operators/jpeg.py — full
-    T.81 sequential-DCT decode: canonical Huffman, dequant, matrix IDCT,
-    4:2:0/4:2:2 upsampling, JFIF YCbCr->RGB; progressive raises) and
-    GIF first-frame (operators/gif.py — variable-width LSB LZW).
-  * STUB: formats needing PIL/ffmpeg (progressive JPEG/WebP/MP3/H.264),
+  * REAL, dependency-free: JPEG (operators/jpeg.py — T.81 baseline
+    sequential AND progressive DCT processes: canonical Huffman, spectral
+    selection + successive approximation with EOB runs, per-component
+    scans, dequant, batched matrix IDCT, 4:2:0/4:2:2 upsampling, JFIF
+    YCbCr->RGB) and GIF first-frame (operators/gif.py — variable-width
+    LSB LZW).
+  * STUB: formats needing PIL/ffmpeg (WebP/MP3/H.264),
     which this container does not ship — ``decode_image_real`` raises
     NotImplementedError for them and ``decode_image_stub`` provides
     deterministic fake features so the Spark-side plumbing (schema, batch

@@ -261,6 +261,292 @@ def make_jpeg(block_vals: list[list[int]], color: bool = False,
     return bytes(out)
 
 
+# Progressive-JPEG handcrafting (T.81 Annex G): successive approximation
+# with Al=1 for both DC and AC plus spectral selection (DC scan, then one
+# AC scan + one refinement scan per component).  The AC Huffman table is a
+# fixed all-length-8 canonical table over every symbol the encoder can
+# emit (EOBn r<=3, ZRL, (run,size) for size<=4).
+_PROG_AC_SYMBOLS = sorted(
+    {r << 4 for r in range(8)}  # EOBn, runs up to 255 blocks
+    | {0xF0}                    # ZRL
+    | {(r << 4) | s for r in range(16) for s in (1, 2, 3, 4)}
+)
+_PROG_AC_COUNTS = [0] * 16
+_PROG_AC_COUNTS[7] = len(_PROG_AC_SYMBOLS)
+
+
+def make_jpeg_progressive(block_vals: list[list[int]], color: bool = False,
+                          subsample420: bool = False,
+                          ac: dict[tuple[int, int], list[tuple[int, int]]] | None = None,
+                          ) -> bytes:
+    """Progressive JFIF bytes (SOF2) for the same flat-block grid as
+    `make_jpeg`, plus optional AC coefficients `ac[(block_r, block_c)] =
+    [(zigzag_k, value), ...]` on the Y component (k in 1..63, zigzag
+    positions ascending, gaps between emitted positions < 16).
+
+    Scan script: interleaved DC-first at Al=1, DC refinement, then per
+    component an AC-first scan at Al=1 (with cross-block EOB runs) and an
+    AC refinement scan to Al=0 — so the decoder's successive-approximation
+    paths (DC shift/OR, AC newly-nonzero at +-1, correction bits inline
+    and under EOB-run coverage) are all exercised by construction."""
+    rows, cols = len(block_vals), len(block_vals[0])
+    w, h = cols * 8, rows * 8
+    ac = ac or {}
+    if subsample420:
+        color = True
+        assert rows % 2 == 0 and cols % 2 == 0, "4:2:0 needs an even grid"
+    dc_codes = _huff_codes(_JPEG_DC_COUNTS, _JPEG_DC_SYMBOLS)
+    ac_codes = _huff_codes(_PROG_AC_COUNTS, _PROG_AC_SYMBOLS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    ncomp = 3 if color else 1
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    y_hv = 0x22 if subsample420 else 0x11
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, y_hv if cid == 1 else 0x11, 0])
+    out += seg(0xC2, sof)  # SOF2: progressive
+    out += seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_COUNTS) + bytes(_JPEG_DC_SYMBOLS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_PROG_AC_COUNTS) + bytes(_PROG_AC_SYMBOLS))
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    # per-component DC coefficient rasters (chroma flat 128 -> coef 0)
+    y_dc = [[(v - 128) * 8 for v in row] for row in block_vals]
+
+    def mcu_blocks():
+        """(cid, block_r, block_c) in interleaved MCU order."""
+        if subsample420:
+            for mr in range(rows // 2):
+                for mc in range(cols // 2):
+                    for by in range(2):
+                        for bx in range(2):
+                            yield 1, mr * 2 + by, mc * 2 + bx
+                    yield 2, mr, mc
+                    yield 3, mr, mc
+        else:
+            for r in range(rows):
+                for c in range(cols):
+                    for cid in range(1, ncomp + 1):
+                        yield cid, r, c
+
+    def dc_coef(cid, r, c):
+        return y_dc[r][c] if cid == 1 else 0
+
+    def put_mag(bw, val):
+        t = abs(val).bit_length()
+        code, length = dc_codes[t]
+        bw.put(code, length)
+        if t:
+            bw.put(val if val > 0 else val + (1 << t) - 1, t)
+
+    # scan 1: DC first, Al=1 (arithmetic shift — two's complement, like
+    # the decoder's <<Al ... |= reconstruction)
+    bw = _BitWriter()
+    pred = dict.fromkeys(range(1, ncomp + 1), 0)
+    for cid, r, c in mcu_blocks():
+        v = dc_coef(cid, r, c) >> 1
+        put_mag(bw, v - pred[cid])
+        pred[cid] = v
+    bw.flush()
+    out += sos(list(range(1, ncomp + 1)), 0, 0, 0, 1)
+    out += bw.out
+
+    # scan 2: DC refinement to Al=0 — one raw bit per block
+    bw = _BitWriter()
+    for cid, r, c in mcu_blocks():
+        bw.put(dc_coef(cid, r, c) & 1, 1)
+    bw.flush()
+    out += sos(list(range(1, ncomp + 1)), 0, 0, 1, 0)
+    out += bw.out
+
+    def comp_grid(cid):
+        if cid == 1 or not subsample420:
+            return rows, cols
+        return rows // 2, cols // 2
+
+    def block_ac(cid, r, c):
+        coefs = [0] * 64
+        if cid == 1:
+            for k, v in ac.get((r, c), []):
+                coefs[k] = v
+        return coefs
+
+    def put_ac_symbol(bw, sym):
+        code, length = ac_codes[sym]
+        bw.put(code, length)
+
+    for cid in range(1, ncomp + 1):
+        gr, gc = comp_grid(cid)
+
+        # AC first scan, Ss=1..63, Al=1: magnitudes >>1, EOB runs across
+        # empty blocks
+        bw = _BitWriter()
+        pending_eob = 0
+
+        def flush_eob():
+            nonlocal pending_eob
+            if pending_eob:
+                rbits = pending_eob.bit_length() - 1
+                put_ac_symbol(bw, rbits << 4)
+                if rbits:
+                    bw.put(pending_eob - (1 << rbits), rbits)
+                pending_eob = 0
+
+        for r in range(gr):
+            for c in range(gc):
+                vals = [(k, (abs(v) >> 1) * (1 if v > 0 else -1))
+                        for k, v in enumerate(block_ac(cid, r, c)) if k >= 1]
+                nz = [(k, v1) for k, v1 in vals if v1 != 0]
+                if not nz:
+                    pending_eob += 1
+                    continue
+                flush_eob()
+                prev_k = 0
+                for k, v1 in nz:
+                    run = k - prev_k - 1
+                    while run >= 16:
+                        put_ac_symbol(bw, 0xF0)
+                        run -= 16
+                    t = abs(v1).bit_length()
+                    put_ac_symbol(bw, (run << 4) | t)
+                    bw.put(v1 if v1 > 0 else v1 + (1 << t) - 1, t)
+                    prev_k = k
+                if prev_k < 63:
+                    pending_eob = 1
+        flush_eob()
+        bw.flush()
+        out += sos([cid], 1, 63, 0, 1)
+        out += bw.out
+
+        # AC refinement scan to Al=0: newly-nonzero (+-1) symbols with
+        # inline correction bits; EOB runs carry the remaining blocks'
+        # correction bits (matching the decoder's eobrun branch order)
+        bw = _BitWriter()
+        pending_eob = 0
+        pending_bits: list[int] = []
+
+        def flush_eob_refine():
+            nonlocal pending_eob, pending_bits
+            if pending_eob:
+                rbits = pending_eob.bit_length() - 1
+                put_ac_symbol(bw, rbits << 4)
+                if rbits:
+                    bw.put(pending_eob - (1 << rbits), rbits)
+                for bit in pending_bits:
+                    bw.put(bit, 1)
+                pending_eob = 0
+                pending_bits = []
+
+        for r in range(gr):
+            for c in range(gc):
+                target = block_ac(cid, r, c)
+                hist = [
+                    (abs(v) >> 1) * (1 if v > 0 else -1) if i >= 1 else 0
+                    for i, v in enumerate(target)
+                ]
+                # events: ('new', zero_run, sign, corr) | ('zrl', corr) —
+                # corr bits are those of nonzero-history coefficients
+                # crossed since the previous symbol (the decoder reads
+                # them while walking toward the symbol's landing position)
+                events = []
+                corr: list[int] = []
+                run = 0
+                for k in range(1, 64):
+                    if hist[k] != 0:
+                        corr.append(abs(target[k]) & 1)
+                    elif abs(target[k]) == 1:
+                        events.append(("new", run, 1 if target[k] > 0 else 0, corr))
+                        run, corr = 0, []
+                    else:
+                        run += 1
+                        if run == 16:
+                            events.append(("zrl", corr))
+                            run, corr = 0, []
+                if not any(e[0] == "new" for e in events):
+                    # nothing to place inline: the whole block rides an
+                    # EOB run (dropping any eager ZRLs), whose coverage
+                    # reads every nonzero-history coefficient's bit
+                    pending_eob += 1
+                    pending_bits += [
+                        abs(target[k]) & 1 for k in range(1, 64) if hist[k] != 0
+                    ]
+                    continue
+                # drop trailing ZRLs (an EOB covers the remainder)
+                while events and events[-1][0] == "zrl":
+                    corr = events.pop()[1] + corr
+                flush_eob_refine()
+                for ev in events:
+                    if ev[0] == "zrl":
+                        put_ac_symbol(bw, 0xF0)
+                        for bit in ev[1]:
+                            bw.put(bit, 1)
+                    else:
+                        _, zrun, sign, cbits = ev
+                        put_ac_symbol(bw, (zrun << 4) | 1)
+                        bw.put(sign, 1)
+                        for bit in cbits:
+                            bw.put(bit, 1)
+                pending_eob = 1
+                pending_bits = list(corr)
+        flush_eob_refine()
+        bw.flush()
+        out += sos([cid], 1, 63, 1, 0)
+        out += bw.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def make_jpeg_separate_scans(block_vals: list[list[int]]) -> bytes:
+    """Baseline (SOF0) color 4:4:4 with THREE single-component scans —
+    the spec-legal non-interleaved layout (T.81 A.2.2): each scan rasters
+    its own component's block grid with its own DC predictor."""
+    rows, cols = len(block_vals), len(block_vals[0])
+    w, h = cols * 8, rows * 8
+    dc = _huff_codes(_JPEG_DC_COUNTS, _JPEG_DC_SYMBOLS)
+    ac = _huff_codes(_JPEG_AC_COUNTS, _JPEG_AC_SYMBOLS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid in (1, 2, 3):
+        sof += bytes([cid, 0x11, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_COUNTS) + bytes(_JPEG_DC_SYMBOLS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_COUNTS) + bytes(_JPEG_AC_SYMBOLS))
+    for cid in (1, 2, 3):
+        bw = _BitWriter()
+        pred = 0
+        for r in range(rows):
+            for c in range(cols):
+                coeff = (block_vals[r][c] - 128) * 8 if cid == 1 else 0
+                diff = coeff - pred
+                pred = coeff
+                t = abs(diff).bit_length()
+                code, length = dc[t]
+                bw.put(code, length)
+                if t:
+                    bw.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+                code, length = ac[0x00]
+                bw.put(code, length)
+        bw.flush()
+        out += seg(0xDA, bytes([1, cid, 0x00, 0, 63, 0]))
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # (name, block grid, color, subsample420) — values chosen to cover
 # positive/negative/zero DC diffs across blocks; expectations are the grid
 # values themselves

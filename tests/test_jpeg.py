@@ -60,12 +60,75 @@ def test_jpeg_huffman_canonical_multilength():
         assert _BitReader(bytes(bw.out), 0).huff(table) == sym
 
 
-def test_jpeg_progressive_raises():
-    data = bytearray(make_jpeg([[100]]))
-    i = data.find(b"\xff\xc0")
-    data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError):
-        decode_jpeg(bytes(data))
+def _idct_ref(coefs: dict[int, int]) -> np.ndarray:
+    """Independent T.81 A.3.3 inverse DCT over zigzag-indexed coefficients
+    (quant all-ones), straight from the spec formula — never from the
+    decoder's matrix form."""
+    from pdf_extract_spark.operators.jpeg import _ZIGZAG
+
+    f = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for k, val in coefs.items():
+                u, v = _ZIGZAG[k]
+                cu = np.sqrt(0.5) if u == 0 else 1.0
+                cv = np.sqrt(0.5) if v == 0 else 1.0
+                s += (
+                    cu * cv * val
+                    * np.cos((2 * x + 1) * u * np.pi / 16)
+                    * np.cos((2 * y + 1) * v * np.pi / 16)
+                )
+            f[x, y] = s / 4.0 + 128.0
+    return np.clip(np.round(f), 0, 255)
+
+
+@pytest.mark.parametrize("name,grid,color,sub", JPEG_SPECS)
+def test_jpeg_progressive_dc_matches_baseline(name, grid, color, sub):
+    """Progressive scan script (DC first/refine + per-component AC scans)
+    must reconstruct exactly what the baseline encoding of the same
+    DC-only content decodes to."""
+    from pdf_extract_spark.sources.media_corpus import make_jpeg_progressive
+
+    base = decode_jpeg(make_jpeg(grid, color, sub))
+    prog = decode_jpeg(make_jpeg_progressive(grid, color, sub))
+    assert (base == prog).all(), name
+
+
+def test_jpeg_progressive_ac_refinement_exact():
+    """AC successive approximation: even coefficients land in the first
+    scan (<<1), odd magnitudes need the refinement bit, and |v| == 1
+    exists ONLY as a newly-nonzero refinement symbol.  Expectations from
+    the spec IDCT formula, computed independently."""
+    from pdf_extract_spark.sources.media_corpus import make_jpeg_progressive
+
+    # block (0,0): mixed parities incl. +-1 (pure refinement coefficients);
+    # block (0,1): empty (exercises EOB-run coverage with correction bits
+    # read under the run); block (1,0)/(1,1): negatives and a k-gap
+    ac = {
+        (0, 0): [(1, 3), (2, -2), (5, 1), (9, -1)],
+        (1, 0): [(3, -5), (14, 4)],
+        (1, 1): [(63, 1)],
+    }
+    grid = [[100, 140], [90, 200]]
+    img = decode_jpeg(make_jpeg_progressive(grid, ac=ac))
+    for (r, c), coefs in [((0, 0), ac[(0, 0)]), ((0, 1), []),
+                          ((1, 0), ac[(1, 0)]), ((1, 1), ac[(1, 1)])]:
+        full = {0: (grid[r][c] - 128) * 8, **dict(coefs)}
+        want = _idct_ref(full)
+        got = img[r * 8 : (r + 1) * 8, c * 8 : (c + 1) * 8, 0]
+        assert (got == want).all(), (r, c, got - want)
+
+
+def test_jpeg_baseline_separate_scans():
+    """Baseline (SOF0) with one single-component scan per component —
+    the spec-legal non-interleaved layout that used to raise."""
+    from pdf_extract_spark.sources.media_corpus import make_jpeg_separate_scans
+
+    grid = [[10, 60], [250, 130]]
+    base = decode_jpeg(make_jpeg(grid, color=True))
+    sep = decode_jpeg(make_jpeg_separate_scans(grid))
+    assert (base == sep).all()
 
 
 def test_jpeg_garbage_raises():
