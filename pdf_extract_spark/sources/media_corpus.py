@@ -186,12 +186,14 @@ class _BitWriter:
 
 
 def make_jpeg(block_vals: list[list[int]], color: bool = False,
-              subsample420: bool = False) -> bytes:
+              subsample420: bool = False, restart_interval: int = 0) -> bytes:
     """Baseline JFIF bytes for a grid of flat 8x8 blocks: pixel value of
     block (r, c) = block_vals[r][c] (0..255 integers).  With `color`, a
     3-component image with Cb = Cr = 128 (decodes to gray RGB exactly);
     with `subsample420` (implies color), Y is 2x2-sampled vs 1x1 chroma —
-    the dominant web-JPEG layout — and the block grid must be even."""
+    the dominant web-JPEG layout — and the block grid must be even.
+    `restart_interval` > 0 emits a DRI segment and RSTn markers every N
+    MCUs (DC predictors reset, markers cycle D0-D7)."""
     rows, cols = len(block_vals), len(block_vals[0])
     w, h = cols * 8, rows * 8
     if subsample420:
@@ -217,6 +219,8 @@ def make_jpeg(block_vals: list[list[int]], color: bool = False,
     out += seg(
         0xC4, bytes([0x10]) + bytes(_JPEG_AC_COUNTS) + bytes(_JPEG_AC_SYMBOLS)
     )
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for cid in range(1, ncomp + 1):
         sos += bytes([cid, 0x00])  # DC table 0, AC table 0
@@ -238,23 +242,37 @@ def make_jpeg(block_vals: list[list[int]], color: bool = False,
         code, length = ac[0x00]  # EOB: no AC coefficients
         bw.put(code, length)
 
+    # MCU list first, so restart markers can slice the stream uniformly
+    mcus: list[list[tuple[int, int]]] = []
     if subsample420:
         for mr in range(rows // 2):
             for mc in range(cols // 2):
                 # MCU: 4 Y blocks (2x2, raster) then one Cb, one Cr
-                for by in range(2):
-                    for bx in range(2):
-                        put_block(1, (block_vals[mr * 2 + by][mc * 2 + bx] - 128) * 8)
-                put_block(2, 0)
-                put_block(3, 0)
+                mcu = [
+                    (1, (block_vals[mr * 2 + by][mc * 2 + bx] - 128) * 8)
+                    for by in range(2) for bx in range(2)
+                ]
+                mcus.append(mcu + [(2, 0), (3, 0)])
     else:
         for r in range(rows):
             for c in range(cols):
                 # MCU order (4:4:4 / gray): Y block then Cb, Cr
-                put_block(1, (block_vals[r][c] - 128) * 8)
+                mcu = [(1, (block_vals[r][c] - 128) * 8)]
                 if color:
-                    put_block(2, 0)  # Cb = 128
-                    put_block(3, 0)  # Cr = 128
+                    mcu += [(2, 0), (3, 0)]
+                mcus.append(mcu)
+
+    rst = 0
+    for i, mcu in enumerate(mcus):
+        if restart_interval and i and i % restart_interval == 0:
+            bw.flush()
+            out += bw.out
+            out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            bw = _BitWriter()
+            pred = {cid: 0 for cid in range(1, ncomp + 1)}
+        for cid, coeff in mcu:
+            put_block(cid, coeff)
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI

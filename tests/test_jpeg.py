@@ -134,3 +134,46 @@ def test_jpeg_baseline_separate_scans():
 def test_jpeg_garbage_raises():
     with pytest.raises(Exception):
         decode_jpeg(b"\xff\xd8\xff\xe0 garbage that is not a scan")
+
+
+def test_jpeg_restart_markers_decode_identically():
+    """DRI + RSTn every N MCUs (DC predictors reset) must not change the
+    decoded pixels, for N aligned and unaligned with the MCU count."""
+    grid = [[0, 64, 128, 255], [255, 128, 64, 0]]
+    base = decode_jpeg(make_jpeg(grid))
+    for interval in (1, 2, 3, 7):
+        withrst = decode_jpeg(make_jpeg(grid, restart_interval=interval))
+        assert (withrst == base).all(), interval
+    # and through the 4:2:0 color path
+    grid4 = [[16, 48, 80, 112], [144, 176, 208, 240],
+             [240, 208, 176, 144], [112, 80, 48, 16]]
+    base4 = decode_jpeg(make_jpeg(grid4, subsample420=True))
+    with4 = decode_jpeg(make_jpeg(grid4, subsample420=True, restart_interval=1))
+    assert (with4 == base4).all()
+
+
+def test_jpeg_fuzz_never_hangs_or_crashes_python():
+    """Truncations and single-byte corruptions of valid JPEGs either
+    decode to an image or raise a clean exception — never hang and never
+    return a malformed array.  Deterministic corruption schedule."""
+    from pdf_extract_spark.sources.media_corpus import make_jpeg_progressive
+
+    payloads = [
+        make_jpeg([[0, 64], [128, 255]], color=True),
+        make_jpeg_progressive([[100, 200]], ac={(0, 0): [(1, 3), (2, -1)]}),
+    ]
+    for payload in payloads:
+        for cut in range(4, len(payload), 7):
+            try:
+                img = decode_jpeg(payload[:cut])
+                assert img.ndim == 3 and img.shape[2] == 3
+            except Exception:
+                pass
+        for i in range(2, len(payload), 5):
+            mutated = bytearray(payload)
+            mutated[i] ^= 0x5A
+            try:
+                img = decode_jpeg(bytes(mutated))
+                assert img.ndim == 3 and img.shape[2] == 3
+            except Exception:
+                pass

@@ -129,3 +129,33 @@ def test_winnow_is_single_arrow_pass(spark):
     assert "PythonMapInArrow" in txt or "MapInArrow" in txt, txt[:1500]
     assert "Window" not in txt
     assert "Generate" not in txt  # the old char-level explode
+
+
+def test_decontaminate_eval_side_is_broadcast(spark):
+    """The benchmark-gram side of doc_decontaminate must build as the
+    broadcast side of the semi-join (the verdict never moves the corpus)."""
+    from pdf_extract_spark.queries import doc_decontaminate
+
+    plan = plan_of(doc_decontaminate(spark, SF))
+    m = re.search(r"BroadcastHashJoin \[h#\d+\], \[h#\d+\], LeftSemi", plan)
+    assert m, plan[:2000]
+
+
+def test_span_dedup_gram_stats_partial_aggregation(spark):
+    """doc_span_dedup's gram occurrence counts must map-side combine
+    (partial_count before the exchange) so a hot boilerplate gram
+    collapses before it can skew a reducer."""
+    from pdf_extract_spark.queries import doc_span_dedup
+
+    plan = plan_of(doc_span_dedup(spark, SF))
+    assert re.search(r"partial_count|partial_min|HashAggregate.*partial", plan), plan[:2000]
+
+
+def test_repetition_flags_no_python_udf(spark):
+    """doc_repetition_flags is pure JVM expressions — no Python worker in
+    the plan."""
+    from pdf_extract_spark.queries import doc_repetition_flags
+
+    plan = plan_of(doc_repetition_flags(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "mapInPandas" not in plan.lower()
