@@ -581,6 +581,16 @@ def jpeg_pixel(block_vals: list[list[int]], x: int, y: int) -> int:
     return block_vals[y // 8][x // 8]
 
 
+# progressive (SOF2) variants of the same closed-form DC-only content —
+# same pixel expectations as the baseline grids, decoded through the
+# successive-approximation scan script of make_jpeg_progressive
+JPEG_PROG_SPECS = [
+    ("jpeg-prog-gray-4x2", [[0, 64, 128, 255], [255, 128, 64, 0]], False, False),
+    ("jpeg-prog-420-4x4", [[16, 48, 80, 112], [144, 176, 208, 240],
+                           [240, 208, 176, 144], [112, 80, 48, 16]], True, True),
+]
+
+
 # (name, w, h, palette_bits) GIFs: palette entry i is gray
 # i * 255 // (2^bits - 1); pixel index at (x, y) = (x + y) % 2^bits
 GIF_SPECS = [
@@ -669,6 +679,8 @@ def synthetic_media_rows() -> list[tuple[str, str, bytes]]:
         rows.append((name, "image", make_png(w, h, ct)))
     for name, grid, color, sub in JPEG_SPECS:
         rows.append((name, "image", make_jpeg(grid, color, sub)))
+    for name, grid, color, sub in JPEG_PROG_SPECS:
+        rows.append((name, "image", make_jpeg_progressive(grid, color, sub)))
     for name, w, h, bits in GIF_SPECS:
         rows.append((name, "image", make_gif(w, h, bits)))
     for name, rate, nch, amps in WAV_SPECS:

@@ -28,6 +28,7 @@ from pdf_extract_spark.fixtures import corpus  # noqa: E402
 from pdf_extract_spark.sources.media_corpus import (  # noqa: E402
     BMP_SPECS,
     GIF_SPECS,
+    JPEG_PROG_SPECS,
     JPEG_SPECS,
     PNG_SPECS,
     PPM_SPECS,
@@ -38,6 +39,7 @@ from pdf_extract_spark.sources.media_corpus import (  # noqa: E402
     make_bmp,
     make_gif,
     make_jpeg,
+    make_jpeg_progressive,
     make_png,
     make_ppm,
     make_wav,
@@ -80,6 +82,15 @@ def golden_rows():
         xs, ys = thumb_indices(w), thumb_indices(h)
         feat = [jpeg_pixel(grid, x, y) / 255.0 for y in ys for x in xs]
         rows.append((name, "image", make_jpeg(grid, color, sub), w, h, feat, "jpeg"))
+    for name, grid, color, sub in JPEG_PROG_SPECS:
+        # progressive scan script, same DC-only closed form: successive
+        # approximation must reconstruct the exact grid values
+        w, h = len(grid[0]) * 8, len(grid) * 8
+        xs, ys = thumb_indices(w), thumb_indices(h)
+        feat = [jpeg_pixel(grid, x, y) / 255.0 for y in ys for x in xs]
+        rows.append(
+            (name, "image", make_jpeg_progressive(grid, color, sub), w, h, feat, "jpeg")
+        )
     for name, w, h, bits in GIF_SPECS:
         # closed-form: palette gray of index (x+y) % 2^bits
         xs, ys = thumb_indices(w), thumb_indices(h)
