@@ -105,13 +105,26 @@ def corpus_pipeline(
     per-source mixing percentages (100 = keep all)."""
     stages: dict[str, DataFrame] = {"ingested": docs}
 
+    # degenerate-source defense: a corpus that arrives in fewer splits
+    # than the cluster has slots (single file, giant row groups) would
+    # run every narrow stage on those few cores.  At real scale
+    # spark.sql.files.maxPartitionBytes already yields many splits and
+    # this is a no-op; the check costs no job.
+    spark = docs.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
+
     quality = quality_stage(docs, text_col, min_stopwords=min_stopwords).cache()
     stages["quality"] = quality
 
     exact = exact_dedup_stage(quality, text_col)
     stages["exact_dedup"] = exact
 
-    near = near_dedup_stage(exact, text_col, checkpoint_dir=checkpoint_dir)
+    # cache: the near-dup survivors feed decontamination, the final mix,
+    # AND the funnel counts — without this the MinHash + connected
+    # components iteration re-runs once per downstream consumer
+    near = near_dedup_stage(exact, text_col, checkpoint_dir=checkpoint_dir).cache()
     stages["near_dedup"] = near
 
     verdicts = decontaminate(near, text_col, eval_pct=eval_pct)
