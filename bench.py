@@ -39,6 +39,7 @@ HEADLINE = [
     "corpus_summary_stats",
     "doc_repetition_flags",
     "doc_span_dedup",
+    "doc_span_dedup_apply",
     "doc_decontaminate",
     "doc_token_bpe",
     "doc_winnow_fingerprints",

@@ -265,6 +265,60 @@ def span_dedup_stats(docs: DataFrame, text_col: str = "text",
     )
 
 
+def span_dedup_apply(docs: DataFrame, text_col: str = "text",
+                     n: int = 13) -> DataFrame:
+    """C4-style span REMOVAL: rewrite each document with every token
+    covered by a non-keeper duplicate `n`-gram occurrence dropped (the
+    keeper — global min (doc_id, pos) — keeps its text, so exactly one
+    copy of every duplicated span survives corpus-wide).
+
+    Scale shape: the dup-occurrence verdict is span_dedup_stats' plan
+    (gram hash groupBy with map-side combine + join back); the REWRITE
+    avoids a corpus-wide token explode — duplicate start positions
+    collect into one bounded per-doc array, and the token drop happens
+    inside a higher-order filter over the doc's own token array (Python
+    never sees a row).  The per-doc array is bounded by the doc's dup
+    span count; a document that is mostly duplicates is exactly the one
+    the pipeline drops wholesale anyway.
+
+    `clean_text` is the normalized token stream (lowercased,
+    single-space-joined) — the same text space the dedup keys live in,
+    so removal offsets are exact."""
+    base = docs.select("doc_id", F.col(text_col), tokens(F.lower(F.col(text_col))).alias("ts"))
+    grams = base.select(
+        "doc_id",
+        F.posexplode(gram_array(F.col("ts"), n)).alias("pos", "g"),
+    ).select("doc_id", "pos", F.md5(F.encode("g", "utf-8")).alias("h"))
+    stats = grams.groupBy("h").agg(
+        F.count("*").alias("occ"),
+        F.min(F.struct("doc_id", "pos")).alias("keeper"),
+    )
+    dup_pos = (
+        grams.join(stats, "h")
+        .filter(
+            (F.col("occ") > 1)
+            & ~(
+                (F.col("keeper.doc_id") == F.col("doc_id"))
+                & (F.col("keeper.pos") == F.col("pos"))
+            )
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("dups"))
+    )
+    joined = base.join(dup_pos, "doc_id", "left")
+    covered = lambda i: F.exists(  # noqa: E731 — readability of the HOF pair
+        F.col("dups"), lambda p: (i >= p) & (i < p + n)
+    )
+    kept = F.when(
+        F.col("dups").isNull(), F.col("ts")
+    ).otherwise(F.filter(F.col("ts"), lambda t, i: ~covered(i)))
+    return joined.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size("ts") - F.size(kept)).cast("long").alias("n_tokens_removed"),
+    )
+
+
 def decontaminate(docs: DataFrame, text_col: str = "text", n: int = 8,
                   eval_pct: int = 3) -> DataFrame:
     """Benchmark decontamination (GPT-3 appendix C / PaLM-style n-gram

@@ -472,6 +472,14 @@ def doc_span_dedup(spark, sf_dir):
     return span_dedup_stats(load(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def doc_span_dedup_apply(spark, sf_dir):
+    """C4-style span removal: rewrite docs with non-keeper duplicate
+    13-gram occurrences dropped (functions/text.py:span_dedup_apply)."""
+    from .functions.text import span_dedup_apply
+
+    return span_dedup_apply(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 def doc_decontaminate(spark, sf_dir):
     """Benchmark decontamination: flag training docs sharing any 8-word
     gram with the deterministic md5-bucket<3 eval slice
@@ -544,6 +552,49 @@ SELECT d.doc_id,
        coalesce(n_dup_spans, 0) = 0 AS is_clean
 FROM documents d
 LEFT JOIN per_doc USING (doc_id)
+ORDER BY doc_id
+"""
+
+DOC_SPAN_DEDUP_APPLY_SQL = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+  FROM documents
+), g AS (
+  SELECT doc_id, ts,
+         list_transform(range(1, greatest(len(ts) - 12, 0) + 1),
+                        i -> array_to_string(ts[i:i+12], ' ')) AS gs
+  FROM base
+), occ AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, md5(gs[i]) AS h
+  FROM g, unnest(range(1, len(gs) + 1)) AS t(i)
+), judged AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY h) AS occ_cnt,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+  FROM occ
+), dup_pos AS (
+  SELECT doc_id, list_sort(list(pos)) AS dups
+  FROM judged
+  WHERE occ_cnt > 1 AND rk > 1
+  GROUP BY doc_id
+), rewritten AS (
+  SELECT b.doc_id,
+         CASE WHEN d.dups IS NULL THEN b.ts
+              ELSE list_transform(
+                     list_filter(range(1, len(b.ts) + 1),
+                       i -> len(list_filter(d.dups,
+                              p -> i - 1 >= p AND i - 1 < p + 13)) = 0),
+                     i -> b.ts[i])
+         END AS kept,
+         b.ts AS ts
+  FROM base b
+  LEFT JOIN dup_pos d USING (doc_id)
+)
+SELECT doc_id,
+       -- DuckDB's array_to_string([]) is NULL where Spark's is ''
+       coalesce(array_to_string(kept, ' '), '') AS clean_text,
+       CAST(len(ts) - len(kept) AS BIGINT) AS n_tokens_removed
+FROM rewritten
 ORDER BY doc_id
 """
 
@@ -1556,6 +1607,7 @@ QUERIES = {
     "corpus_summary_stats": corpus_summary_stats,
     "doc_repetition_flags": doc_repetition_flags,
     "doc_span_dedup": doc_span_dedup,
+    "doc_span_dedup_apply": doc_span_dedup_apply,
     "doc_decontaminate": doc_decontaminate,
     "dedup_exact": dedup_exact_q,
     "minhash_lsh_candidates": minhash_lsh_q,
@@ -1599,6 +1651,7 @@ ORACLES = {
     "corpus_summary_stats": CORPUS_SUMMARY_SQL,
     "doc_repetition_flags": DOC_REPETITION_SQL,
     "doc_span_dedup": DOC_SPAN_DEDUP_SQL,
+    "doc_span_dedup_apply": DOC_SPAN_DEDUP_APPLY_SQL,
     "doc_decontaminate": DOC_DECONTAMINATE_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "minhash_lsh_candidates": MINHASH_SQL,

@@ -567,3 +567,25 @@ def test_decontaminate(spark):
     assert ev not in rows  # eval docs are not scored
     assert rows[tr1]["contaminated"] is True and rows[tr1]["n_hits"] == 1
     assert rows[tr2]["contaminated"] is False and rows[tr2]["n_hits"] == 0
+
+
+def test_span_dedup_apply_rewrites_text(spark):
+    """Non-keeper duplicate spans are cut from the text; the keeper and
+    clean docs are untouched (modulo normalization)."""
+    from pdf_extract_spark.functions.text import span_dedup_apply
+
+    boiler = " ".join(f"w{i}" for i in range(13))
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " tail one"),
+            (2, "Head words " + boiler),   # dup: its 13-gram span is cut
+            (3, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in span_dedup_apply(docs).collect()}
+    assert rows[1]["clean_text"] == boiler + " tail one"
+    assert rows[1]["n_tokens_removed"] == 0
+    assert rows[2]["clean_text"] == "head words"     # normalized remainder
+    assert rows[2]["n_tokens_removed"] == 13
+    assert rows[3]["clean_text"] == "short doc" and rows[3]["n_tokens_removed"] == 0
