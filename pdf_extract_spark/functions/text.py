@@ -214,6 +214,36 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
     )
 
 
+def _span_occurrences_judged(docs: DataFrame, text_col: str, n: int) -> DataFrame:
+    """Shared core of the C4-style span dedup pair: every overlapping
+    `n`-gram occurrence as (doc_id, pos, is_dup), where is_dup marks a
+    non-keeper occurrence of a corpus-duplicated gram (keeper = global
+    min (doc_id, pos)).  One groupBy on the md5 gram key with map-side
+    combine + one join back — the single source of truth for the keeper
+    rule, so the stats and apply operators (and their SQL oracles) cannot
+    drift apart."""
+    base = docs.select("doc_id", tokens(F.lower(F.col(text_col))).alias("ts"))
+    grams = base.select(
+        "doc_id",
+        F.posexplode(gram_array(F.col("ts"), n)).alias("pos", "g"),
+    ).select("doc_id", "pos", F.md5(F.encode("g", "utf-8")).alias("h"))
+    stats = grams.groupBy("h").agg(
+        F.count("*").alias("occ"),
+        F.min(F.struct("doc_id", "pos")).alias("keeper"),
+    )
+    return grams.join(stats, "h").select(
+        "doc_id",
+        "pos",
+        (
+            (F.col("occ") > 1)
+            & ~(
+                (F.col("keeper.doc_id") == F.col("doc_id"))
+                & (F.col("keeper.pos") == F.col("pos"))
+            )
+        ).alias("is_dup"),
+    )
+
+
 def span_dedup_stats(docs: DataFrame, text_col: str = "text",
                      n: int = 13) -> DataFrame:
     """C4-style cross-corpus span dedup (Raffel et al. 2020 §2.2: drop any
@@ -230,26 +260,8 @@ def span_dedup_stats(docs: DataFrame, text_col: str = "text",
     exists to kill) collapse map-side in the agg; the join fans the
     verdict back out.  No windows over corpus-size partitions, no
     collects."""
-    base = docs.select("doc_id", tokens(F.lower(F.col(text_col))).alias("ts"))
-    grams = base.select(
-        "doc_id",
-        F.posexplode(gram_array(F.col("ts"), n)).alias("pos", "g"),
-    ).select("doc_id", "pos", F.md5(F.encode("g", "utf-8")).alias("h"))
-    stats = grams.groupBy("h").agg(
-        F.count("*").alias("occ"),
-        F.min(F.struct("doc_id", "pos")).alias("keeper"),
-    )
-    verdicts = grams.join(stats, "h").select(
-        "doc_id",
-        (
-            (F.col("occ") > 1)
-            & ~(
-                (F.col("keeper.doc_id") == F.col("doc_id"))
-                & (F.col("keeper.pos") == F.col("pos"))
-            )
-        ).alias("is_dup"),
-    )
-    per_doc = verdicts.groupBy("doc_id").agg(
+    judged = _span_occurrences_judged(docs, text_col, n)
+    per_doc = judged.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_spans"),
         F.sum(F.col("is_dup").cast("long")).cast("long").alias("n_dup_spans"),
     )
@@ -284,24 +296,10 @@ def span_dedup_apply(docs: DataFrame, text_col: str = "text",
     `clean_text` is the normalized token stream (lowercased,
     single-space-joined) — the same text space the dedup keys live in,
     so removal offsets are exact."""
-    base = docs.select("doc_id", F.col(text_col), tokens(F.lower(F.col(text_col))).alias("ts"))
-    grams = base.select(
-        "doc_id",
-        F.posexplode(gram_array(F.col("ts"), n)).alias("pos", "g"),
-    ).select("doc_id", "pos", F.md5(F.encode("g", "utf-8")).alias("h"))
-    stats = grams.groupBy("h").agg(
-        F.count("*").alias("occ"),
-        F.min(F.struct("doc_id", "pos")).alias("keeper"),
-    )
+    base = docs.select("doc_id", tokens(F.lower(F.col(text_col))).alias("ts"))
     dup_pos = (
-        grams.join(stats, "h")
-        .filter(
-            (F.col("occ") > 1)
-            & ~(
-                (F.col("keeper.doc_id") == F.col("doc_id"))
-                & (F.col("keeper.pos") == F.col("pos"))
-            )
-        )
+        _span_occurrences_judged(docs, text_col, n)
+        .filter("is_dup")
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("pos")).alias("dups"))
     )
@@ -314,8 +312,11 @@ def span_dedup_apply(docs: DataFrame, text_col: str = "text",
     ).otherwise(F.filter(F.col("ts"), lambda t, i: ~covered(i)))
     return joined.select(
         "doc_id",
-        F.array_join(kept, " ").alias("clean_text"),
-        (F.size("ts") - F.size(kept)).cast("long").alias("n_tokens_removed"),
+        # coalesce: NULL text (upstream extraction failure) must yield ''
+        # exactly like the DuckDB oracle, not a NULL clean_text
+        F.coalesce(F.array_join(kept, " "), F.lit("")).alias("clean_text"),
+        F.coalesce(F.size("ts") - F.size(kept), F.lit(0))
+        .cast("long").alias("n_tokens_removed"),
     )
 
 

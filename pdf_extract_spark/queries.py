@@ -591,9 +591,10 @@ WITH base AS (
   LEFT JOIN dup_pos d USING (doc_id)
 )
 SELECT doc_id,
-       -- DuckDB's array_to_string([]) is NULL where Spark's is ''
+       -- coalesces: DuckDB's array_to_string([]) is NULL where Spark's
+       -- is ''; NULL text rows must yield ('', 0) on both engines
        coalesce(array_to_string(kept, ' '), '') AS clean_text,
-       CAST(len(ts) - len(kept) AS BIGINT) AS n_tokens_removed
+       CAST(coalesce(len(ts) - len(kept), 0) AS BIGINT) AS n_tokens_removed
 FROM rewritten
 ORDER BY doc_id
 """

@@ -26,19 +26,9 @@ def _submit(args, env=None):
 def test_spark_submit_pyfiles_and_resume(tmp_path):
     import duckdb
 
-    zip_path = os.path.join(REPO, "dist", "pdf_extract_spark.zip")
-    # rebuild when any package source is newer than the zip (a stale zip
-    # silently tests old code)
-    newest_src = max(
-        os.path.getmtime(os.path.join(root, f))
-        for root, _, files in os.walk(os.path.join(REPO, "pdf_extract_spark"))
-        for f in files if f.endswith(".py")
-    )
-    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest_src:
-        subprocess.run(
-            [sys.executable, os.path.join(REPO, "tools", "package_pyfiles.py")],
-            check=True, timeout=120,
-        )
+    from tests.conftest import ensure_pyfiles_zip
+
+    ensure_pyfiles_zip()
     out = str(tmp_path / "job_out")
 
     r1 = _submit(["--input", "synthetic:48", "--output", out,

@@ -451,3 +451,46 @@ def test_sessionizer_very_late_event_is_own_session():
     assert row["n_events"] == 1 and row["session_value"] == 9.0
     # the open session is untouched
     assert state.get == (epoch, epoch + 10, 2, 4.0)
+
+
+def test_streaming_quality_filter_matches_batch(spark, tmp_path):
+    """The corpus pipeline's narrow quality stage (Gopher rules) is pure
+    codegen and therefore streams as-is: a file stream filtered by the
+    same expressions yields exactly the batch keep-set."""
+    from pdf_extract_spark.functions.text import gopher_quality_flags
+
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "ckpt")
+    good = ("the quick brown fox likes to jump over lazy dogs and it does "
+            "that with great patience because they have nothing better to "
+            "do today while the sun shines over the quiet meadow")
+    rows = [
+        (1, good),
+        (2, "too short"),
+        (3, good + " indeed"),
+        (4, " ".join(["zz"] * 40)),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    flagged = gopher_quality_flags(stream).filter("keep").select("doc_id")
+    q = (
+        flagged.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    assert not q.isActive or q.awaitTermination(60)
+    stream_ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    batch_ids = {
+        r["doc_id"]
+        for r in gopher_quality_flags(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).filter("keep").select("doc_id").collect()
+    }
+    assert stream_ids == batch_ids == {1, 3}
