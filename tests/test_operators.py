@@ -589,3 +589,37 @@ def test_span_dedup_apply_rewrites_text(spark):
     assert rows[2]["clean_text"] == "head words"     # normalized remainder
     assert rows[2]["n_tokens_removed"] == 13
     assert rows[3]["clean_text"] == "short doc" and rows[3]["n_tokens_removed"] == 0
+
+
+def test_span_dedup_stats_apply_consistency(spark):
+    """Randomized (seeded) corpora from a tiny vocabulary: the stats and
+    apply operators must agree — a doc loses tokens iff it has non-keeper
+    duplicate spans, and clean docs pass through unchanged (modulo
+    lowercase/space normalization)."""
+    import random
+
+    from pdf_extract_spark.functions.text import span_dedup_apply, span_dedup_stats
+
+    rng = random.Random(42)
+    vocab = [f"tok{i}" for i in range(12)]
+    for case in range(4):
+        docs = []
+        for d in range(12):
+            n = rng.randint(3, 40)
+            docs.append((d, " ".join(rng.choice(vocab) for _ in range(n))))
+        # inject guaranteed cross-doc duplication: doc 12 repeats doc 0
+        docs.append((12, docs[0][1]))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        stats = {r["doc_id"]: r for r in span_dedup_stats(df).collect()}
+        applied = {r["doc_id"]: r for r in span_dedup_apply(df).collect()}
+        norm = {d: " ".join(t.lower().split()) for d, t in docs}
+        for d, _t in docs:
+            has_dups = stats[d]["n_dup_spans"] > 0
+            removed = applied[d]["n_tokens_removed"] > 0
+            assert has_dups == removed, (case, d)
+            if not has_dups:
+                assert applied[d]["clean_text"] == norm[d], (case, d)
+        if len(norm[0].split()) >= 13:
+            # the copy (higher doc_id) loses its spans, the keeper doesn't
+            assert applied[0]["clean_text"] == norm[0]
+            assert applied[12]["n_tokens_removed"] > 0
