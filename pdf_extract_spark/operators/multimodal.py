@@ -5,8 +5,10 @@ Decode kernels, by honesty tier:
   * REAL, dependency-free: PPM (P6), uncompressed 24-bit BMP, and PNG
     (8-bit gray/RGB/RGBA non-interlaced: stdlib zlib inflate + numpy
     scanline unfilter — all 5 RFC 2083 filter types) images, WAV audio
-    (stdlib `wave` + numpy).  Feature = 4x4 grayscale thumbnail (images)
-    / 16 RMS windows (audio), both in [0,1].
+    (stdlib `wave` + numpy) and FLAC audio (operators/flac.py — RFC 9639
+    frames: CONSTANT/VERBATIM/FIXED/LPC subframes, Rice residuals,
+    stereo decorrelation, CRC-verified).  Feature = 4x4 grayscale
+    thumbnail (images) / 16 RMS windows (audio), both in [0,1].
   * REAL, dependency-free: JPEG (operators/jpeg.py — T.81 baseline
     sequential AND progressive DCT processes: canonical Huffman, spectral
     selection + successive approximation with EOB runs, per-component
@@ -209,32 +211,42 @@ def decode_image_real(payload: bytes) -> tuple[int, int, list[float]]:
     return img.shape[1], img.shape[0], _thumb_feature(img)
 
 
-def decode_audio_real(payload: bytes) -> tuple[int, int, list[float]]:
-    """WAV (PCM) -> (sample_rate, n_channels, feature[16]) where feature is
-    the per-window RMS over 16 equal windows, normalized to [0,1]."""
+def decode_audio_real(payload: bytes) -> tuple[int, int, list[float], str]:
+    """WAV (PCM) or FLAC -> (sample_rate, n_channels, feature[16],
+    decoder) where feature is the per-window RMS over 16 equal windows,
+    normalized to [0,1]."""
     import io
     import wave
 
     import numpy as np
 
-    with wave.open(io.BytesIO(payload)) as wf:
-        rate = wf.getframerate()
-        nch = wf.getnchannels()
-        sw = wf.getsampwidth()
-        frames = wf.readframes(wf.getnframes())
-    if sw == 2:
-        x = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
-    elif sw == 1:
-        x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    if payload.startswith(b"fLaC"):
+        from .flac import decode_flac
+
+        rate, nch, samples = decode_flac(payload)
+        x = samples.astype(np.float64) / 32768.0
+        x = x.mean(axis=1) if nch > 1 else x[:, 0]
+        decoder = "flac"
     else:
-        raise NotImplementedError("only 8/16-bit PCM WAV")
-    if nch > 1:
-        x = x.reshape(-1, nch).mean(axis=1)
+        with wave.open(io.BytesIO(payload)) as wf:
+            rate = wf.getframerate()
+            nch = wf.getnchannels()
+            sw = wf.getsampwidth()
+            frames = wf.readframes(wf.getnframes())
+        if sw == 2:
+            x = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+        elif sw == 1:
+            x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        else:
+            raise NotImplementedError("only 8/16-bit PCM WAV")
+        if nch > 1:
+            x = x.reshape(-1, nch).mean(axis=1)
+        decoder = "wav"
     if len(x) == 0:
-        return rate, nch, [0.0] * 16
+        return rate, nch, [0.0] * 16, decoder
     windows = np.array_split(x, 16)
     feat = [float(np.sqrt((w * w).mean())) if len(w) else 0.0 for w in windows]
-    return rate, nch, feat
+    return rate, nch, feat, decoder
 
 
 def decode_image_stub(payload: bytes) -> tuple[int, int, list[float]]:
@@ -252,8 +264,7 @@ def _decode_any(kind: str, data: bytes) -> tuple[int, int, list[float], str]:
     dependency-free, deterministic stub otherwise."""
     try:
         if kind == "audio":
-            rate, nch, feat = decode_audio_real(data)
-            return rate, nch, feat, "wav"
+            return decode_audio_real(data)
         if kind == "image":
             w, h, feat = decode_image_real(data)
             decoder = (

@@ -654,6 +654,136 @@ def make_gif(w: int, h: int, bits: int = 2) -> bytes:
     return bytes(out)
 
 
+class _FlacBits:
+    """MSB-first bit writer (no byte stuffing — that's a JPEG-ism)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, nbits: int):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                self.acc = 0
+                self.n = 0
+
+    def put_signed(self, value: int, nbits: int):
+        self.put(value & ((1 << nbits) - 1), nbits)
+
+    def align(self):
+        if self.n:
+            self.put(0, 8 - self.n)
+
+
+def make_flac(rate: int, n_channels: int, amplitudes: list[int],
+              samples_per_window: int = 64, mid_side: bool = False) -> bytes:
+    """FLAC bytes with one fixed-blocking frame per window: every sample
+    in window i is the constant `amplitudes[i]` on every channel (so the
+    per-window RMS expectation is |amp|/32768, exactly like make_wav).
+    Frames cycle CONSTANT / VERBATIM / FIXED-order-1 / LPC-order-1
+    subframes (the predicted frames carry real Rice-coded all-zero
+    residuals; the LPC one a quantized coef of 1, shift 0), and with
+    `mid_side` stereo frames use mid/side decorrelation (side = 0, one
+    extra side bit) — so the decoder's subframe, residual, and stereo
+    paths are all exercised by construction.  CRC-8/CRC-16 are computed
+    for real (the decoder verifies both)."""
+    from ..operators.flac import crc8, crc16
+
+    assert 1 <= n_channels <= 2
+    spw = samples_per_window
+    total = len(amplitudes) * spw
+
+    si = _FlacBits()
+    si.put(spw, 16)           # min blocksize
+    si.put(spw, 16)           # max blocksize
+    si.put(0, 24)             # min framesize unknown
+    si.put(0, 24)             # max framesize unknown
+    si.put(rate, 20)
+    si.put(n_channels - 1, 3)
+    si.put(15, 5)             # bps - 1 = 16-bit
+    si.put(total, 36)
+    si.put(0, 128)            # md5 unset
+    out = bytearray(b"fLaC")
+    out += bytes([0x80, 0, 0, 34]) + bytes(si.out)  # last-block STREAMINFO
+
+    for i, amp in enumerate(amplitudes):
+        assert -32768 <= amp <= 32767 and i < 128
+        fb = _FlacBits()
+        fb.put(0b11111111111110, 14)
+        fb.put(0, 1)              # reserved
+        fb.put(0, 1)              # fixed blocking
+        fb.put(6, 4)              # blocksize: 8-bit value at header end
+        fb.put(0, 4)              # sample rate: from STREAMINFO
+        use_ms = mid_side and n_channels == 2 and i % 2 == 1
+        fb.put(10 if use_ms else n_channels - 1, 4)
+        fb.put(4, 3)              # 16 bits per sample
+        fb.put(0, 1)              # reserved
+        fb.put(i, 8)              # frame number (UTF-8 single byte)
+        fb.put(spw - 1, 8)
+        fb.put(crc8(bytes(fb.out)), 8)
+
+        def subframe(value: int, bps: int, kind: int):
+            fb.put(0, 1)          # padding
+            if kind == 0:         # CONSTANT
+                fb.put(0, 6)
+                fb.put(0, 1)      # no wasted bits
+                fb.put_signed(value, bps)
+            elif kind == 1:       # VERBATIM
+                fb.put(1, 6)
+                fb.put(0, 1)
+                for _ in range(spw):
+                    fb.put_signed(value, bps)
+            elif kind == 2:       # FIXED order 1: all-zero Rice residual
+                fb.put(8 + 1, 6)
+                fb.put(0, 1)
+                fb.put_signed(value, bps)   # warmup
+                fb.put(0, 2)      # residual method: 4-bit Rice
+                fb.put(0, 4)      # partition order 0
+                fb.put(0, 4)      # Rice parameter 0
+                for _ in range(spw - 1):
+                    fb.put(1, 1)  # zigzag(0): unary quotient 0 -> lone 1
+            else:                 # LPC order 1, coef 1, shift 0 == pred prev
+                fb.put(0x20, 6)   # LPC, order (t & 0x1F) + 1 = 1
+                fb.put(0, 1)
+                fb.put_signed(value, bps)   # warmup
+                fb.put(1, 4)      # precision - 1 = 1 -> 2-bit coefs
+                fb.put_signed(0, 5)         # shift 0
+                fb.put_signed(1, 2)         # coef = 1
+                fb.put(0, 2)      # 4-bit Rice
+                fb.put(0, 4)      # partition order 0
+                fb.put(0, 4)      # Rice parameter 0
+                for _ in range(spw - 1):
+                    fb.put(1, 1)  # zero residuals
+
+        kind = i % 4
+        if use_ms:
+            subframe(amp, 16, kind)   # mid = amp (L == R)
+            subframe(0, 17, kind)     # side = 0, one extra bit
+        else:
+            for _ in range(n_channels):
+                subframe(amp, 16, kind)
+        fb.align()
+        frame = bytes(fb.out)
+        out += frame + struct.pack(">H", crc16(frame))
+    return bytes(out)
+
+
+# (name, rate, n_channels, mid_side, amplitudes[16]) FLACs — same exact
+# power-of-two amplitude scheme as WAV_SPECS
+FLAC_SPECS = [
+    ("flac-steps-mono", 8000, 1, False,
+     [0, 4096, 8192, 16384, 0, -4096, -8192, -16384,
+      16384, 8192, 4096, 0, 4096, 4096, 8192, 0]),
+    ("flac-steps-midside", 16000, 2, True,
+     [8192, 8192, 0, 0, 16384, 4096, 0, 8192,
+      4096, 0, 16384, 16384, 0, 8192, 4096, 0]),
+]
+
+
 def make_wav(rate: int, n_channels: int, amplitudes: list[int],
              samples_per_window: int = 64) -> bytes:
     frames = bytearray()
@@ -685,6 +815,8 @@ def synthetic_media_rows() -> list[tuple[str, str, bytes]]:
         rows.append((name, "image", make_gif(w, h, bits)))
     for name, rate, nch, amps in WAV_SPECS:
         rows.append((name, "audio", make_wav(rate, nch, amps)))
+    for name, rate, nch, ms, amps in FLAC_SPECS:
+        rows.append((name, "audio", make_flac(rate, nch, amps, mid_side=ms)))
     for name, payload in STUB_SPECS:
         rows.append((name, "image", payload))
     return rows

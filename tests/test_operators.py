@@ -373,8 +373,8 @@ def test_real_image_decoders():
 def test_real_audio_decoder():
     from pdf_extract_spark.operators.multimodal import decode_audio_real
 
-    rate, nch, feat = decode_audio_real(_make_wav(amp=0.5))
-    assert rate == 8000 and nch == 1
+    rate, nch, feat, decoder = decode_audio_real(_make_wav(amp=0.5))
+    assert rate == 8000 and nch == 1 and decoder == "wav"
     assert len(feat) == 16
     # RMS of a 0.5-amp sine is ~0.3536
     assert all(abs(v - 0.3536) < 0.02 for v in feat)

@@ -27,6 +27,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pdf_extract_spark.fixtures import corpus  # noqa: E402
 from pdf_extract_spark.sources.media_corpus import (  # noqa: E402
     BMP_SPECS,
+    FLAC_SPECS,
     GIF_SPECS,
     JPEG_PROG_SPECS,
     JPEG_SPECS,
@@ -39,6 +40,7 @@ from pdf_extract_spark.sources.media_corpus import (  # noqa: E402
     make_bmp,
     make_gif,
     make_jpeg,
+    make_flac,
     make_jpeg_progressive,
     make_png,
     make_ppm,
@@ -99,6 +101,14 @@ def golden_rows():
     for name, rate, nch, amps in WAV_SPECS:
         feat = [abs(a) / 32768.0 for a in amps]
         rows.append((name, "audio", make_wav(rate, nch, amps), rate, nch, feat, "wav"))
+    for name, rate, nch, ms, amps in FLAC_SPECS:
+        # constant per-window amplitude on every channel -> RMS exactly
+        # |amp|/32768, independent of the frame's subframe/stereo coding
+        feat = [abs(a) / 32768.0 for a in amps]
+        rows.append(
+            (name, "audio", make_flac(rate, nch, amps, mid_side=ms),
+             rate, nch, feat, "flac")
+        )
     for name, payload in STUB_SPECS:
         w, h, feat = stub_expect(payload)
         rows.append((name, "image", payload, w, h, feat, "stub"))
