@@ -772,6 +772,66 @@ def make_flac(rate: int, n_channels: int, amplitudes: list[int],
     return bytes(out)
 
 
+def make_flac_rice(rate: int, samples: list[int], partition_order: int = 1,
+                   escape_last: bool = False) -> bytes:
+    """Single-frame FLAC whose FIXED-order-1 subframe Rice-codes the REAL
+    residual sequence of `samples` (mono 16-bit): nonzero quotients and
+    remainders, per-partition parameter choice, and optionally a
+    raw-escape last partition — the entropy paths the constant-amplitude
+    fixtures never reach.  Expectation = `samples`, verbatim."""
+    from ..operators.flac import crc8, crc16
+
+    bs = len(samples)
+    nparts = 1 << partition_order
+    assert bs % nparts == 0 and bs // nparts > 1
+
+    si = _FlacBits()
+    si.put(bs, 16); si.put(bs, 16)
+    si.put(0, 24); si.put(0, 24)
+    si.put(rate, 20); si.put(0, 3); si.put(15, 5)
+    si.put(bs, 36); si.put(0, 128)
+    out = bytearray(b"fLaC") + bytes([0x80, 0, 0, 34]) + bytes(si.out)
+
+    fb = _FlacBits()
+    fb.put(0b11111111111110, 14); fb.put(0, 1); fb.put(0, 1)
+    fb.put(7, 4)              # 16-bit blocksize at header end
+    fb.put(0, 4); fb.put(0, 4); fb.put(4, 3); fb.put(0, 1)
+    fb.put(0, 8)              # frame number 0
+    fb.put(bs - 1, 16)
+    fb.put(crc8(bytes(fb.out)), 8)
+
+    fb.put(0, 1); fb.put(8 + 1, 6); fb.put(0, 1)  # FIXED order 1
+    fb.put_signed(samples[0], 16)                  # warmup
+    residuals = [samples[i] - samples[i - 1] for i in range(1, bs)]
+    fb.put(0, 2)                                   # 4-bit Rice params
+    fb.put(partition_order, 4)
+    pos = 0
+    for p in range(nparts):
+        n = (bs >> partition_order) - (1 if p == 0 else 0)
+        part = residuals[pos : pos + n]
+        pos += n
+        if escape_last and p == nparts - 1:
+            fb.put(15, 4)                          # escape
+            fb.put(17, 5)                          # raw 17-bit residuals
+            for r in part:
+                fb.put_signed(r, 17)
+            continue
+        # zigzag (inverse of the decoder's (v>>1) ^ -(v&1)), then pick the
+        # smallest Rice parameter whose mean quotient stays small
+        zig = [(r << 1) if r >= 0 else ((-r << 1) - 1) for r in part]
+        param = 0
+        while param < 14 and sum(z >> param for z in zig) > 4 * len(zig):
+            param += 1
+        fb.put(param, 4)
+        for z in zig:
+            fb.put(0, z >> param)                  # unary quotient: q zeros
+            fb.put(1, 1)                           # terminator
+            fb.put(z & ((1 << param) - 1), param)
+    fb.align()
+    frame = bytes(fb.out)
+    return bytes(out + frame + struct.pack(">H", crc16(frame)))
+
+
 # (name, rate, n_channels, mid_side, amplitudes[16]) FLACs — same exact
 # power-of-two amplitude scheme as WAV_SPECS
 FLAC_SPECS = [

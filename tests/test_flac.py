@@ -64,3 +64,24 @@ def test_flac_truncation_and_garbage_never_hang():
             pass
     with pytest.raises(ValueError):
         decode_flac(b"not a flac stream at all")
+
+
+def test_flac_rice_nonzero_residuals_roundtrip():
+    """Real Rice entropy: random-walk samples produce nonzero quotients
+    and remainders across two partitions; with escape_last the final
+    partition decodes through the raw-bits path.  Seeded determinism."""
+    import random
+
+    from pdf_extract_spark.sources.media_corpus import make_flac_rice
+
+    rng = random.Random(7)
+    for trial in range(6):
+        samples = [0]
+        for _ in range(63):
+            samples.append(max(-30000, min(30000, samples[-1] + rng.randint(-500, 500))))
+        for escape in (False, True):
+            payload = make_flac_rice(8000, samples, partition_order=1,
+                                     escape_last=escape)
+            rate, nch, got = decode_flac(payload)
+            assert rate == 8000 and nch == 1
+            assert got[:, 0].tolist() == samples, (trial, escape)
