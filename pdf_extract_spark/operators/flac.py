@@ -193,8 +193,10 @@ def _subframe(bits: _Bits, blocksize: int, bps: int) -> list[int]:
 
 
 def decode_flac(payload: bytes):
-    """FLAC bytes -> (sample_rate, n_channels, samples int32 ndarray of
-    shape (n_samples, n_channels))."""
+    """FLAC bytes -> (sample_rate, n_channels, bits_per_sample, samples
+    int32 ndarray of shape (n_samples, n_channels)).  bps is returned so
+    callers can normalize by the correct full-scale (2^(bps-1)) — the
+    decoder itself supports 8..32-bit streams."""
     if not payload.startswith(b"fLaC"):
         raise ValueError("not a FLAC stream")
     pos = 4
@@ -218,6 +220,8 @@ def decode_flac(payload: bytes):
             si_nch = b.read(3) + 1
             si_bps = b.read(5) + 1
             total_samples = b.read(36)
+            if total_samples == 0:
+                total_samples = None  # spec: 0 == unknown; decode to EOF
         pos += 4 + blen
     if si_rate is None:
         raise ValueError("missing STREAMINFO")
@@ -310,4 +314,4 @@ def decode_flac(payload: bytes):
     samples = np.array(channels_out, dtype=np.int64).T
     if total_samples:
         samples = samples[:total_samples]
-    return si_rate, si_nch, samples.astype(np.int32)
+    return si_rate, si_nch, si_bps, samples.astype(np.int32)

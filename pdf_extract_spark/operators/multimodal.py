@@ -223,8 +223,10 @@ def decode_audio_real(payload: bytes) -> tuple[int, int, list[float], str]:
     if payload.startswith(b"fLaC"):
         from .flac import decode_flac
 
-        rate, nch, samples = decode_flac(payload)
-        x = samples.astype(np.float64) / 32768.0
+        rate, nch, bps, samples = decode_flac(payload)
+        # normalize by the stream's own full-scale (24-bit masters would
+        # otherwise land ~256x outside [0,1])
+        x = samples.astype(np.float64) / float(1 << (bps - 1))
         x = x.mean(axis=1) if nch > 1 else x[:, 0]
         decoder = "flac"
     else:

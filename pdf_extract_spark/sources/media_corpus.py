@@ -164,10 +164,14 @@ def _huff_codes(counts: list[int], symbols: list[int]) -> dict[int, tuple[int, i
 
 
 class _BitWriter:
-    def __init__(self):
+    """MSB-first bit writer.  With `stuff` (the JPEG default), an 0xFF
+    output byte is followed by a stuffed 0x00; FLAC uses stuff=False."""
+
+    def __init__(self, stuff: bool = True):
         self.out = bytearray()
         self.acc = 0
         self.n = 0
+        self.stuff = stuff
 
     def put(self, value: int, nbits: int):
         for i in range(nbits - 1, -1, -1):
@@ -175,14 +179,21 @@ class _BitWriter:
             self.n += 1
             if self.n == 8:
                 self.out.append(self.acc)
-                if self.acc == 0xFF:
+                if self.stuff and self.acc == 0xFF:
                     self.out.append(0x00)  # byte stuffing
                 self.acc = 0
                 self.n = 0
 
+    def put_signed(self, value: int, nbits: int):
+        self.put(value & ((1 << nbits) - 1), nbits)
+
     def flush(self):
         if self.n:
             self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+
+    def align(self):
+        if self.n:
+            self.put(0, 8 - self.n)  # pad with 0s (FLAC inter-frame)
 
 
 def make_jpeg(block_vals: list[list[int]], color: bool = False,
@@ -654,29 +665,8 @@ def make_gif(w: int, h: int, bits: int = 2) -> bytes:
     return bytes(out)
 
 
-class _FlacBits:
-    """MSB-first bit writer (no byte stuffing — that's a JPEG-ism)."""
-
-    def __init__(self):
-        self.out = bytearray()
-        self.acc = 0
-        self.n = 0
-
-    def put(self, value: int, nbits: int):
-        for i in range(nbits - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((value >> i) & 1)
-            self.n += 1
-            if self.n == 8:
-                self.out.append(self.acc)
-                self.acc = 0
-                self.n = 0
-
-    def put_signed(self, value: int, nbits: int):
-        self.put(value & ((1 << nbits) - 1), nbits)
-
-    def align(self):
-        if self.n:
-            self.put(0, 8 - self.n)
+def _flac_bits() -> "_BitWriter":
+    return _BitWriter(stuff=False)
 
 
 def make_flac(rate: int, n_channels: int, amplitudes: list[int],
@@ -697,7 +687,7 @@ def make_flac(rate: int, n_channels: int, amplitudes: list[int],
     spw = samples_per_window
     total = len(amplitudes) * spw
 
-    si = _FlacBits()
+    si = _flac_bits()
     si.put(spw, 16)           # min blocksize
     si.put(spw, 16)           # max blocksize
     si.put(0, 24)             # min framesize unknown
@@ -712,7 +702,7 @@ def make_flac(rate: int, n_channels: int, amplitudes: list[int],
 
     for i, amp in enumerate(amplitudes):
         assert -32768 <= amp <= 32767 and i < 128
-        fb = _FlacBits()
+        fb = _flac_bits()
         fb.put(0b11111111111110, 14)
         fb.put(0, 1)              # reserved
         fb.put(0, 1)              # fixed blocking
@@ -785,14 +775,14 @@ def make_flac_rice(rate: int, samples: list[int], partition_order: int = 1,
     nparts = 1 << partition_order
     assert bs % nparts == 0 and bs // nparts > 1
 
-    si = _FlacBits()
+    si = _flac_bits()
     si.put(bs, 16); si.put(bs, 16)
     si.put(0, 24); si.put(0, 24)
     si.put(rate, 20); si.put(0, 3); si.put(15, 5)
     si.put(bs, 36); si.put(0, 128)
     out = bytearray(b"fLaC") + bytes([0x80, 0, 0, 34]) + bytes(si.out)
 
-    fb = _FlacBits()
+    fb = _flac_bits()
     fb.put(0b11111111111110, 14); fb.put(0, 1); fb.put(0, 1)
     fb.put(7, 4)              # 16-bit blocksize at header end
     fb.put(0, 4); fb.put(0, 4); fb.put(4, 3); fb.put(0, 1)

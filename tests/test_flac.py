@@ -13,8 +13,8 @@ from pdf_extract_spark.sources.media_corpus import FLAC_SPECS, make_flac
 
 @pytest.mark.parametrize("name,rate,nch,ms,amps", FLAC_SPECS)
 def test_flac_specs_decode_exactly(name, rate, nch, ms, amps):
-    r, c, samples = decode_flac(make_flac(rate, nch, amps, mid_side=ms))
-    assert (r, c) == (rate, nch)
+    r, c, bps, samples = decode_flac(make_flac(rate, nch, amps, mid_side=ms))
+    assert (r, c, bps) == (rate, nch, 16)
     assert samples.shape == (len(amps) * 64, nch)
     for i, amp in enumerate(amps):
         win = samples[i * 64 : (i + 1) * 64]
@@ -26,7 +26,7 @@ def test_flac_subframe_kinds_all_hit():
     decoder subframe path runs; negative amplitudes exercise sign
     extension through each."""
     amps = [100, -100, 3000, -3000] * 4
-    _, _, samples = decode_flac(make_flac(8000, 1, amps))
+    _, _, _, samples = decode_flac(make_flac(8000, 1, amps))
     for i, amp in enumerate(amps):
         assert (samples[i * 64 : (i + 1) * 64, 0] == amp).all(), i
 
@@ -58,10 +58,12 @@ def test_flac_truncation_and_garbage_never_hang():
     payload = make_flac(8000, 2, [0, 4096, -8192, 16384] * 4, mid_side=True)
     for cut in range(4, len(payload), 31):
         try:
-            _, _, samples = decode_flac(payload[:cut])
-            assert samples.shape[0] <= 16 * 64 and samples.shape[1] == 2
+            samples = decode_flac(payload[:cut])[3]
         except Exception:
-            pass
+            continue
+        # asserts OUTSIDE the try: a malformed-shape decode must fail the
+        # test, not be swallowed by the truncation except
+        assert samples.shape[0] <= 16 * 64 and samples.shape[1] == 2
     with pytest.raises(ValueError):
         decode_flac(b"not a flac stream at all")
 
@@ -82,6 +84,6 @@ def test_flac_rice_nonzero_residuals_roundtrip():
         for escape in (False, True):
             payload = make_flac_rice(8000, samples, partition_order=1,
                                      escape_last=escape)
-            rate, nch, got = decode_flac(payload)
+            rate, nch, _bps, got = decode_flac(payload)
             assert rate == 8000 and nch == 1
             assert got[:, 0].tolist() == samples, (trial, escape)
