@@ -623,3 +623,73 @@ def test_span_dedup_stats_apply_consistency(spark):
             # the copy (higher doc_id) loses its spans, the keeper doesn't
             assert applied[0]["clean_text"] == norm[0]
             assert applied[12]["n_tokens_removed"] > 0
+
+
+def test_corpus_ops_match_pure_python_reference(spark):
+    """Seeded random corpora vs from-scratch pure-Python reference
+    implementations (Counter/set/dict based — no Spark, no SQL): catches
+    HOF/groupBy/join mistakes the crafted-doc tests are too small to hit."""
+    import random
+    from collections import Counter
+
+    from pdf_extract_spark.functions.text import (
+        decontaminate,
+        hash_bucket,
+        repetition_signals,
+        span_dedup_stats,
+    )
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(9)]
+    rows = []
+    for d in range(40):
+        n = rng.randint(0, 50)
+        rows.append((d, " ".join(rng.choice(vocab) for _ in range(n))))
+    rows.append((40, rows[3][1]))     # exact copy
+    rows.append((41, ""))             # empty text
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = {d: t.lower().split() for d, t in rows}
+
+    def grams(ts, n):
+        return [" ".join(ts[i:i + n]) for i in range(len(ts) - n + 1)]
+
+    # --- repetition_signals vs Counter reference
+    got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    for d, ts in toks.items():
+        bg, tg = Counter(grams(ts, 2)), Counter(grams(ts, 3))
+        assert got[d]["n_bigrams"] == sum(bg.values()), d
+        assert got[d]["top_bigram_cnt"] == (max(bg.values()) if bg else 0), d
+        assert got[d]["dup_trigram_cnt"] == sum(c for c in tg.values() if c > 1), d
+
+    # --- span_dedup_stats vs dict reference (keeper = min (doc, pos))
+    occ: dict[str, list] = {}
+    for d in sorted(toks):
+        for p, g in enumerate(grams(toks[d], 13)):
+            occ.setdefault(g, []).append((d, p))
+    exp_dups = Counter()
+    for g, places in occ.items():
+        if len(places) > 1:
+            for place in sorted(places)[1:]:
+                exp_dups[place[0]] += 1
+    got = {r["doc_id"]: r for r in span_dedup_stats(df).collect()}
+    for d, ts in toks.items():
+        assert got[d]["n_spans"] == len(grams(ts, 13)), d
+        assert got[d]["n_dup_spans"] == exp_dups[d], d
+
+    # --- decontaminate vs set reference (same md5 bucketing)
+    bk = {
+        r["doc_id"]: r["bk"]
+        for r in df.select("doc_id", hash_bucket(F.col("doc_id")).alias("bk")).collect()
+    }
+    eval_grams = set()
+    for d, ts in toks.items():
+        if bk[d] < 3:
+            eval_grams |= set(grams(ts, 8))
+    got = {r["doc_id"]: r for r in decontaminate(df).collect()}
+    for d, ts in toks.items():
+        if bk[d] < 3:
+            assert d not in got
+            continue
+        gs = set(grams(ts, 8))
+        assert got[d]["n_grams"] == len(gs), d
+        assert got[d]["n_hits"] == len(gs & eval_grams), d
