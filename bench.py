@@ -162,6 +162,17 @@ def main() -> None:
     html_spans_per_sec = round((hagg[0] or 0) / hdt, 1)
     html_raw.unpersist()
 
+    # composed corpus pipeline (quality -> exact -> near-dup CC ->
+    # decontaminate), timed end-to-end as a MACRO metric: it re-runs work
+    # the per-operator entries already measure, so it is reported beside
+    # the headline total rather than inside it
+    t0 = time.perf_counter()
+    funnel = {
+        r["stage"]: r["n_docs"]
+        for r in QUERIES["corpus_funnel"](spark, sf_dir).collect()
+    }
+    corpus_pipeline_sec = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -179,6 +190,8 @@ def main() -> None:
                 "html_spans_per_sec": html_spans_per_sec,
                 "extract_samples_sec": extract_samples,
                 "html_samples_sec": html_samples,
+                "corpus_pipeline_sec": corpus_pipeline_sec,
+                "corpus_funnel": funnel,
                 "spin_control_sec": {"start": spin_start, "end": _spin_control()},
                 "cpus": cpus,
             }

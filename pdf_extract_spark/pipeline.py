@@ -118,7 +118,10 @@ def corpus_pipeline(
     quality = quality_stage(docs, text_col, min_stopwords=min_stopwords).cache()
     stages["quality"] = quality
 
-    exact = exact_dedup_stage(quality, text_col)
+    # cache: consumed by the near-dup candidate generation, the near
+    # anti-join, and the funnel count (MEMORY_AND_DISK — spills at corpus
+    # scale rather than failing)
+    exact = exact_dedup_stage(quality, text_col).cache()
     stages["exact_dedup"] = exact
 
     # cache: the near-dup survivors feed decontamination, the final mix,

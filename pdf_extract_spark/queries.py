@@ -628,6 +628,147 @@ ORDER BY doc_id
 """
 
 
+def corpus_funnel(spark, sf_dir):
+    """The COMPOSED corpus-construction pipeline (pipeline.py) as one
+    oracled query: per-stage surviving-document counts for quality ->
+    exact dedup -> near-dup clusters -> decontamination.  min_stopwords=1
+    matches this corpus' register (the synthetic vocabulary carries only
+    'the' from the Gopher list); no quota/sampling so the funnel is
+    deterministic end-to-end."""
+    import functools
+
+    from pyspark.sql import DataFrame
+
+    from .pipeline import corpus_pipeline
+
+    stages = corpus_pipeline(
+        load(spark, sf_dir, "documents"), min_stopwords=1
+    )
+    parts = [
+        df.agg(F.count("*").cast("long").alias("n_docs")).select(
+            F.lit(i).cast("int").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+        )
+        for i, (name, df) in enumerate(stages.items())
+    ]
+    return functools.reduce(DataFrame.unionByName, parts).orderBy("stage_idx")
+
+
+# The full pipeline, independently re-implemented in DuckDB SQL: Gopher +
+# repetition quality rules -> fingerprint exact dedup -> minhash-LSH pairs
+# chased by a recursive-CTE connected components -> 8-gram benchmark
+# decontamination over the near-dup survivors.  Every stage mirrors the
+# operator SQL used by its standalone oracle, re-chained over the previous
+# stage's survivors.
+CORPUS_FUNNEL_SQL = r"""
+WITH RECURSIVE base AS (
+  SELECT d.doc_id, d.text, regexp_split_to_array(trim(lower(text)), '\s+') AS lts,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents d
+), gq AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CAST(floor(list_sum(list_transform(toks, t -> length(t))) * 100.0
+                / greatest(len(toks), 1)) AS BIGINT) AS mlen,
+           len(list_filter(toks, t -> regexp_matches(t, '[^A-Za-z0-9]'))) AS n_sym,
+           len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha,
+           len(list_distinct(list_filter(lts, t -> list_contains(
+               ['the','be','to','of','and','that','have','with'], t)))) AS n_stop
+    FROM base
+  ) WHERE n_words BETWEEN 20 AND 100000 AND mlen BETWEEN 300 AND 1000
+      AND n_sym * 5 < n_words AND n_stop >= 1 AND n_alpha * 10 >= n_words * 7
+), rep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           CAST(len(bg) AS BIGINT) AS n_bg,
+           CAST(coalesce(list_max(list_transform(list_distinct(bg),
+                x -> len(list_filter(bg, y -> y = x)))), 0) AS BIGINT) AS top_bg,
+           CAST(len(tg) AS BIGINT) AS n_tg,
+           CAST(len(tg) - len(list_filter(list_distinct(tg),
+                x -> len(list_filter(tg, y -> y = x)) = 1)) AS BIGINT) AS dup_tg
+    FROM (SELECT doc_id,
+                 list_transform(range(1, greatest(len(lts) - 1, 0) + 1),
+                                i -> lts[i] || ' ' || lts[i+1]) AS bg,
+                 list_transform(range(1, greatest(len(lts) - 2, 0) + 1),
+                                i -> lts[i] || ' ' || lts[i+1] || ' ' || lts[i+2]) AS tg
+          FROM base)
+  ) WHERE top_bg * 100 <= n_bg * 20 AND dup_tg * 100 <= n_tg * 30
+), quality AS (
+  SELECT b.* FROM base b
+  JOIN gq USING (doc_id) JOIN rep USING (doc_id)
+), exact AS (
+  SELECT q.* FROM quality q
+  JOIN (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+               min(doc_id) AS doc_id
+        FROM quality GROUP BY 1) c USING (doc_id)
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(lts) - 2, 0) + 1),
+                                      i -> array_to_string(lts[i:i+2], ' '))) AS shingles
+  FROM exact
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 8),
+             j -> list_min(list_transform(shingles,
+                  x -> substr(md5(CAST(j // 4 AS VARCHAR) || ':' || x),
+                              CAST((j % 4) * 8 + 1 AS INTEGER), 8)))) AS sig
+  FROM sh
+  WHERE len(shingles) > 0
+), bands AS (
+  SELECT doc_id, b, md5(array_to_string(sig[b*2+1 : b*2+2], '|')) AS bucket
+  FROM sig, unnest(range(0, 4)) AS t(b)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b2 ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(node, root) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) v
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+), comp AS (
+  SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
+), canon AS (
+  SELECT cluster_id, min(doc_id) AS doc_id FROM comp GROUP BY cluster_id
+), near AS (
+  SELECT e.* FROM exact e
+  WHERE e.doc_id NOT IN (
+    SELECT c.doc_id FROM comp c
+    LEFT JOIN canon k ON k.cluster_id = c.cluster_id AND k.doc_id = c.doc_id
+    WHERE k.doc_id IS NULL
+  )
+), dgrams AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 AS bk,
+         list_distinct(list_transform(range(1, greatest(len(lts) - 7, 0) + 1),
+                       i -> array_to_string(lts[i:i+7], ' '))) AS gs
+  FROM near
+), ev AS (
+  SELECT DISTINCT md5(g) AS h FROM dgrams, unnest(gs) AS t(g) WHERE bk < 3
+), clean AS (
+  SELECT d.doc_id FROM dgrams d
+  WHERE d.bk >= 3 AND NOT EXISTS (
+    SELECT 1 FROM unnest(d.gs) AS t(g) JOIN ev ON ev.h = md5(g)
+  )
+)
+SELECT * FROM (
+  SELECT 0 AS stage_idx, 'ingested' AS stage,
+         CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs
+  UNION ALL SELECT 1, 'quality', CAST((SELECT count(*) FROM quality) AS BIGINT)
+  UNION ALL SELECT 2, 'exact_dedup', CAST((SELECT count(*) FROM exact) AS BIGINT)
+  UNION ALL SELECT 3, 'near_dedup', CAST((SELECT count(*) FROM near) AS BIGINT)
+  UNION ALL SELECT 4, 'decontaminated', CAST((SELECT count(*) FROM clean) AS BIGINT)
+  UNION ALL SELECT 5, 'final', CAST((SELECT count(*) FROM clean) AS BIGINT)
+)
+ORDER BY stage_idx
+"""
+
+
 CORPUS_SUMMARY_SQL = r"""
 SELECT lang, source,
        count(*) AS n_docs,
@@ -1610,6 +1751,7 @@ QUERIES = {
     "doc_span_dedup": doc_span_dedup,
     "doc_span_dedup_apply": doc_span_dedup_apply,
     "doc_decontaminate": doc_decontaminate,
+    "corpus_funnel": corpus_funnel,
     "dedup_exact": dedup_exact_q,
     "minhash_lsh_candidates": minhash_lsh_q,
     "dedup_clusters": dedup_clusters_q,
@@ -1654,6 +1796,7 @@ ORACLES = {
     "doc_span_dedup": DOC_SPAN_DEDUP_SQL,
     "doc_span_dedup_apply": DOC_SPAN_DEDUP_APPLY_SQL,
     "doc_decontaminate": DOC_DECONTAMINATE_SQL,
+    "corpus_funnel": CORPUS_FUNNEL_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "minhash_lsh_candidates": MINHASH_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
