@@ -131,9 +131,12 @@ def corpus_pipeline(
     stages["near_dedup"] = near
 
     verdicts = decontaminate(near, text_col, eval_pct=eval_pct)
+    # cache: counted for the funnel AND re-read by the quota/sample stage
+    # and the final sink — the gram explode + semi-join is the pipeline's
+    # second-most-expensive recompute
     clean = near.join(
         verdicts.filter(~F.col("contaminated")).select("doc_id"), "doc_id", "left_semi"
-    )
+    ).cache()
     stages["decontaminated"] = clean
 
     mixed = clean
