@@ -772,8 +772,8 @@ ORDER BY stage_idx
 CORPUS_SUMMARY_SQL = r"""
 SELECT lang, source,
        count(*) AS n_docs,
-       sum(length(text)) AS total_chars,
-       sum(len(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
        min(len(regexp_split_to_array(trim(text), '\s+'))) AS min_tokens,
        max(len(regexp_split_to_array(trim(text), '\s+'))) AS max_tokens
 FROM documents

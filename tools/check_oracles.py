@@ -67,9 +67,18 @@ def main():
         if name not in ORACLES:
             print(f"{name:28s} rows-only: {len(srows)} rows, cols={scols}")
             continue
-        drel = con.execute(ORACLES[name])
-        dcols = [d[0] for d in drel.description]
-        drows = [tuple(r) for r in drel.fetchall()]
+        # Fetch via pandas (.df()) exactly like the driver's canonicalizer:
+        # fetchall() returns Python ints even for HUGEINT, which hid a
+        # sum(BIGINT)->HUGEINT->float64 hash mismatch in round 4.  Going
+        # through pandas makes local OK imply driver OK for that class.
+        import numpy as np
+
+        ddf = con.execute(ORACLES[name]).df()
+        dcols = list(ddf.columns)
+        drows = [
+            tuple(v.item() if isinstance(v, np.generic) else v for v in row)
+            for row in ddf.itertuples(index=False, name=None)
+        ]
         problems = []
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={scols} duck={dcols}")
