@@ -390,23 +390,40 @@ def stratified_sample(docs: DataFrame, rates: dict[str, int],
 
 
 def source_quota_cap(docs: DataFrame, cap: int, key_col: str = "source",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id", buckets: int = 32) -> DataFrame:
     """Per-source document quota: keep at most `cap` docs per source,
     chosen by deterministic hash priority (NOT first-seen order, which
     depends on scan parallelism).  Standard anti-domination step for web
-    corpora — one window over the source partitioning; at 100 TB the
-    hash-priority rank also makes the retained set stable under
-    re-partitioning and resumable re-runs."""
+    corpora; the hash-priority rank makes the retained set stable under
+    re-partitioning and resumable re-runs.
+
+    Skew-safe two-phase rank.  Web corpora are exactly the skewed case —
+    one source is routinely >50% of the corpus, so a single
+    ``Window.partitionBy(source)`` would push a 50 TB stratum through one
+    task.  Phase 1 salts the window key with a deterministic md5 bucket of
+    the doc id, ranks within ``(source, bucket)`` and keeps at most `cap`
+    per bucket — every task sees at most ~1/buckets of any source.  Phase 2
+    ranks the ≤ buckets×cap survivors per source exactly.  Identical
+    output: any doc in a source's true top-`cap` is also in its bucket's
+    top-`cap` (ranking over a subset can only rank it better), so phase 1
+    never drops a keeper, and phase 2 is the exact order over a superset
+    of the answer.  Phase 2's per-source input is bounded by buckets×cap
+    regardless of corpus size."""
     # md5 priority, id tiebreak: total order, engine-portable
-    w = F.row_number().over(
-        Window.partitionBy(key_col).orderBy(
-            F.md5(F.col(id_col).cast("string")), F.col(id_col)
-        )
+    prio = F.md5(F.col(id_col).cast("string"))
+    w1 = F.row_number().over(
+        Window.partitionBy(key_col, "__qb").orderBy(prio, F.col(id_col))
+    )
+    w2 = F.row_number().over(
+        Window.partitionBy(key_col).orderBy(prio, F.col(id_col))
     )
     return (
-        docs.withColumn("__rk", w)
+        docs.withColumn("__qb", hash_bucket(F.col(id_col), buckets))
+        .withColumn("__rk", w1)
         .filter(F.col("__rk") <= cap)
-        .drop("__rk")
+        .withColumn("__rk", w2)
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk", "__qb")
     )
 
 

@@ -120,6 +120,26 @@ def test_source_quota_partition_invariant(spark):
     assert a == b and len(a) > 0
 
 
+def test_source_quota_window_is_salted(spark):
+    """The first (full-corpus) window of source_quota_cap must partition on
+    (source, bucket) — never on source alone — so a source holding half the
+    corpus can't flow through a single task.  The exact per-source window
+    may only run over the phase-1 survivors (≤ buckets×cap per source)."""
+    from pdf_extract_spark.functions.text import source_quota_cap
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    txt = plan_of(source_quota_cap(docs, 12))
+    assert len(re.findall(r"\bWindow \[", txt)) == 2, txt[:2000]
+    # scan-adjacent exchange (the one feeding the first window) carries the salt
+    m = re.findall(r"hashpartitioning\(([^)]*)\)", txt)
+    assert m, txt[:2000]
+    inner = m[-1]  # plan prints top-down: last hashpartitioning is nearest the scan
+    assert "__qb" in inner and "source" in inner, txt[:2000]
+    # the unsalted source-only exchange exists exactly once (phase 2)
+    unsalted = [g for g in m if "source" in g and "__qb" not in g]
+    assert len(unsalted) == 1, m
+
+
 def test_winnow_is_single_arrow_pass(spark):
     """Winnowing must run inside one mapInArrow stage: no posexplode of
     character positions, no window exchange over (doc_id, pos)."""
