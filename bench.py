@@ -172,6 +172,9 @@ def main() -> None:
         for r in QUERIES["corpus_funnel"](spark, sf_dir).collect()
     }
     corpus_pipeline_sec = round(time.perf_counter() - t0, 3)
+    # the pipeline query caches its stage frames internally; drop them so
+    # the macro metric leaves no cached partitions behind
+    spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -42,7 +42,7 @@ def main(argv=None) -> None:
 
     from pyspark.sql import SparkSession
 
-    from pdf_extract_spark.pipeline import corpus_pipeline, funnel_report
+    from pdf_extract_spark.pipeline import corpus_pipeline, funnel_report, release_stages
 
     spark = SparkSession.builder.appName("pdf_extract_spark.corpus").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -64,6 +64,8 @@ def main(argv=None) -> None:
         [(args.run_id, i, name, n) for i, (name, n) in enumerate(funnel)],
         "run_id string, stage_idx int, stage string, n_docs long",
     ).coalesce(1).write.mode("append").parquet(f"{args.output}/funnel")
+
+    release_stages(stages)
 
     for name, n in funnel:
         print(f"{name}: {n}")

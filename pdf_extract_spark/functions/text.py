@@ -91,6 +91,40 @@ def fingerprint(col) -> Column:
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
+def _gopher_rules(text_col: str, min_words: int, max_words: int,
+                  min_stopwords: int):
+    """The five Gopher rule columns (plus the word count) as pure codegen
+    expressions — shared by gopher_quality_flags (which reports them) and
+    gopher_keep_expr (which conjoins them into a scan-side predicate)."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    ltoks = tokens(F.lower(c))
+    n = F.size(toks)
+    mean_len_x100 = avg_token_len_x100(c)
+    n_symbol = F.size(F.filter(toks, lambda t: t.rlike("[^A-Za-z0-9]")))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    n_stop = F.size(
+        F.array_distinct(F.filter(ltoks, lambda t: t.isin(GOPHER_STOPWORDS)))
+    )
+    rule_words = (n >= min_words) & (n <= max_words)
+    rule_mean_len = (mean_len_x100 >= 300) & (mean_len_x100 <= 1000)
+    rule_symbols = n_symbol * 5 < n  # < 20%
+    rule_stop = n_stop >= min_stopwords
+    rule_alpha = n_alpha * 10 >= n * 7  # >= 70%
+    return rule_words, rule_mean_len, rule_symbols, rule_stop, rule_alpha, n
+
+
+def gopher_keep_expr(text_col: str = "text", min_words: int = 20,
+                     max_words: int = 100_000, min_stopwords: int = 2) -> Column:
+    """The Gopher keep verdict as a single boolean expression, for use as
+    a narrow filter directly on the corpus scan (no flag frame, no join):
+    the shape a pipeline wants when it only needs the verdict."""
+    rw, rm, rs, rst, ra, _ = _gopher_rules(
+        text_col, min_words, max_words, min_stopwords
+    )
+    return rw & rm & rs & rst & ra
+
+
 def gopher_quality_flags(docs: DataFrame, text_col: str = "text",
                          min_words: int = 20, max_words: int = 100_000,
                          min_stopwords: int = 2) -> DataFrame:
@@ -109,21 +143,9 @@ def gopher_quality_flags(docs: DataFrame, text_col: str = "text",
     conjunction `keep` — keep the flags, not just the verdict, so a 100 TB
     run can report WHY documents were dropped (the rule histogram is the
     standard pipeline health metric)."""
-    c = F.col(text_col)
-    toks = tokens(c)
-    ltoks = tokens(F.lower(c))
-    n = F.size(toks)
-    mean_len_x100 = avg_token_len_x100(c)
-    n_symbol = F.size(F.filter(toks, lambda t: t.rlike("[^A-Za-z0-9]")))
-    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
-    n_stop = F.size(
-        F.array_distinct(F.filter(ltoks, lambda t: t.isin(GOPHER_STOPWORDS)))
+    rule_words, rule_mean_len, rule_symbols, rule_stop, rule_alpha, n = (
+        _gopher_rules(text_col, min_words, max_words, min_stopwords)
     )
-    rule_words = (n >= min_words) & (n <= max_words)
-    rule_mean_len = (mean_len_x100 >= 300) & (mean_len_x100 <= 1000)
-    rule_symbols = n_symbol * 5 < n  # < 20%
-    rule_stop = n_stop >= min_stopwords
-    rule_alpha = n_alpha * 10 >= n * 7  # >= 70%
     return docs.select(
         "doc_id",
         n.cast("long").alias("n_words"),

@@ -104,18 +104,32 @@ def connected_components(
             best = F.least(best, F.coalesce("grand", "label"))
         # one materialized frame carries both the new label and a `moved`
         # flag, so convergence costs a block-scan filter, not a second join
-        new_labels = cut(
-            cand.select(
-                "id",
-                best.alias("new_label"),
-                (best < F.col("label")).alias("moved"),
-            )
+        new_plan = cand.select(
+            "id",
+            best.alias("new_label"),
+            (best < F.col("label")).alias("moved"),
         )
+        if reliable:
+            # reliable checkpoint() is eager (internal action + FS write
+            # job); the fixpoint probe is a cheap extra scan of the
+            # checkpoint blocks — two bounded jobs per round, amortized at
+            # cluster scale.  Round 0 always moves on any edged graph, so
+            # its probe is skipped.
+            new_labels = cut(new_plan)
+            n_moved = (
+                1 if round_no == 0
+                else new_labels.filter("moved").limit(1).count()
+            )
+        else:
+            # local fast path: LAZY localCheckpoint, then ONE count action
+            # that simultaneously materializes every checkpoint block AND
+            # answers the fixpoint probe — halves the per-round job count,
+            # which is the dominant cost of the loop at small SF (fixed
+            # job-scheduling overhead x rounds)
+            new_labels = new_plan.localCheckpoint(eager=False)
+            n_moved = new_labels.filter("moved").count()
         labels = new_labels.select("id", F.col("new_label").alias("label"))
-        # skip the convergence probe on round 0: any graph with at least
-        # one edge moves there, so the probe job is pure scheduling
-        # overhead (an edgeless input merely converges one round later)
-        if round_no > 0 and new_labels.filter("moved").limit(1).count() == 0:
+        if n_moved == 0:
             converged = True
             break
     if not converged and new_labels is not None:

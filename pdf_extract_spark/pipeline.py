@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from .functions.text import (
     decontaminate,
     fingerprint,
-    gopher_quality_flags,
+    gopher_keep_expr,
     repetition_signals,
     source_quota_cap,
     stratified_sample,
@@ -41,19 +41,19 @@ from .operators.graph import connected_components
 
 def quality_stage(docs: DataFrame, text_col: str = "text",
                   min_stopwords: int = 2) -> DataFrame:
-    """Gopher rule-chain + repetition filter.  The Gopher rules join back
-    on doc_id (broadcast at report scale, shuffle at corpus scale); the
-    repetition signals need their own explode+agg pass, so this stage
-    costs two gram shuffles — still the cheapest wide stage, and it runs
-    first to shrink everything downstream.  `min_stopwords` tunes the
+    """Gopher rule-chain + repetition filter.  The Gopher verdict is a
+    pure codegen predicate applied as a narrow scan-side filter (no flag
+    frame, no join), so the repetition signals' gram explodes — the
+    stage's only wide work — run over Gopher survivors, not the raw
+    corpus.  Repetition verdicts are per-doc (duplicate-gram fractions
+    within the doc), so pre-filtering the input cannot change any
+    surviving doc's verdict.  Total stage cost: one gram shuffle pair plus
+    one semi-join to restore doc rows.  `min_stopwords` tunes the
     English-stopword rule for corpora whose register lacks function words
     (e.g. code/log corpora)."""
-    keep_q = (
-        gopher_quality_flags(docs, text_col, min_stopwords=min_stopwords)
-        .filter("keep").select("doc_id")
-    )
-    keep_r = repetition_signals(docs, text_col).filter("keep").select("doc_id")
-    return docs.join(keep_q, "doc_id", "left_semi").join(keep_r, "doc_id", "left_semi")
+    gq = docs.filter(gopher_keep_expr(text_col, min_stopwords=min_stopwords))
+    keep_r = repetition_signals(gq, text_col).filter("keep").select("doc_id")
+    return gq.join(keep_r, "doc_id", "left_semi")
 
 
 def exact_dedup_stage(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -151,7 +151,35 @@ def corpus_pipeline(
 
 
 def funnel_report(stages: dict[str, DataFrame]) -> list[tuple[str, int]]:
-    """Count every stage frame (ordered).  Costs one cached-spine scan per
-    stage — the per-run health table a 100 TB pipeline publishes so drops
-    are attributable to a stage, not discovered at training time."""
-    return [(name, df.count()) for name, df in stages.items()]
+    """Count every stage frame in ONE Spark job: the per-stage counts are
+    unioned as tagged single-row aggregates and collected together, so the
+    funnel costs one action (scanning each cached spine once) instead of
+    one job per stage — the per-run health table a 100 TB pipeline
+    publishes so drops are attributable to a stage, not discovered at
+    training time."""
+    import functools
+
+    parts = [
+        df.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).select(
+            F.lit(i).cast("int").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+        )
+        for i, (name, df) in enumerate(stages.items())
+    ]
+    rows = (
+        functools.reduce(DataFrame.unionByName, parts)
+        .orderBy("stage_idx")
+        .collect()
+    )
+    return [(r["stage"], r["n_docs"]) for r in rows]
+
+
+def release_stages(stages: dict[str, DataFrame]) -> None:
+    """Unpersist every stage frame corpus_pipeline cached.  Call when the
+    funnel has been reported and `final` written: a long-lived session
+    (oracle/bench harnesses, notebooks) otherwise accumulates cached
+    partitions across pipeline invocations until LRU eviction."""
+    for df in stages.values():
+        if df.is_cached:
+            df.unpersist()
