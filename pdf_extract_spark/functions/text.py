@@ -343,31 +343,50 @@ def span_dedup_apply(docs: DataFrame, text_col: str = "text",
 
 
 def decontaminate(docs: DataFrame, text_col: str = "text", n: int = 8,
-                  eval_pct: int = 3) -> DataFrame:
+                  eval_pct: int = 3,
+                  eval_docs: DataFrame | None = None) -> DataFrame:
     """Benchmark decontamination (GPT-3 appendix C / PaLM-style n-gram
     overlap): flag training documents sharing any word `n`-gram with a
-    held-out evaluation set.  The eval set here is the deterministic
-    md5-bucket slice `hash_bucket(doc_id) < eval_pct` — in production it
-    is the benchmark corpus itself, which is small (MBs), hence the
-    broadcast below is the real plan, not a test shortcut.
+    held-out evaluation set.
 
-    Scale shape: eval grams -> distinct md5 keys -> broadcast; training
-    grams explode -> broadcast LEFT SEMI join -> per-doc hit count; gram
-    totals come from the array length (no second shuffle).  One explode
-    shuffle total, and the contamination verdict never moves the corpus."""
+    Two ways to name the eval set:
+      * `eval_docs` — an EXTERNAL benchmark corpus (any frame with a
+        `text_col` column).  This is the production call: the benchmark
+        corpus is small (MBs), so broadcasting its distinct gram hashes is
+        the real plan, not a test shortcut.  Every doc in `docs` is then a
+        training doc and gets a verdict.
+      * otherwise the deterministic md5-bucket slice
+        `hash_bucket(doc_id) < eval_pct` of `docs` itself plays the
+        benchmark (self-contained mode for tests/oracles); the slice is
+        excluded from the verdicts.
+
+    Scale shape (identical either way): eval grams -> distinct md5 keys ->
+    broadcast; training grams explode -> broadcast LEFT SEMI join ->
+    per-doc hit count; gram totals come from the array length (no second
+    shuffle).  One explode shuffle total, and the contamination verdict
+    never moves the corpus."""
+    def grams_of(frame: DataFrame) -> Column:
+        return F.array_distinct(
+            gram_array(tokens(F.lower(F.col(text_col))), n)
+        )
+
     bucket = hash_bucket(F.col("doc_id"))
     base = docs.select(
         "doc_id",
         bucket.alias("bk"),
-        F.array_distinct(gram_array(tokens(F.lower(F.col(text_col))), n)).alias("gs"),
+        grams_of(docs).alias("gs"),
     )
-    eval_grams = (
-        base.filter(F.col("bk") < eval_pct)
-        .select(F.explode("gs").alias("g"))
-        .select(F.md5(F.encode("g", "utf-8")).alias("h"))
-        .distinct()
-    )
-    train = base.filter(F.col("bk") >= eval_pct)
+    if eval_docs is not None:
+        eval_gram_src = eval_docs.select(F.explode(grams_of(eval_docs)).alias("g"))
+        train = base
+    else:
+        eval_gram_src = base.filter(F.col("bk") < eval_pct).select(
+            F.explode("gs").alias("g")
+        )
+        train = base.filter(F.col("bk") >= eval_pct)
+    eval_grams = eval_gram_src.select(
+        F.md5(F.encode("g", "utf-8")).alias("h")
+    ).distinct()
     train_grams = train.select(
         "doc_id", F.explode("gs").alias("g")
     ).select("doc_id", F.md5(F.encode("g", "utf-8")).alias("h"))

@@ -568,6 +568,23 @@ def test_decontaminate(spark):
     assert rows[tr1]["contaminated"] is True and rows[tr1]["n_hits"] == 1
     assert rows[tr2]["contaminated"] is False and rows[tr2]["n_hits"] == 0
 
+    # external-benchmark form: passing the eval slice as its own frame must
+    # yield verdicts identical to the equivalent internal md5 slice, and
+    # score EVERY doc in the training frame
+    train_docs = docs.filter(F.col("doc_id") != ev)
+    eval_frame = docs.filter(F.col("doc_id") == ev).select("text")
+    ext = {
+        r["doc_id"]: r
+        for r in decontaminate(train_docs, eval_docs=eval_frame).collect()
+    }
+    assert set(ext) == {tr1, tr2}
+    for i in (tr1, tr2):
+        assert (
+            ext[i]["contaminated"] == rows[i]["contaminated"]
+            and ext[i]["n_hits"] == rows[i]["n_hits"]
+            and ext[i]["n_grams"] == rows[i]["n_grams"]
+        )
+
 
 def test_span_dedup_apply_rewrites_text(spark):
     """Non-keeper duplicate spans are cut from the text; the keeper and
