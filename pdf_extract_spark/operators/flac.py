@@ -235,6 +235,11 @@ def decode_flac(payload: bytes):
         frame_start_byte = bits.pos >> 3
         sync = bits.read(14)
         if sync != 0b11111111111110:
+            if total_samples is None and got:
+                # unknown-length stream with at least one decoded frame:
+                # trailing non-frame bytes (padding, tags) end the stream
+                # rather than discarding an otherwise fully decoded signal
+                break
             raise ValueError("lost frame sync")
         if bits.read(1):
             raise ValueError("reserved sync bit set")

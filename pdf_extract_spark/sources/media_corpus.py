@@ -822,6 +822,202 @@ def make_flac_rice(rate: int, samples: list[int], partition_order: int = 1,
     return bytes(out + frame + struct.pack(">H", crc16(frame)))
 
 
+_FLAC_SS_CODE = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}
+_FLAC_FIXED_COEFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+def _flac_utf8_number(fb: "_BitWriter", v: int) -> None:
+    """FLAC's UTF-8-style coded frame number (encoder side of the
+    decoder's _utf8_number)."""
+    if v < 0x80:
+        fb.put(v, 8)
+        return
+    # shortest multi-byte form: n_more continuation bytes carry 6 bits
+    # each, the lead byte 6 - n_more
+    n_more = 1
+    while v >= (1 << ((6 - n_more) + 6 * n_more)):
+        n_more += 1
+    lead = ((0xFF << (7 - n_more)) & 0xFF) | (v >> (6 * n_more))
+    fb.put(lead, 8)
+    for i in range(n_more - 1, -1, -1):
+        fb.put(0x80 | ((v >> (6 * i)) & 0x3F), 8)
+
+
+def _trailing_zeros_common(vals: list[int], cap: int) -> int:
+    w = cap
+    for v in vals:
+        if v == 0:
+            continue
+        w = min(w, (v & -v).bit_length() - 1)
+        if w == 0:
+            break
+    return w
+
+
+def make_flac_stream(rate: int, channels: list[list[int]], bps: int = 16,
+                     block_size: int = 64, order: int = 1,
+                     partition_order: int = 0, rice2: bool = False,
+                     escape_parts: frozenset[int] | set[int] = frozenset(),
+                     wasted: int = 0, stereo_mode: str = "independent",
+                     known_total: bool = True,
+                     trailing: bytes = b"") -> bytes:
+    """General from-scratch FLAC encoder over ARBITRARY sample sequences —
+    the property-test counterpart of make_flac/make_flac_rice's hand-built
+    fixtures.  Every knob maps to a spec feature the decoder must undo
+    bit-exactly, so the expectation is always just `channels` verbatim:
+
+      * `order`: FIXED predictor order 0-4 (residual = spec prediction
+        equation applied to the true samples); blocks too short for the
+        order fall back to VERBATIM
+      * `partition_order`: Rice partitioning (auto-lowered per frame until
+        it divides the blocksize and leaves the first partition nonempty)
+      * `rice2`: residual method 1 (5-bit Rice parameters)
+      * `escape_parts`: partition indices written as raw-escape (5-bit
+        width + verbatim residuals) instead of Rice codes
+      * `wasted`: shift each subframe signal right by up to this many
+        common trailing zero bits and record them as wasted bits
+      * `stereo_mode`: independent / left_side / right_side / mid_side
+        channel decorrelation (side channel carries bps+1 bits)
+      * `bps`: 8/12/16/20/24/32-bit samples (frame header sample-size code)
+      * `known_total` False writes STREAMINFO total_samples = 0 (unknown;
+        decoder must run to EOF), and `trailing` appends non-frame bytes
+        (padding/tags) after the last frame
+
+    Frames use the 16-bit end-of-header blocksize form so any block size
+    round-trips; CRC-8/CRC-16 are computed for real."""
+    from ..operators.flac import crc8, crc16
+
+    nch = len(channels)
+    assert 1 <= nch <= 2
+    assert bps in _FLAC_SS_CODE
+    total = len(channels[0])
+    assert all(len(c) == total for c in channels)
+    lim = 1 << (bps - 1)
+    assert all(-lim <= v < lim for c in channels for v in c)
+    if stereo_mode != "independent":
+        assert nch == 2
+
+    si = _flac_bits()
+    si.put(16, 16)            # min blocksize (informational)
+    si.put(max(block_size, 16), 16)
+    si.put(0, 24); si.put(0, 24)
+    si.put(rate, 20)
+    si.put(nch - 1, 3)
+    si.put(bps - 1, 5)
+    si.put(total if known_total else 0, 36)
+    si.put(0, 128)
+    out = bytearray(b"fLaC") + bytes([0x80, 0, 0, 34]) + bytes(si.out)
+
+    method = 1 if rice2 else 0
+    param_bits = 5 if method else 4
+    escape = (1 << param_bits) - 1
+
+    def write_subframe(fb: "_BitWriter", sig: list[int], sub_bps: int):
+        bs = len(sig)
+        w = _trailing_zeros_common(sig, min(wasted, sub_bps - 1))
+        eff_bps = sub_bps - w
+        s = [v >> w for v in sig]
+        fb.put(0, 1)  # padding
+        use_order = order if bs > order else None
+        if use_order is None:
+            fb.put(1, 6)          # VERBATIM
+            _put_wasted(fb, w)
+            for v in s:
+                fb.put_signed(v, eff_bps)
+            return
+        fb.put(8 + use_order, 6)  # FIXED
+        _put_wasted(fb, w)
+        for v in s[:use_order]:
+            fb.put_signed(v, eff_bps)
+        coefs = _FLAC_FIXED_COEFS[use_order]
+        res = [
+            s[i] - sum(c * s[i - 1 - j] for j, c in enumerate(coefs))
+            for i in range(use_order, bs)
+        ]
+        po = partition_order
+        while po and (bs % (1 << po) or (bs >> po) <= use_order):
+            po -= 1
+        fb.put(method, 2)
+        fb.put(po, 4)
+        nparts = 1 << po
+        pos = 0
+        for p in range(nparts):
+            n = (bs >> po) - (use_order if p == 0 else 0)
+            part = res[pos : pos + n]
+            pos += n
+            if p in escape_parts:
+                fb.put(escape, param_bits)
+                raw = max((abs(r).bit_length() + 1 for r in part), default=0)
+                raw = min(raw, 31)
+                fb.put(raw, 5)
+                if raw:
+                    for r in part:
+                        fb.put_signed(r, raw)
+                continue
+            zig = [(r << 1) if r >= 0 else ((-r << 1) - 1) for r in part]
+            param = 0
+            while (
+                param < escape - 1
+                and sum(z >> param for z in zig) > 4 * max(len(zig), 1)
+            ):
+                param += 1
+            fb.put(param, param_bits)
+            for z in zig:
+                fb.put(0, z >> param)
+                fb.put(1, 1)
+                fb.put(z & ((1 << param) - 1), param)
+
+    def _put_wasted(fb: "_BitWriter", w: int):
+        if w:
+            fb.put(1, 1)
+            fb.put(0, w - 1)  # unary: w-1 zeros...
+            fb.put(1, 1)      # ...terminated by a 1 -> wasted = (w-1)+1
+        else:
+            fb.put(0, 1)
+
+    ch_code = {
+        "independent": nch - 1, "left_side": 8, "right_side": 9, "mid_side": 10,
+    }[stereo_mode]
+
+    frame_no = 0
+    for start in range(0, total, block_size):
+        blocks = [c[start : start + block_size] for c in channels]
+        bs = len(blocks[0])
+        fb = _flac_bits()
+        fb.put(0b11111111111110, 14)
+        fb.put(0, 1)
+        fb.put(0, 1)              # fixed blocking: coded number = frame no
+        fb.put(7, 4)              # blocksize: 16-bit at header end
+        fb.put(0, 4)              # rate from STREAMINFO
+        fb.put(ch_code, 4)
+        fb.put(_FLAC_SS_CODE[bps], 3)
+        fb.put(0, 1)
+        _flac_utf8_number(fb, frame_no)
+        fb.put(bs - 1, 16)
+        fb.put(crc8(bytes(fb.out)), 8)
+        if stereo_mode == "independent":
+            for c in blocks:
+                write_subframe(fb, c, bps)
+        else:
+            L, R = blocks
+            side = [l - r for l, r in zip(L, R)]
+            if stereo_mode == "left_side":
+                write_subframe(fb, L, bps)
+                write_subframe(fb, side, bps + 1)
+            elif stereo_mode == "right_side":
+                write_subframe(fb, side, bps + 1)
+                write_subframe(fb, R, bps)
+            else:  # mid_side
+                mid = [(l + r) >> 1 for l, r in zip(L, R)]
+                write_subframe(fb, mid, bps)
+                write_subframe(fb, side, bps + 1)
+        fb.align()
+        frame = bytes(fb.out)
+        out += frame + struct.pack(">H", crc16(frame))
+        frame_no += 1
+    return bytes(out) + trailing
+
+
 # (name, rate, n_channels, mid_side, amplitudes[16]) FLACs — same exact
 # power-of-two amplitude scheme as WAV_SPECS
 FLAC_SPECS = [
