@@ -291,33 +291,77 @@ def make_jpeg(block_vals: list[list[int]], color: bool = False,
 
 
 # Progressive-JPEG handcrafting (T.81 Annex G): successive approximation
-# with Al=1 for both DC and AC plus spectral selection (DC scan, then one
-# AC scan + one refinement scan per component).  The AC Huffman table is a
-# fixed all-length-8 canonical table over every symbol the encoder can
-# emit (EOBn r<=3, ZRL, (run,size) for size<=4).
+# with Al=1 for both DC and AC plus spectral selection (DC scan, then AC
+# scan + refinement scan per component and spectral band).  The AC Huffman
+# table is a fixed all-length-8 canonical table over every symbol the
+# encoder can emit: EOBn up to r=10 (runs to 2047 blocks, i.e. extension
+# bits beyond 7), ZRL, and (run,size) for sizes up to 10 (coefficient
+# magnitudes beyond the 4-bit tier).
 _PROG_AC_SYMBOLS = sorted(
-    {r << 4 for r in range(8)}  # EOBn, runs up to 255 blocks
-    | {0xF0}                    # ZRL
-    | {(r << 4) | s for r in range(16) for s in (1, 2, 3, 4)}
+    {r << 4 for r in range(11)}  # EOBn, runs up to 2047 blocks
+    | {0xF0}                     # ZRL
+    | {(r << 4) | s for r in range(16) for s in range(1, 11)}
 )
 _PROG_AC_COUNTS = [0] * 16
 _PROG_AC_COUNTS[7] = len(_PROG_AC_SYMBOLS)
 
 
+class _ScanEmitter:
+    """Entropy-coded scan bytes with restart-marker support: every
+    `restart_interval` data units the bit stream is 1-padded to a byte
+    boundary, an RSTn marker (n cycling 0-7) is appended RAW (outside the
+    byte-stuffing writer), and per-scan state (DC predictors, EOB runs)
+    is reset via the callbacks."""
+
+    def __init__(self, restart_interval: int):
+        self.ri = restart_interval
+        self.chunks = bytearray()
+        self.bw = _BitWriter()
+        self.rst = 0
+        self.unit = 0
+
+    def next_unit(self, pre_flush=None, reset=None):
+        if self.ri and self.unit and self.unit % self.ri == 0:
+            if pre_flush is not None:
+                pre_flush()  # e.g. close out a pending EOB run
+            self.bw.flush()
+            self.chunks += self.bw.out
+            self.chunks += bytes([0xFF, 0xD0 + (self.rst & 7)])
+            self.rst += 1
+            self.bw = _BitWriter()
+            if reset is not None:
+                reset()
+        self.unit += 1
+
+    def finish(self) -> bytes:
+        self.bw.flush()
+        self.chunks += self.bw.out
+        return bytes(self.chunks)
+
+
 def make_jpeg_progressive(block_vals: list[list[int]], color: bool = False,
                           subsample420: bool = False,
                           ac: dict[tuple[int, int], list[tuple[int, int]]] | None = None,
+                          restart_interval: int = 0,
+                          band_split: int | None = None,
                           ) -> bytes:
     """Progressive JFIF bytes (SOF2) for the same flat-block grid as
     `make_jpeg`, plus optional AC coefficients `ac[(block_r, block_c)] =
     [(zigzag_k, value), ...]` on the Y component (k in 1..63, zigzag
-    positions ascending, gaps between emitted positions < 16).
+    positions ascending).
 
     Scan script: interleaved DC-first at Al=1, DC refinement, then per
-    component an AC-first scan at Al=1 (with cross-block EOB runs) and an
-    AC refinement scan to Al=0 — so the decoder's successive-approximation
-    paths (DC shift/OR, AC newly-nonzero at +-1, correction bits inline
-    and under EOB-run coverage) are all exercised by construction."""
+    component and per spectral band an AC-first scan at Al=1 (with
+    cross-block EOB runs) and an AC refinement scan to Al=0 — so the
+    decoder's successive-approximation paths (DC shift/OR, AC
+    newly-nonzero at +-1, correction bits inline and under EOB-run
+    coverage) are all exercised by construction.
+
+    `restart_interval` > 0 emits a DRI segment and RSTn markers every N
+    data units in EVERY scan (MCUs in the interleaved DC scans, blocks in
+    the non-interleaved AC scans), resetting DC predictors and EOB runs.
+    `band_split` splits the AC spectrum into two scan pairs (1..split and
+    split+1..63) — the spectral-selection script real encoders emit."""
     rows, cols = len(block_vals), len(block_vals[0])
     w, h = cols * 8, rows * 8
     ac = ac or {}
@@ -326,6 +370,9 @@ def make_jpeg_progressive(block_vals: list[list[int]], color: bool = False,
         assert rows % 2 == 0 and cols % 2 == 0, "4:2:0 needs an even grid"
     dc_codes = _huff_codes(_JPEG_DC_COUNTS, _JPEG_DC_SYMBOLS)
     ac_codes = _huff_codes(_PROG_AC_COUNTS, _PROG_AC_SYMBOLS)
+    bands = [(1, 63)] if band_split is None else [
+        (1, band_split), (band_split + 1, 63)
+    ]
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -340,6 +387,8 @@ def make_jpeg_progressive(block_vals: list[list[int]], color: bool = False,
     out += seg(0xC2, sof)  # SOF2: progressive
     out += seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_COUNTS) + bytes(_JPEG_DC_SYMBOLS))
     out += seg(0xC4, bytes([0x10]) + bytes(_PROG_AC_COUNTS) + bytes(_PROG_AC_SYMBOLS))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
 
     def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
         body = bytes([len(comp_ids)])
@@ -350,21 +399,20 @@ def make_jpeg_progressive(block_vals: list[list[int]], color: bool = False,
     # per-component DC coefficient rasters (chroma flat 128 -> coef 0)
     y_dc = [[(v - 128) * 8 for v in row] for row in block_vals]
 
-    def mcu_blocks():
-        """(cid, block_r, block_c) in interleaved MCU order."""
+    def mcus():
+        """Lists of (cid, block_r, block_c), one list per MCU."""
         if subsample420:
             for mr in range(rows // 2):
                 for mc in range(cols // 2):
-                    for by in range(2):
-                        for bx in range(2):
-                            yield 1, mr * 2 + by, mc * 2 + bx
-                    yield 2, mr, mc
-                    yield 3, mr, mc
+                    yield (
+                        [(1, mr * 2 + by, mc * 2 + bx)
+                         for by in range(2) for bx in range(2)]
+                        + [(2, mr, mc), (3, mr, mc)]
+                    )
         else:
             for r in range(rows):
                 for c in range(cols):
-                    for cid in range(1, ncomp + 1):
-                        yield cid, r, c
+                    yield [(cid, r, c) for cid in range(1, ncomp + 1)]
 
     def dc_coef(cid, r, c):
         return y_dc[r][c] if cid == 1 else 0
@@ -377,24 +425,26 @@ def make_jpeg_progressive(block_vals: list[list[int]], color: bool = False,
             bw.put(val if val > 0 else val + (1 << t) - 1, t)
 
     # scan 1: DC first, Al=1 (arithmetic shift — two's complement, like
-    # the decoder's <<Al ... |= reconstruction)
-    bw = _BitWriter()
+    # the decoder's <<Al ... |= reconstruction); restarts reset predictors
+    em = _ScanEmitter(restart_interval)
     pred = dict.fromkeys(range(1, ncomp + 1), 0)
-    for cid, r, c in mcu_blocks():
-        v = dc_coef(cid, r, c) >> 1
-        put_mag(bw, v - pred[cid])
-        pred[cid] = v
-    bw.flush()
+    for mcu in mcus():
+        em.next_unit(reset=lambda: pred.update(dict.fromkeys(pred, 0)))
+        for cid, r, c in mcu:
+            v = dc_coef(cid, r, c) >> 1
+            put_mag(em.bw, v - pred[cid])
+            pred[cid] = v
     out += sos(list(range(1, ncomp + 1)), 0, 0, 0, 1)
-    out += bw.out
+    out += em.finish()
 
     # scan 2: DC refinement to Al=0 — one raw bit per block
-    bw = _BitWriter()
-    for cid, r, c in mcu_blocks():
-        bw.put(dc_coef(cid, r, c) & 1, 1)
-    bw.flush()
+    em = _ScanEmitter(restart_interval)
+    for mcu in mcus():
+        em.next_unit()
+        for cid, r, c in mcu:
+            em.bw.put(dc_coef(cid, r, c) & 1, 1)
     out += sos(list(range(1, ncomp + 1)), 0, 0, 1, 0)
-    out += bw.out
+    out += em.finish()
 
     def comp_grid(cid):
         if cid == 1 or not subsample420:
@@ -414,124 +464,137 @@ def make_jpeg_progressive(block_vals: list[list[int]], color: bool = False,
 
     for cid in range(1, ncomp + 1):
         gr, gc = comp_grid(cid)
-
-        # AC first scan, Ss=1..63, Al=1: magnitudes >>1, EOB runs across
-        # empty blocks
-        bw = _BitWriter()
-        pending_eob = 0
-
-        def flush_eob():
-            nonlocal pending_eob
-            if pending_eob:
-                rbits = pending_eob.bit_length() - 1
-                put_ac_symbol(bw, rbits << 4)
-                if rbits:
-                    bw.put(pending_eob - (1 << rbits), rbits)
-                pending_eob = 0
-
-        for r in range(gr):
-            for c in range(gc):
-                vals = [(k, (abs(v) >> 1) * (1 if v > 0 else -1))
-                        for k, v in enumerate(block_ac(cid, r, c)) if k >= 1]
-                nz = [(k, v1) for k, v1 in vals if v1 != 0]
-                if not nz:
-                    pending_eob += 1
-                    continue
-                flush_eob()
-                prev_k = 0
-                for k, v1 in nz:
-                    run = k - prev_k - 1
-                    while run >= 16:
-                        put_ac_symbol(bw, 0xF0)
-                        run -= 16
-                    t = abs(v1).bit_length()
-                    put_ac_symbol(bw, (run << 4) | t)
-                    bw.put(v1 if v1 > 0 else v1 + (1 << t) - 1, t)
-                    prev_k = k
-                if prev_k < 63:
-                    pending_eob = 1
-        flush_eob()
-        bw.flush()
-        out += sos([cid], 1, 63, 0, 1)
-        out += bw.out
-
-        # AC refinement scan to Al=0: newly-nonzero (+-1) symbols with
-        # inline correction bits; EOB runs carry the remaining blocks'
-        # correction bits (matching the decoder's eobrun branch order)
-        bw = _BitWriter()
-        pending_eob = 0
-        pending_bits: list[int] = []
-
-        def flush_eob_refine():
-            nonlocal pending_eob, pending_bits
-            if pending_eob:
-                rbits = pending_eob.bit_length() - 1
-                put_ac_symbol(bw, rbits << 4)
-                if rbits:
-                    bw.put(pending_eob - (1 << rbits), rbits)
-                for bit in pending_bits:
-                    bw.put(bit, 1)
-                pending_eob = 0
-                pending_bits = []
-
-        for r in range(gr):
-            for c in range(gc):
-                target = block_ac(cid, r, c)
-                hist = [
-                    (abs(v) >> 1) * (1 if v > 0 else -1) if i >= 1 else 0
-                    for i, v in enumerate(target)
-                ]
-                # events: ('new', zero_run, sign, corr) | ('zrl', corr) —
-                # corr bits are those of nonzero-history coefficients
-                # crossed since the previous symbol (the decoder reads
-                # them while walking toward the symbol's landing position)
-                events = []
-                corr: list[int] = []
-                run = 0
-                for k in range(1, 64):
-                    if hist[k] != 0:
-                        corr.append(abs(target[k]) & 1)
-                    elif abs(target[k]) == 1:
-                        events.append(("new", run, 1 if target[k] > 0 else 0, corr))
-                        run, corr = 0, []
-                    else:
-                        run += 1
-                        if run == 16:
-                            events.append(("zrl", corr))
-                            run, corr = 0, []
-                if not any(e[0] == "new" for e in events):
-                    # nothing to place inline: the whole block rides an
-                    # EOB run (dropping any eager ZRLs), whose coverage
-                    # reads every nonzero-history coefficient's bit
-                    pending_eob += 1
-                    pending_bits += [
-                        abs(target[k]) & 1 for k in range(1, 64) if hist[k] != 0
-                    ]
-                    continue
-                # drop trailing ZRLs (an EOB covers the remainder)
-                while events and events[-1][0] == "zrl":
-                    corr = events.pop()[1] + corr
-                flush_eob_refine()
-                for ev in events:
-                    if ev[0] == "zrl":
-                        put_ac_symbol(bw, 0xF0)
-                        for bit in ev[1]:
-                            bw.put(bit, 1)
-                    else:
-                        _, zrun, sign, cbits = ev
-                        put_ac_symbol(bw, (zrun << 4) | 1)
-                        bw.put(sign, 1)
-                        for bit in cbits:
-                            bw.put(bit, 1)
-                pending_eob = 1
-                pending_bits = list(corr)
-        flush_eob_refine()
-        bw.flush()
-        out += sos([cid], 1, 63, 1, 0)
-        out += bw.out
+        for ss, se in bands:
+            out += _prog_ac_first_scan(
+                cid, gr, gc, ss, se, block_ac, put_ac_symbol, sos,
+                restart_interval,
+            )
+            out += _prog_ac_refine_scan(
+                cid, gr, gc, ss, se, block_ac, put_ac_symbol, sos,
+                restart_interval,
+            )
 
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def _prog_ac_first_scan(cid, gr, gc, ss, se, block_ac, put_ac_symbol, sos,
+                        restart_interval) -> bytes:
+    """AC first scan over spectral band ss..se, Al=1: magnitudes >>1, EOB
+    runs across empty blocks (never across a restart boundary)."""
+    em = _ScanEmitter(restart_interval)
+    state = {"eob": 0}
+
+    def flush_eob():
+        if state["eob"]:
+            rbits = state["eob"].bit_length() - 1
+            put_ac_symbol(em.bw, rbits << 4)
+            if rbits:
+                em.bw.put(state["eob"] - (1 << rbits), rbits)
+            state["eob"] = 0
+
+    for r in range(gr):
+        for c in range(gc):
+            em.next_unit(pre_flush=flush_eob)
+            vals = [(k, (abs(v) >> 1) * (1 if v > 0 else -1))
+                    for k, v in enumerate(block_ac(cid, r, c))
+                    if ss <= k <= se]
+            nz = [(k, v1) for k, v1 in vals if v1 != 0]
+            if not nz:
+                state["eob"] += 1
+                continue
+            flush_eob()
+            prev_k = ss - 1
+            for k, v1 in nz:
+                run = k - prev_k - 1
+                while run >= 16:
+                    put_ac_symbol(em.bw, 0xF0)
+                    run -= 16
+                t = abs(v1).bit_length()
+                put_ac_symbol(em.bw, (run << 4) | t)
+                em.bw.put(v1 if v1 > 0 else v1 + (1 << t) - 1, t)
+                prev_k = k
+            if prev_k < se:
+                state["eob"] = 1
+    flush_eob()
+    return sos([cid], ss, se, 0, 1) + em.finish()
+
+
+def _prog_ac_refine_scan(cid, gr, gc, ss, se, block_ac, put_ac_symbol, sos,
+                         restart_interval) -> bytes:
+    """AC refinement scan over band ss..se to Al=0: newly-nonzero (+-1)
+    symbols with inline correction bits; EOB runs carry the remaining
+    blocks' correction bits (matching the decoder's eobrun branch order);
+    restarts flush and reset the run."""
+    em = _ScanEmitter(restart_interval)
+    state = {"eob": 0, "bits": []}
+
+    def flush_eob():
+        if state["eob"]:
+            rbits = state["eob"].bit_length() - 1
+            put_ac_symbol(em.bw, rbits << 4)
+            if rbits:
+                em.bw.put(state["eob"] - (1 << rbits), rbits)
+            for bit in state["bits"]:
+                em.bw.put(bit, 1)
+            state["eob"] = 0
+            state["bits"] = []
+
+    for r in range(gr):
+        for c in range(gc):
+            em.next_unit(pre_flush=flush_eob)
+            target = block_ac(cid, r, c)
+            hist = [
+                (abs(v) >> 1) * (1 if v > 0 else -1)
+                if ss <= i <= se else 0
+                for i, v in enumerate(target)
+            ]
+            # events: ('new', zero_run, sign, corr) | ('zrl', corr) —
+            # corr bits are those of nonzero-history coefficients
+            # crossed since the previous symbol (the decoder reads
+            # them while walking toward the symbol's landing position)
+            events = []
+            corr: list[int] = []
+            run = 0
+            for k in range(ss, se + 1):
+                if hist[k] != 0:
+                    corr.append(abs(target[k]) & 1)
+                elif abs(target[k]) == 1:
+                    events.append(("new", run, 1 if target[k] > 0 else 0, corr))
+                    run, corr = 0, []
+                else:
+                    run += 1
+                    if run == 16:
+                        events.append(("zrl", corr))
+                        run, corr = 0, []
+            if not any(e[0] == "new" for e in events):
+                # nothing to place inline: the whole block rides an
+                # EOB run (dropping any eager ZRLs), whose coverage
+                # reads every nonzero-history coefficient's bit
+                state["eob"] += 1
+                state["bits"] += [
+                    abs(target[k]) & 1 for k in range(ss, se + 1) if hist[k] != 0
+                ]
+                continue
+            # drop trailing ZRLs (an EOB covers the remainder)
+            while events and events[-1][0] == "zrl":
+                corr = events.pop()[1] + corr
+            flush_eob()
+            for ev in events:
+                if ev[0] == "zrl":
+                    put_ac_symbol(em.bw, 0xF0)
+                    for bit in ev[1]:
+                        em.bw.put(bit, 1)
+                else:
+                    _, zrun, sign, cbits = ev
+                    put_ac_symbol(em.bw, (zrun << 4) | 1)
+                    em.bw.put(sign, 1)
+                    for bit in cbits:
+                        em.bw.put(bit, 1)
+            state["eob"] = 1
+            state["bits"] = list(corr)
+    flush_eob()
+    return sos([cid], ss, se, 1, 0) + em.finish()
 
 
 def make_jpeg_separate_scans(block_vals: list[list[int]]) -> bytes:
@@ -1044,6 +1107,34 @@ def make_wav(rate: int, n_channels: int, amplitudes: list[int],
     return buf.getvalue()
 
 
+def fuzz_media_rows() -> list[tuple[str, str, bytes]]:
+    """Deterministically MALFORMED real-encoder outputs — truncations and
+    fixed single-byte corruptions of valid PNG/GIF/FLAC/WAV/progressive-
+    JPEG streams.  Every one of these must land in the tagged stub tier
+    (decoder='stub') rather than raising out of the UDF: real-world
+    corpora are full of cut-off downloads and bit-rotted files, and a
+    100 TB job cannot die on row 10^11.  Part of the ORACLED corpus (the
+    golden expects the documented stub formula over these exact bytes)."""
+    png = make_png(16, 16, 2)
+    gif = make_gif(13, 9, 2)
+    flac = make_flac(8000, 1, [0, 4096, -8192, 16384] * 4)
+    wav = make_wav(8000, 1, [4096] * 8)
+    jprog = make_jpeg_progressive([[0, 64, 128, 255], [255, 128, 64, 0]])
+    bad_gif = bytearray(gif)
+    bad_gif[-10] ^= 0xFF  # corrupt the LZW stream near the end
+    bad_flac = bytearray(flac)
+    bad_flac[-3] ^= 0x10  # breaks the last frame's CRC-16
+    return [
+        ("fuzz-png-truncated", "image", png[: len(png) // 2]),
+        ("fuzz-gif-truncated", "image", gif[:24]),
+        ("fuzz-gif-corrupt", "image", bytes(bad_gif)),
+        ("fuzz-jpeg-prog-truncated", "image", jprog[: int(len(jprog) * 0.7)]),
+        ("fuzz-flac-truncated", "audio", flac[: int(len(flac) * 0.6)]),
+        ("fuzz-flac-corrupt", "audio", bytes(bad_flac)),
+        ("fuzz-wav-truncated", "audio", wav[:30]),
+    ]
+
+
 def synthetic_media_rows() -> list[tuple[str, str, bytes]]:
     """(media_id, media_kind, payload) for every spec — deterministic."""
     rows: list[tuple[str, str, bytes]] = []
@@ -1065,4 +1156,5 @@ def synthetic_media_rows() -> list[tuple[str, str, bytes]]:
         rows.append((name, "audio", make_flac(rate, nch, amps, mid_side=ms)))
     for name, payload in STUB_SPECS:
         rows.append((name, "image", payload))
+    rows.extend(fuzz_media_rows())
     return rows

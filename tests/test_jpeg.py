@@ -183,3 +183,78 @@ def test_jpeg_fuzz_never_hangs_or_crashes_python():
                 assert img.ndim == 3 and img.shape[2] == 3
             except Exception:
                 pass
+
+
+def test_jpeg_progressive_large_magnitude_and_long_eob_run():
+    """The two decoder branches no fixture reached (ADVICE r4): an AC
+    coefficient whose first-scan magnitude needs size 5+ (|v|>>1 >= 16),
+    and an EOB run long enough that the EOBn symbol carries more than 7
+    extension bits (run >= 256 blocks).  1x300 grid, AC on the first and
+    last blocks only -> a 299-block run (EOBn r=8, 8 extension bits) in
+    both the first and the refinement scan."""
+    from pdf_extract_spark.sources.media_corpus import make_jpeg_progressive
+
+    ac = {
+        (0, 0): [(1, 40), (7, -70)],   # sizes 5 and 6 in the first scan
+        (0, 299): [(2, 33), (10, 1)],  # size 5 + a refinement-only +-1
+    }
+    grid = [[128] * 300]
+    img = decode_jpeg(make_jpeg_progressive(grid, ac=ac))
+    assert img.shape == (8, 2400, 3)
+    for c in (0, 150, 299):
+        full = {0: 0, **dict(ac.get((0, c), []))}
+        want = _idct_ref(full)
+        got = img[0:8, c * 8 : (c + 1) * 8, 0]
+        assert (np.abs(got.astype(int) - want.astype(int)) <= 1).all(), c
+
+
+def _random_prog_case(seed: int):
+    rng = np.random.default_rng(4200 + seed)
+    sub = bool(rng.integers(0, 2))
+    color = sub or bool(rng.integers(0, 2))
+    if sub:
+        rows = cols = int(rng.choice([2, 4]))
+    else:
+        rows, cols = int(rng.integers(1, 5)), int(rng.integers(1, 5))
+    grid = [[int(rng.integers(0, 256)) for _ in range(cols)] for _ in range(rows)]
+    restart = int(rng.choice([0, 0, 1, 2, 3, 5, 7]))
+    split = None if rng.integers(0, 2) else int(rng.integers(1, 63))
+    ac = {}
+    for _ in range(int(rng.integers(0, rows * cols + 1))):
+        r, c = int(rng.integers(0, rows)), int(rng.integers(0, cols))
+        nk = int(rng.integers(1, 6))
+        ks = sorted(rng.choice(np.arange(1, 64), size=nk, replace=False).tolist())
+        coefs = []
+        for k in ks:
+            mag = int(rng.integers(1, 1 << int(rng.integers(1, 11))))
+            mag = min(mag, 2047)
+            coefs.append((int(k), mag if rng.integers(0, 2) else -mag))
+        ac[(r, c)] = coefs
+    return grid, color, sub, ac, restart, split
+
+
+@pytest.mark.parametrize("seed", range(50))
+def test_jpeg_progressive_random_roundtrip(seed):
+    """Randomized sweep over subsampling x restart intervals x spectral
+    band splits x AC coefficient sets (magnitudes through size 10, gaps
+    through ZRL chains, refinement-only +-1s): decoded Y blocks must
+    match the independent spec IDCT within the rounding tie."""
+    from pdf_extract_spark.sources.media_corpus import make_jpeg_progressive
+
+    grid, color, sub, ac, restart, split = _random_prog_case(seed)
+    img = decode_jpeg(
+        make_jpeg_progressive(
+            grid, color=color, subsample420=sub, ac=ac,
+            restart_interval=restart, band_split=split,
+        )
+    )
+    rows, cols = len(grid), len(grid[0])
+    assert img.shape == (rows * 8, cols * 8, 3)
+    for r in range(rows):
+        for c in range(cols):
+            full = {0: (grid[r][c] - 128) * 8, **dict(ac.get((r, c), []))}
+            want = _idct_ref(full)
+            got = img[r * 8 : (r + 1) * 8, c * 8 : (c + 1) * 8, 0]
+            assert (np.abs(got.astype(int) - want.astype(int)) <= 1).all(), (
+                seed, r, c, restart, split,
+            )

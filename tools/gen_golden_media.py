@@ -35,6 +35,7 @@ from pdf_extract_spark.sources.media_corpus import (  # noqa: E402
     PPM_SPECS,
     STUB_SPECS,
     WAV_SPECS,
+    fuzz_media_rows,
     gif_gray,
     jpeg_pixel,
     make_bmp,
@@ -112,6 +113,12 @@ def golden_rows():
     for name, payload in STUB_SPECS:
         w, h, feat = stub_expect(payload)
         rows.append((name, "image", payload, w, h, feat, "stub"))
+    # malformed real-encoder outputs (truncations / fixed corruptions):
+    # every one must land in the tagged stub tier, never raise — the
+    # expectation is the documented stub formula over the exact bytes
+    for name, kind, payload in fuzz_media_rows():
+        w, h, feat = stub_expect(payload)
+        rows.append((name, kind, payload, w, h, feat, "stub"))
     # fixture PDFs ride along as opaque stub-tier blobs (the MB-scale binary
     # plumbing case): expected values from the stub spec over the raw bytes
     for doc_id, pdf, _expected in corpus(replicas=1):
