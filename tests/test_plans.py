@@ -120,6 +120,17 @@ def test_source_quota_partition_invariant(spark):
     assert a == b and len(a) > 0
 
 
+def test_quality_stage_gopher_is_scan_side(spark):
+    """quality_stage's Gopher verdict must be a narrow filter (no flag
+    frame joined back): exactly ONE semi-join in the plan (the repetition
+    verdict restore), and no join whose both sides scan the corpus."""
+    from pdf_extract_spark.pipeline import quality_stage
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    txt = plan_of(quality_stage(docs, min_stopwords=1))
+    assert txt.count("LeftSemi") == 1, txt[:2000]
+
+
 def test_source_quota_window_is_salted(spark):
     """The first (full-corpus) window of source_quota_cap must partition on
     (source, bucket) — never on source alone — so a source holding half the
