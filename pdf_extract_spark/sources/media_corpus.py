@@ -728,6 +728,98 @@ def make_gif(w: int, h: int, bits: int = 2) -> bytes:
     return bytes(out)
 
 
+def _gif_lzw_encode(indices: list[int], min_code: int) -> bytes:
+    """REAL GIF LZW compression (greedy longest-match dictionary), packed
+    LSB-first with variable code widths.  The width schedule mirrors the
+    decoder's state machine exactly: the decoder inserts one table entry
+    per code AFTER the first post-CLEAR code and widens when its
+    next_code reaches 2^width, so the encoder tracks that (lagging-by-one)
+    counter rather than its own dictionary size.  When the dictionary
+    fills (4096), a CLEAR resets both sides.  Unlike the 'uncompressed
+    GIF' technique in make_gif, this emits dictionary codes — exercising
+    the decoder's entry-reference, width-growth, KwKwK (code == next_code)
+    and table-reset paths."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    out_codes: list[tuple[int, int]] = []
+    width = min_code + 1
+    dec_next = eoi + 1
+    first_after_clear = True
+
+    def emit(code: int):
+        nonlocal width, dec_next, first_after_clear
+        out_codes.append((code, width))
+        if code == clear:
+            width = min_code + 1
+            dec_next = eoi + 1
+            first_after_clear = True
+            return
+        if first_after_clear:
+            first_after_clear = False
+            return
+        if dec_next < 4096:
+            dec_next += 1
+        if dec_next >= (1 << width) and width < 12:
+            width += 1
+
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    enc_next = eoi + 1
+    emit(clear)
+    cur = (indices[0],)
+    for c in indices[1:]:
+        nxt = cur + (c,)
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        if enc_next < 4096:
+            table[nxt] = enc_next
+            enc_next += 1
+        else:
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            enc_next = eoi + 1
+        cur = (c,)
+    emit(table[cur])
+    emit(eoi)
+    acc = nb = 0
+    coded = bytearray()
+    for code, w in out_codes:
+        acc |= code << nb
+        nb += w
+        while nb >= 8:
+            coded.append(acc & 0xFF)
+            acc >>= 8
+            nb -= 8
+    if nb:
+        coded.append(acc & 0xFF)
+    return bytes(coded)
+
+
+def make_gif_lzw(w: int, h: int, bits: int = 2,
+                 indices: list[int] | None = None) -> bytes:
+    """GIF89a bytes whose image data is REALLY LZW-compressed (see
+    _gif_lzw_encode) — same container and palette as make_gif (palette
+    entry i is gray i*255//(2^bits-1)); `indices` defaults to the same
+    (x+y) % 2^bits pattern so expectations stay closed-form."""
+    n = 1 << bits
+    if indices is None:
+        indices = [(x + y) % n for y in range(h) for x in range(w)]
+    assert len(indices) == w * h and all(0 <= i < n for i in indices)
+    palette = b"".join(bytes([i * 255 // (n - 1)] * 3) for i in range(n))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += palette
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out += bytes([bits])
+    coded = _gif_lzw_encode(indices, bits)
+    for i in range(0, len(coded), 255):
+        chunk = coded[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def _flac_bits() -> "_BitWriter":
     return _BitWriter(stuff=False)
 
@@ -1156,5 +1248,8 @@ def synthetic_media_rows() -> list[tuple[str, str, bytes]]:
         rows.append((name, "audio", make_flac(rate, nch, amps, mid_side=ms)))
     for name, payload in STUB_SPECS:
         rows.append((name, "image", payload))
+    # a REALLY-compressed GIF (dictionary codes, width growth) beside the
+    # uncompressed-technique fixtures; same closed-form pixel pattern
+    rows.append(("gif-lzw-4bit-40x30", "image", make_gif_lzw(40, 30, 4)))
     rows.extend(fuzz_media_rows())
     return rows

@@ -40,6 +40,7 @@ from pdf_extract_spark.sources.media_corpus import (  # noqa: E402
     jpeg_pixel,
     make_bmp,
     make_gif,
+    make_gif_lzw,
     make_jpeg,
     make_flac,
     make_jpeg_progressive,
@@ -110,6 +111,13 @@ def golden_rows():
             (name, "audio", make_flac(rate, nch, amps, mid_side=ms),
              rate, nch, feat, "flac")
         )
+    # the really-LZW-compressed GIF: same closed-form palette pattern
+    w, h, bits = 40, 30, 4
+    xs, ys = thumb_indices(w), thumb_indices(h)
+    feat = [gif_gray(bits, x, y) / 255.0 for y in ys for x in xs]
+    rows.append(
+        ("gif-lzw-4bit-40x30", "image", make_gif_lzw(w, h, bits), w, h, feat, "gif")
+    )
     for name, payload in STUB_SPECS:
         w, h, feat = stub_expect(payload)
         rows.append((name, "image", payload, w, h, feat, "stub"))
