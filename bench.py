@@ -41,6 +41,8 @@ HEADLINE = [
     "doc_span_dedup",
     "doc_span_dedup_apply",
     "doc_decontaminate",
+    "doc_pii_redact",
+    "doc_url_dedup",
     "doc_token_bpe",
     "doc_winnow_fingerprints",
     "dedup_exact",

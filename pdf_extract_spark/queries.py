@@ -489,6 +489,146 @@ def doc_decontaminate(spark, sf_dir):
     return decontaminate(load(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def doc_pii_redact(spark, sf_dir):
+    """PII scrubbing over documents with deterministic injected PII
+    (emails on doc_id%7, IPs on %11, phones on %13 — the synthetic corpus
+    itself carries none, so the injection makes the redaction paths real
+    in the oracle compare).  functions/text.py:pii_redact."""
+    from .functions.text import pii_redact
+
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" contact user"), did, F.lit("@example.com now")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.lit(" from 10.0."),
+                         (F.col("doc_id") % 256).cast("string"), F.lit(".1")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0, F.lit(" call 555-123-4567 or +1 800 555 0199")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_redact(injected).orderBy("doc_id")
+
+
+def doc_url_dedup(spark, sf_dir):
+    """URL canonicalization + URL-keyed dedup over deterministically
+    constructed crawl URLs (mixed case, default ports, tracking params,
+    fragments; collisions by construction across docs sharing
+    (source, doc_id mod 50/4/5)).  functions/urls.py."""
+    from .functions.urls import url_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://"),
+            F.upper(F.col("source")),
+            F.lit(".Example.COM"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(":80")).otherwise(F.lit("")),
+            F.lit("/docs/"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit("?utm_source=feed&b="),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("&a="),
+            (F.col("doc_id") % 4).cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("#sec1")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return url_dedup(urls).orderBy("doc_id")
+
+
+DOC_PII_REDACT_SQL = r"""
+WITH injected AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' call 555-123-4567 or +1 800 555 0199'
+                 ELSE '' END AS text
+  FROM documents
+), pat AS (
+  SELECT doc_id, text,
+         '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}' AS email_re,
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b' AS ip_re,
+         '\b\d{3}[\-]\d{3}[\-]\d{4}\b|\+\d{1,2}[ ]\d{3}[ ]\d{3}[ ]\d{4}' AS phone_re
+  FROM injected
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, email_re, '<EMAIL>', 'g'),
+           ip_re, '<IP>', 'g'),
+         phone_re, '<PHONE>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(text, email_re)) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, ip_re)) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text, phone_re)) AS BIGINT) AS n_phones,
+       (len(regexp_extract_all(text, email_re))
+        + len(regexp_extract_all(text, ip_re))
+        + len(regexp_extract_all(text, phone_re))) > 0 AS has_pii
+FROM pat
+ORDER BY doc_id
+"""
+
+DOC_URL_DEDUP_SQL = r"""
+WITH urls AS (
+  SELECT doc_id,
+         'HTTP://' || upper(source) || '.Example.COM'
+         || CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END
+         || '/docs/' || CAST(doc_id % 50 AS VARCHAR)
+         || '?utm_source=feed&b=' || CAST(doc_id % 5 AS VARCHAR)
+         || '&a=' || CAST(doc_id % 4 AS VARCHAR)
+         || CASE WHEN doc_id % 2 = 0 THEN '#sec1' ELSE '' END AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+         lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)) AS hostport,
+         regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS rawpath,
+         regexp_extract(url, '\?([^#]*)', 1) AS rawq
+  FROM urls
+), canon AS (
+  SELECT doc_id, url,
+         scheme || '://'
+         || CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                 WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                 ELSE hostport END
+         || CASE WHEN rawpath = '' THEN '/' ELSE rawpath END
+         || CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+                 ELSE '' END AS canonical_url
+  FROM (
+    SELECT *,
+           list_sort(list_filter(str_split(rawq, '&'),
+             p -> p <> '' AND NOT regexp_matches(
+                    p, '^(utm_[A-Za-z0-9_]*|fbclid|gclid)='))) AS kept
+    FROM parts
+  )
+), grp AS (
+  SELECT canonical_url, min(doc_id) AS keep_id,
+         CAST(count(*) AS BIGINT) AS n_dups
+  FROM canon GROUP BY canonical_url
+)
+SELECT c.doc_id, c.url, c.canonical_url,
+       c.doc_id = g.keep_id AS is_canonical,
+       g.n_dups
+FROM canon c JOIN grp g USING (canonical_url)
+ORDER BY c.doc_id
+"""
+
+
 DOC_REPETITION_SQL = r"""
 WITH base AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
@@ -1751,6 +1891,8 @@ QUERIES = {
     "doc_span_dedup": doc_span_dedup,
     "doc_span_dedup_apply": doc_span_dedup_apply,
     "doc_decontaminate": doc_decontaminate,
+    "doc_pii_redact": doc_pii_redact,
+    "doc_url_dedup": doc_url_dedup,
     "corpus_funnel": corpus_funnel,
     "dedup_exact": dedup_exact_q,
     "minhash_lsh_candidates": minhash_lsh_q,
@@ -1796,6 +1938,8 @@ ORACLES = {
     "doc_span_dedup": DOC_SPAN_DEDUP_SQL,
     "doc_span_dedup_apply": DOC_SPAN_DEDUP_APPLY_SQL,
     "doc_decontaminate": DOC_DECONTAMINATE_SQL,
+    "doc_pii_redact": DOC_PII_REDACT_SQL,
+    "doc_url_dedup": DOC_URL_DEDUP_SQL,
     "corpus_funnel": CORPUS_FUNNEL_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "minhash_lsh_candidates": MINHASH_SQL,

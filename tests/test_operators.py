@@ -710,3 +710,70 @@ def test_corpus_ops_match_pure_python_reference(spark):
         gs = set(grams(ts, 8))
         assert got[d]["n_grams"] == len(gs), d
         assert got[d]["n_hits"] == len(gs & eval_grams), d
+
+
+def test_pii_redact(spark):
+    """Emails, IPv4s, and both phone forms are replaced with typed tokens
+    and counted; clean docs pass through byte-identical."""
+    from pdf_extract_spark.functions.text import pii_redact
+
+    docs = spark.createDataFrame(
+        [
+            (1, "reach me at jo.doe+spam@sub.example.org today"),
+            (2, "server 192.168.1.254 then 10.0.0.1 up"),
+            (3, "call 555-123-4567 or +1 800 555 0199 now"),
+            (4, "no pii here at all"),
+            (5, "mixed a@b.co 1.2.3.4 555-000-1111"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_redact(docs).collect()}
+    assert rows[1]["redacted"] == "reach me at <EMAIL> today"
+    assert rows[1]["n_emails"] == 1 and rows[1]["has_pii"] is True
+    assert rows[2]["redacted"] == "server <IP> then <IP> up"
+    assert rows[2]["n_ips"] == 2
+    assert rows[3]["redacted"] == "call <PHONE> or <PHONE> now"
+    assert rows[3]["n_phones"] == 2
+    assert rows[4]["redacted"] == "no pii here at all"
+    assert rows[4]["has_pii"] is False
+    assert rows[5]["redacted"] == "mixed <EMAIL> <IP> <PHONE>"
+
+
+def test_canonical_url(spark):
+    """Scheme/host lowering, default-port strip (scheme-aware), fragment
+    drop, tracking-param drop, query sort, empty-path normalization."""
+    from pdf_extract_spark.functions.urls import canonical_url
+
+    cases = [
+        ("HTTP://WWW.Example.COM:80/Path/X?b=2&utm_source=f&a=1#frag",
+         "http://www.example.com/Path/X?a=1&b=2"),
+        ("https://Host.org:443", "https://host.org/"),
+        ("https://host.org:8443/x", "https://host.org:8443/x"),  # non-default kept
+        ("http://h.io/?gclid=abc&fbclid=z", "http://h.io/"),
+        ("http://h.io/p?z=9", "http://h.io/p?z=9"),
+        ("ftp://Mixed.Case/file", "ftp://mixed.case/file"),  # unknown scheme: port rules off
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    for (u, want), g in zip(cases, got):
+        assert g == want, (u, g, want)
+
+
+def test_url_dedup_groups(spark):
+    """Docs whose URLs differ only by case/port/tracking/fragment share a
+    canonical key; keeper = min doc_id; group sizes reported."""
+    from pdf_extract_spark.functions.urls import url_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "http://a.com/x?id=1&utm_source=f"),
+            (2, "HTTP://A.COM:80/x?id=1#top"),
+            (3, "http://a.com/x?id=2"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = {r["doc_id"]: r for r in url_dedup(docs).collect()}
+    assert rows[1]["canonical_url"] == rows[2]["canonical_url"]
+    assert rows[1]["is_canonical"] is True and rows[2]["is_canonical"] is False
+    assert rows[1]["n_dups"] == 2 and rows[3]["n_dups"] == 1
+    assert rows[3]["is_canonical"] is True

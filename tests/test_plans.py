@@ -190,3 +190,29 @@ def test_repetition_flags_no_python_udf(spark):
     plan = plan_of(doc_repetition_flags(spark, SF))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "mapInPandas" not in plan.lower()
+
+
+def test_pii_redact_is_scan_side_codegen(spark):
+    """PII scrubbing must be a narrow, JVM-only pass: it touches every
+    byte of the corpus, so a Python worker or an exchange would be the
+    single most expensive mistake in the pipeline."""
+    from pdf_extract_spark.functions.text import pii_redact
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    txt = plan_of(pii_redact(docs))
+    body = txt.split("== Physical Plan ==")[-1]
+    assert "Exchange" not in body, txt[:1500]
+    assert "Python" not in body
+
+
+def test_url_dedup_partial_aggregation(spark):
+    """The canonical-URL groupBy must map-side combine before its single
+    exchange (hot canonical keys collapse before the shuffle)."""
+    from pdf_extract_spark.functions.urls import url_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "doc_id", "concat('http://h.io/', cast(doc_id % 7 as string)) AS url"
+    )
+    txt = plan_of(url_dedup(docs))
+    assert txt.count("HashAggregate") >= 2, txt[:1500]
+    assert "Python" not in txt.split("== Physical Plan ==")[-1]
