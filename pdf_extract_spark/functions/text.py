@@ -365,19 +365,21 @@ def decontaminate(docs: DataFrame, text_col: str = "text", n: int = 8,
     per-doc hit count; gram totals come from the array length (no second
     shuffle).  One explode shuffle total, and the contamination verdict
     never moves the corpus."""
-    def grams_of(frame: DataFrame) -> Column:
+    def grams_expr(colname: str) -> Column:
+        # unbound expression over the named column: it resolves against
+        # whichever frame it is selected from
         return F.array_distinct(
-            gram_array(tokens(F.lower(F.col(text_col))), n)
+            gram_array(tokens(F.lower(F.col(colname))), n)
         )
 
     bucket = hash_bucket(F.col("doc_id"))
     base = docs.select(
         "doc_id",
         bucket.alias("bk"),
-        grams_of(docs).alias("gs"),
+        grams_expr(text_col).alias("gs"),
     )
     if eval_docs is not None:
-        eval_gram_src = eval_docs.select(F.explode(grams_of(eval_docs)).alias("g"))
+        eval_gram_src = eval_docs.select(F.explode(grams_expr(text_col)).alias("g"))
         train = base
     else:
         eval_gram_src = base.filter(F.col("bk") < eval_pct).select(
@@ -411,31 +413,28 @@ def decontaminate(docs: DataFrame, text_col: str = "text", n: int = 8,
 # the Spark expressions and the DuckDB oracle match byte-for-byte
 PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
 PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-PII_PHONE_RE = r"\b\d{3}[\-]\d{3}[\-]\d{4}\b|\+\d{1,2}[ ]\d{3}[ ]\d{3}[ ]\d{4}"
+PII_PHONE_RE = r"\b\d{3}[\-]\d{3}[\-]\d{4}\b|\+\d{1,2}[ ]\d{3}[ ]\d{3}[ ]\d{4}\b"
 
 
 def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """PII scrubbing (the CCNet/Dolma-style pre-release pass): replace
     emails, IPv4 addresses, and phone numbers with typed placeholder
     tokens, and report per-doc match counts so a pipeline can publish a
-    redaction histogram.  Counts are taken on the ORIGINAL text (order-
-    independent); the patterns are disjoint by construction (emails need
-    an alphabetic TLD, phones contain no dots, IPs no hyphens/plus).
+    redaction histogram.  Each count is taken on the text AFTER the
+    previous replacements, so counts equal the placeholder tokens
+    actually inserted (an IPv4 inside an email host is redacted — and
+    counted — as part of the email, not double-counted as an IP).
 
     Pure codegen (regexp_count + chained regexp_replace): runs scan-side
     at full scan speed, no shuffle, no Python — the only acceptable shape
     for a pass that must touch every byte of a 100 TB corpus."""
     c = F.col(text_col)
     n_emails = F.regexp_count(c, F.lit(PII_EMAIL_RE)).cast("long")
-    n_ips = F.regexp_count(c, F.lit(PII_IP_RE)).cast("long")
-    n_phones = F.regexp_count(c, F.lit(PII_PHONE_RE)).cast("long")
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>"),
-            PII_IP_RE, "<IP>",
-        ),
-        PII_PHONE_RE, "<PHONE>",
-    )
+    after_email = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    n_ips = F.regexp_count(after_email, F.lit(PII_IP_RE)).cast("long")
+    after_ip = F.regexp_replace(after_email, PII_IP_RE, "<IP>")
+    n_phones = F.regexp_count(after_ip, F.lit(PII_PHONE_RE)).cast("long")
+    redacted = F.regexp_replace(after_ip, PII_PHONE_RE, "<PHONE>")
     return docs.select(
         "doc_id",
         redacted.alias("redacted"),

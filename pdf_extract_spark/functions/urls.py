@@ -40,7 +40,11 @@ def canonical_url(url: Column) -> Column:
     )
     path = F.regexp_extract(url, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # the query must come from the PRE-fragment part: an unanchored
+    # \?(...) would resurface a '?' inside the fragment as a query
+    # ('http://h.io/p#a?b=1' must canonicalize to 'http://h.io/p')
+    prefrag = F.regexp_extract(url, r"^([^#]*)", 1)
+    query = F.regexp_extract(prefrag, r"\?(.*)", 1)
     kept = F.array_sort(
         F.filter(
             F.split(query, "&"),
@@ -53,7 +57,13 @@ def canonical_url(url: Column) -> Column:
     qpart = F.when(
         F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
     ).otherwise(F.lit(""))
-    return F.concat(scheme, F.lit("://"), host, path, qpart)
+    # validity guard: a relative/schemeless/junk URL has no scheme or host
+    # to normalize — fall back to the verbatim input so malformed rows
+    # dedup only on exact equality, instead of ALL collapsing onto one
+    # ':///' key (a corpus-wide hot group and mass false dedup)
+    return F.when(
+        (scheme == "") | (host == ""), url
+    ).otherwise(F.concat(scheme, F.lit("://"), host, path, qpart))
 
 
 def url_dedup(docs: DataFrame, url_col: str = "url",

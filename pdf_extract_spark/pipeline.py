@@ -150,13 +150,12 @@ def corpus_pipeline(
     return stages
 
 
-def funnel_report(stages: dict[str, DataFrame]) -> list[tuple[str, int]]:
-    """Count every stage frame in ONE Spark job: the per-stage counts are
-    unioned as tagged single-row aggregates and collected together, so the
-    funnel costs one action (scanning each cached spine once) instead of
-    one job per stage — the per-run health table a 100 TB pipeline
-    publishes so drops are attributable to a stage, not discovered at
-    training time."""
+def funnel_frame(stages: dict[str, DataFrame]) -> DataFrame:
+    """The per-stage counts as ONE DataFrame (stage_idx, stage, n_docs):
+    tagged single-row aggregates unioned together, so materializing the
+    whole funnel costs one Spark job (scanning each cached spine once)
+    instead of one job per stage.  Shared by funnel_report and the
+    corpus_funnel oracle query so the two can never drift."""
     import functools
 
     parts = [
@@ -167,12 +166,16 @@ def funnel_report(stages: dict[str, DataFrame]) -> list[tuple[str, int]]:
         )
         for i, (name, df) in enumerate(stages.items())
     ]
-    rows = (
-        functools.reduce(DataFrame.unionByName, parts)
-        .orderBy("stage_idx")
-        .collect()
-    )
-    return [(r["stage"], r["n_docs"]) for r in rows]
+    return functools.reduce(DataFrame.unionByName, parts).orderBy("stage_idx")
+
+
+def funnel_report(stages: dict[str, DataFrame]) -> list[tuple[str, int]]:
+    """Count every stage frame in ONE Spark job — the per-run health table
+    a 100 TB pipeline publishes so drops are attributable to a stage, not
+    discovered at training time."""
+    return [
+        (r["stage"], r["n_docs"]) for r in funnel_frame(stages).collect()
+    ]
 
 
 def release_stages(stages: dict[str, DataFrame]) -> None:

@@ -564,22 +564,26 @@ WITH injected AS (
   SELECT doc_id, text,
          '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}' AS email_re,
          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b' AS ip_re,
-         '\b\d{3}[\-]\d{3}[\-]\d{4}\b|\+\d{1,2}[ ]\d{3}[ ]\d{3}[ ]\d{4}' AS phone_re
+         '\b\d{3}[\-]\d{3}[\-]\d{4}\b|\+\d{1,2}[ ]\d{3}[ ]\d{3}[ ]\d{4}\b' AS phone_re
   FROM injected
+), steps AS (
+  -- sequential counting (each count on the text AFTER prior replacements)
+  -- mirrors pii_redact: counts == placeholder tokens actually inserted
+  SELECT doc_id, text, email_re, ip_re, phone_re,
+         regexp_replace(text, email_re, '<EMAIL>', 'g') AS t1
+  FROM pat
+), steps2 AS (
+  SELECT *, regexp_replace(t1, ip_re, '<IP>', 'g') AS t2 FROM steps
 )
 SELECT doc_id,
-       regexp_replace(
-         regexp_replace(
-           regexp_replace(text, email_re, '<EMAIL>', 'g'),
-           ip_re, '<IP>', 'g'),
-         phone_re, '<PHONE>', 'g') AS redacted,
+       regexp_replace(t2, phone_re, '<PHONE>', 'g') AS redacted,
        CAST(len(regexp_extract_all(text, email_re)) AS BIGINT) AS n_emails,
-       CAST(len(regexp_extract_all(text, ip_re)) AS BIGINT) AS n_ips,
-       CAST(len(regexp_extract_all(text, phone_re)) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(t1, ip_re)) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(t2, phone_re)) AS BIGINT) AS n_phones,
        (len(regexp_extract_all(text, email_re))
-        + len(regexp_extract_all(text, ip_re))
-        + len(regexp_extract_all(text, phone_re))) > 0 AS has_pii
-FROM pat
+        + len(regexp_extract_all(t1, ip_re))
+        + len(regexp_extract_all(t2, phone_re))) > 0 AS has_pii
+FROM steps2
 ORDER BY doc_id
 """
 
@@ -598,23 +602,33 @@ WITH urls AS (
          lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
          lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)) AS hostport,
          regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS rawpath,
-         regexp_extract(url, '\?([^#]*)', 1) AS rawq
+         -- query from the PRE-fragment part only (a '?' inside the
+         -- fragment is not a query)
+         regexp_extract(regexp_extract(url, '^([^#]*)', 1), '\?(.*)', 1) AS rawq
   FROM urls
+), hosted AS (
+  SELECT *,
+         CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+              ELSE hostport END AS host
+  FROM parts
 ), canon AS (
   SELECT doc_id, url,
-         scheme || '://'
-         || CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
-                 WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
-                 ELSE hostport END
-         || CASE WHEN rawpath = '' THEN '/' ELSE rawpath END
-         || CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
-                 ELSE '' END AS canonical_url
+         -- validity guard mirrors canonical_url: schemeless/hostless URLs
+         -- keep their verbatim form (exact-equality dedup only)
+         CASE WHEN scheme = '' OR host = '' THEN url
+              ELSE scheme || '://' || host
+                   || CASE WHEN rawpath = '' THEN '/' ELSE rawpath END
+                   || CASE WHEN len(kept) > 0
+                           THEN '?' || array_to_string(kept, '&')
+                           ELSE '' END
+         END AS canonical_url
   FROM (
     SELECT *,
            list_sort(list_filter(str_split(rawq, '&'),
              p -> p <> '' AND NOT regexp_matches(
                     p, '^(utm_[A-Za-z0-9_]*|fbclid|gclid)='))) AS kept
-    FROM parts
+    FROM hosted
   )
 ), grp AS (
   SELECT canonical_url, min(doc_id) AS keep_id,
@@ -775,24 +789,12 @@ def corpus_funnel(spark, sf_dir):
     matches this corpus' register (the synthetic vocabulary carries only
     'the' from the Gopher list); no quota/sampling so the funnel is
     deterministic end-to-end."""
-    import functools
-
-    from pyspark.sql import DataFrame
-
-    from .pipeline import corpus_pipeline
+    from .pipeline import corpus_pipeline, funnel_frame
 
     stages = corpus_pipeline(
         load(spark, sf_dir, "documents"), min_stopwords=1
     )
-    parts = [
-        df.agg(F.count("*").cast("long").alias("n_docs")).select(
-            F.lit(i).cast("int").alias("stage_idx"),
-            F.lit(name).alias("stage"),
-            "n_docs",
-        )
-        for i, (name, df) in enumerate(stages.items())
-    ]
-    return functools.reduce(DataFrame.unionByName, parts).orderBy("stage_idx")
+    return funnel_frame(stages)
 
 
 # The full pipeline, independently re-implemented in DuckDB SQL: Gopher +

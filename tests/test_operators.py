@@ -724,6 +724,8 @@ def test_pii_redact(spark):
             (3, "call 555-123-4567 or +1 800 555 0199 now"),
             (4, "no pii here at all"),
             (5, "mixed a@b.co 1.2.3.4 555-000-1111"),
+            (6, "call +1 800 555 01999 now"),   # 5-digit tail: NOT a phone
+            (7, "mail admin@192.168.1.1.example.com x"),  # IP inside email host
         ],
         "doc_id long, text string",
     )
@@ -737,6 +739,15 @@ def test_pii_redact(spark):
     assert rows[4]["redacted"] == "no pii here at all"
     assert rows[4]["has_pii"] is False
     assert rows[5]["redacted"] == "mixed <EMAIL> <IP> <PHONE>"
+    # no partial-prefix redaction: a 5-digit tail breaks the word boundary,
+    # so the text passes through UNREDACTED and counted as 0 (never
+    # '<PHONE>9' — a half-redacted number is worse than none)
+    assert rows[6]["redacted"] == "call +1 800 555 01999 now"
+    assert rows[6]["n_phones"] == 0
+    # an IPv4 inside an email host is redacted AND counted as the email
+    # only: counts must equal placeholder tokens inserted
+    assert rows[7]["redacted"] == "mail <EMAIL> x"
+    assert rows[7]["n_emails"] == 1 and rows[7]["n_ips"] == 0
 
 
 def test_canonical_url(spark):
@@ -752,6 +763,13 @@ def test_canonical_url(spark):
         ("http://h.io/?gclid=abc&fbclid=z", "http://h.io/"),
         ("http://h.io/p?z=9", "http://h.io/p?z=9"),
         ("ftp://Mixed.Case/file", "ftp://mixed.case/file"),  # unknown scheme: port rules off
+        # a '?' inside the fragment is NOT a query
+        ("http://h.io/p#a?b=1", "http://h.io/p"),
+        # schemeless/relative/junk URLs keep their verbatim form (never
+        # collapse onto a shared ':///' key)
+        ("example.com/a", "example.com/a"),
+        ("/relative/path", "/relative/path"),
+        ("not a url at all", "not a url at all"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
