@@ -137,6 +137,70 @@ def make_png(w: int, h: int, color_type: int = 0) -> bytes:
     )
 
 
+def make_png_raw(pixels, color_type: int = 0,
+                 filters: list[int] | None = None) -> bytes:
+    """Spec-correct PNG encoder over ARBITRARY pixel content with
+    per-row filter-type control — the property-test counterpart of
+    make_png's fixed-formula fixture.  `pixels` is an HxWxC uint8 array
+    (C = 1/3/4 matching color_type 0/2/6); `filters[y]` picks the row
+    filter (default y % 5).  The expectation is always `pixels` verbatim:
+    filters are an encoding choice the decoder must undo exactly."""
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, nch = arr.shape
+    assert nch == {0: 1, 2: 3, 6: 4}[color_type]
+    filters = filters or [y % 5 for y in range(h)]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    prev = [0] * (w * nch)
+    for y in range(h):
+        row = [int(v) for v in arr[y].reshape(-1)]
+        ft = filters[y]
+        raw.append(ft)
+        if ft == 0:
+            filt = row
+        elif ft == 1:  # Sub
+            filt = [
+                (row[i] - (row[i - nch] if i >= nch else 0)) & 255
+                for i in range(len(row))
+            ]
+        elif ft == 2:  # Up
+            filt = [(row[i] - prev[i]) & 255 for i in range(len(row))]
+        elif ft == 3:  # Average
+            filt = [
+                (row[i] - (((row[i - nch] if i >= nch else 0) + prev[i]) >> 1)) & 255
+                for i in range(len(row))
+            ]
+        else:  # Paeth
+            filt = []
+            for i in range(len(row)):
+                a = row[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt.append((row[i] - pr) & 255)
+        raw += bytes(filt)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 # Baseline-JPEG handcrafting (ITU-T T.81): DC-only flat 8x8 blocks with an
 # all-ones quant table decode to EXACTLY pixel = F(0,0)/8 + 128, so fixture
 # expectations are closed-form.  DC Huffman table = the public Annex K.3.3.1

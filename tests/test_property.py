@@ -279,3 +279,34 @@ def test_png_roundtrip_random_dims(w, h, ct):
     for y in range(h):
         for x in range(w):
             assert (img[y, x] == png_pixel(x, y)).all()
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    ct=st.sampled_from([0, 2, 6]),
+)
+@settings(max_examples=50, deadline=None)
+def test_png_roundtrip_random_content_and_filters(seed, ct):
+    """Arbitrary pixel content under randomly-chosen per-row filters must
+    decode verbatim: the fixed y%5 fixture schedule can mask a filter bug
+    that only shows against content it was never chosen for (e.g. Paeth
+    ties on noise, Average carries on saturated rows)."""
+    import numpy as np
+
+    from pdf_extract_spark.operators.multimodal import _decode_png
+    from pdf_extract_spark.sources.media_corpus import make_png_raw
+
+    rng = np.random.default_rng(seed)
+    nch = {0: 1, 2: 3, 6: 4}[ct]
+    w, h = int(rng.integers(1, 24)), int(rng.integers(1, 24))
+    pixels = rng.integers(0, 256, size=(h, w, nch), dtype=np.uint16).astype(np.uint8)
+    if ct == 6:
+        pixels[:, :, 3] = 255  # decoder drops alpha; keep it neutral
+    filters = rng.integers(0, 5, size=h).tolist()
+    img = _decode_png(make_png_raw(pixels, color_type=ct, filters=filters))
+    assert img.shape == (h, w, 3)
+    if ct == 0:
+        expect = np.repeat(pixels, 3, axis=2)
+    else:
+        expect = pixels[:, :, :3]
+    assert (img == expect).all(), (seed, ct, filters[:5])
