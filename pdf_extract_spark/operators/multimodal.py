@@ -3,7 +3,7 @@ with typed metadata, processed through Arrow-batched mapInPandas.
 
 Decode kernels, by honesty tier:
   * REAL, dependency-free: PPM (P6), uncompressed 24-bit BMP, and PNG
-    (8-bit gray/RGB/RGBA non-interlaced: stdlib zlib inflate + numpy
+    (8-bit gray/RGB/RGBA, non-interlaced + Adam7: stdlib zlib inflate + numpy
     scanline unfilter — all 5 RFC 2083 filter types) images, WAV audio
     (stdlib `wave` + numpy) and FLAC audio (operators/flac.py — RFC 9639
     frames: CONSTANT/VERBATIM/FIXED/LPC subframes, Rice residuals,
@@ -113,14 +113,21 @@ def _decode_bmp(payload: bytes):
     return rows[:, :, ::-1]  # BGR -> RGB
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per RFC 2083 §2.6
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
 def _decode_png(payload: bytes):
     """PNG -> HxWx3 uint8 array.  REAL, dependency-free: stdlib zlib
     inflates IDAT, and the scanline unfilter IS the engine's existing
     FlateDecode PNG-predictor kernel (pdfmini.filters.apply_predictor,
     Predictor 15 = per-row filter byte — the identical RFC 2083
     algorithm; one implementation to maintain).  Supported: 8-bit depth,
-    color types 0 (gray), 2 (RGB), 6 (RGBA; alpha dropped),
-    non-interlaced — the dominant web shapes.  Anything else raises
+    color types 0 (gray), 2 (RGB), 6 (RGBA; alpha dropped), both
+    non-interlaced and Adam7-interlaced.  Anything else raises
     NotImplementedError and falls to the tagged stub tier."""
     import struct
     import zlib
@@ -149,7 +156,7 @@ def _decode_png(payload: bytes):
             break
     if w is None or not idat:
         raise ValueError("truncated PNG")
-    if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 6):
+    if bit_depth != 8 or interlace not in (0, 1) or color_type not in (0, 2, 6):
         raise NotImplementedError(
             f"PNG depth={bit_depth} color_type={color_type} interlace={interlace}"
         )
@@ -157,12 +164,41 @@ def _decode_png(payload: bytes):
 
     bpp = {0: 1, 2: 3, 6: 4}[color_type]
     raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (1 + w * bpp):
-        raise ValueError("PNG data length mismatch")
-    flat = apply_predictor(
-        raw, {"Predictor": 15, "Colors": bpp, "BitsPerComponent": 8, "Columns": w}
-    )
-    img = np.frombuffer(flat, dtype=np.uint8, count=h * w * bpp).reshape(h, w, bpp)
+    if interlace == 0:
+        if len(raw) != h * (1 + w * bpp):
+            raise ValueError("PNG data length mismatch")
+        flat = apply_predictor(
+            raw, {"Predictor": 15, "Colors": bpp, "BitsPerComponent": 8, "Columns": w}
+        )
+        img = np.frombuffer(flat, dtype=np.uint8, count=h * w * bpp).reshape(
+            h, w, bpp
+        )
+    else:
+        # Adam7: seven consecutive sub-images, each filtered independently
+        # (empty passes contribute no bytes, not even filter bytes)
+        img = np.zeros((h, w, bpp), dtype=np.uint8)
+        pos2 = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            nbytes = ph * (1 + pw * bpp)
+            sub_raw = raw[pos2 : pos2 + nbytes]
+            pos2 += nbytes
+            if len(sub_raw) != nbytes:
+                raise ValueError("PNG interlaced data length mismatch")
+            flat = apply_predictor(
+                sub_raw,
+                {"Predictor": 15, "Colors": bpp, "BitsPerComponent": 8,
+                 "Columns": pw},
+            )
+            sub = np.frombuffer(flat, dtype=np.uint8, count=ph * pw * bpp).reshape(
+                ph, pw, bpp
+            )
+            img[y0::dy, x0::dx] = sub
+        if pos2 != len(raw):
+            raise ValueError("PNG interlaced data length mismatch")
     if color_type == 0:
         img = np.repeat(img, 3, axis=2)
     elif color_type == 6:

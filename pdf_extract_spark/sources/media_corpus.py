@@ -138,13 +138,17 @@ def make_png(w: int, h: int, color_type: int = 0) -> bytes:
 
 
 def make_png_raw(pixels, color_type: int = 0,
-                 filters: list[int] | None = None) -> bytes:
+                 filters: list[int] | None = None,
+                 interlace: bool = False) -> bytes:
     """Spec-correct PNG encoder over ARBITRARY pixel content with
     per-row filter-type control — the property-test counterpart of
     make_png's fixed-formula fixture.  `pixels` is an HxWxC uint8 array
     (C = 1/3/4 matching color_type 0/2/6); `filters[y]` picks the row
-    filter (default y % 5).  The expectation is always `pixels` verbatim:
-    filters are an encoding choice the decoder must undo exactly."""
+    filter (default y % 5).  With `interlace` the stream carries the
+    seven Adam7 sub-images (each filtered independently, empty passes
+    omitted entirely); filter choice then cycles per sub-image row.  The
+    expectation is always `pixels` verbatim: filters and interlacing are
+    encoding choices the decoder must undo exactly."""
     import zlib
 
     import numpy as np
@@ -152,7 +156,6 @@ def make_png_raw(pixels, color_type: int = 0,
     arr = np.asarray(pixels, dtype=np.uint8)
     h, w, nch = arr.shape
     assert nch == {0: 1, 2: 3, 6: 4}[color_type]
-    filters = filters or [y % 5 for y in range(h)]
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         return (
@@ -160,39 +163,58 @@ def make_png_raw(pixels, color_type: int = 0,
             + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
         )
 
-    raw = bytearray()
-    prev = [0] * (w * nch)
-    for y in range(h):
-        row = [int(v) for v in arr[y].reshape(-1)]
-        ft = filters[y]
-        raw.append(ft)
-        if ft == 0:
-            filt = row
-        elif ft == 1:  # Sub
-            filt = [
-                (row[i] - (row[i - nch] if i >= nch else 0)) & 255
-                for i in range(len(row))
-            ]
-        elif ft == 2:  # Up
-            filt = [(row[i] - prev[i]) & 255 for i in range(len(row))]
-        elif ft == 3:  # Average
-            filt = [
-                (row[i] - (((row[i - nch] if i >= nch else 0) + prev[i]) >> 1)) & 255
-                for i in range(len(row))
-            ]
-        else:  # Paeth
-            filt = []
-            for i in range(len(row)):
-                a = row[i - nch] if i >= nch else 0
-                b = prev[i]
-                c = prev[i - nch] if i >= nch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                filt.append((row[i] - pr) & 255)
-        raw += bytes(filt)
-        prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    def filter_image(sub: "np.ndarray", fts: list[int]) -> bytearray:
+        sh, sw = sub.shape[0], sub.shape[1]
+        raw = bytearray()
+        prev = [0] * (sw * nch)
+        for y in range(sh):
+            row = [int(v) for v in sub[y].reshape(-1)]
+            ft = fts[y]
+            raw.append(ft)
+            if ft == 0:
+                filt = row
+            elif ft == 1:  # Sub
+                filt = [
+                    (row[i] - (row[i - nch] if i >= nch else 0)) & 255
+                    for i in range(len(row))
+                ]
+            elif ft == 2:  # Up
+                filt = [(row[i] - prev[i]) & 255 for i in range(len(row))]
+            elif ft == 3:  # Average
+                filt = [
+                    (row[i] - (((row[i - nch] if i >= nch else 0) + prev[i]) >> 1))
+                    & 255
+                    for i in range(len(row))
+                ]
+            else:  # Paeth
+                filt = []
+                for i in range(len(row)):
+                    a = row[i - nch] if i >= nch else 0
+                    b = prev[i]
+                    c = prev[i - nch] if i >= nch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    filt.append((row[i] - pr) & 255)
+            raw += bytes(filt)
+            prev = row
+        return raw
+
+    if not interlace:
+        fts = filters or [y % 5 for y in range(h)]
+        raw = filter_image(arr, fts)
+    else:
+        # Adam7 pass grid per RFC 2083 §2.6
+        raw = bytearray()
+        for x0, y0, dx, dy in [
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ]:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            raw += filter_image(sub, [y % 5 for y in range(sub.shape[0])])
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0)
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -861,20 +883,33 @@ def _gif_lzw_encode(indices: list[int], min_code: int) -> bytes:
 
 
 def make_gif_lzw(w: int, h: int, bits: int = 2,
-                 indices: list[int] | None = None) -> bytes:
+                 indices: list[int] | None = None,
+                 interlace: bool = False) -> bytes:
     """GIF89a bytes whose image data is REALLY LZW-compressed (see
     _gif_lzw_encode) — same container and palette as make_gif (palette
     entry i is gray i*255//(2^bits-1)); `indices` defaults to the same
-    (x+y) % 2^bits pattern so expectations stay closed-form."""
+    (x+y) % 2^bits pattern so expectations stay closed-form.  With
+    `interlace` the rows are written in appendix-E 4-pass order and the
+    descriptor's interlace flag set — the decoder must scatter them
+    back."""
     n = 1 << bits
     if indices is None:
         indices = [(x + y) % n for y in range(h) for x in range(w)]
     assert len(indices) == w * h and all(0 <= i < n for i in indices)
+    if interlace:
+        # appendix-E pass order, spelled out here independently of the
+        # decoder's inverse (tests pin both against a hand-derived KAT)
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        rows = [indices[y * w : (y + 1) * w] for y in range(h)]
+        indices = [v for y in order for v in rows[y]]
     palette = b"".join(bytes([i * 255 // (n - 1)] * 3) for i in range(n))
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
     out += palette
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
     out += bytes([bits])
     coded = _gif_lzw_encode(indices, bits)
     for i in range(0, len(coded), 255):
@@ -1315,5 +1350,17 @@ def synthetic_media_rows() -> list[tuple[str, str, bytes]]:
     # a REALLY-compressed GIF (dictionary codes, width growth) beside the
     # uncompressed-technique fixtures; same closed-form pixel pattern
     rows.append(("gif-lzw-4bit-40x30", "image", make_gif_lzw(40, 30, 4)))
+    # interlaced variants: Adam7 PNG and 4-pass GIF with the same
+    # closed-form pixel formulas as their progressive twins
+    import numpy as np
+
+    px = np.array(
+        [[[png_pixel(x, y)] for x in range(21)] for y in range(17)],
+        dtype=np.uint8,
+    )
+    rows.append(("png-adam7-gray-21x17", "image",
+                 make_png_raw(px, color_type=0, interlace=True)))
+    rows.append(("gif-interlaced-4bit-19x13", "image",
+                 make_gif_lzw(19, 13, 4, interlace=True)))
     rows.extend(fuzz_media_rows())
     return rows

@@ -30,12 +30,18 @@ def test_gif_extension_blocks_skipped():
     assert img[0, 1, 0] == gif_gray(2, 1, 0)
 
 
-def test_gif_interlaced_raises():
+def test_gif_interlace_flag_permutes_rows():
+    """Setting the interlace flag on an otherwise-unchanged stream must
+    decode to the row-scattered image: stream row i lands at display row
+    order[i] (h=4 -> stream order [0, 2, 1, 3])."""
     data = bytearray(make_gif(6, 4, 2))
+    plain = decode_gif(make_gif(6, 4, 2))
     i = data.find(b"\x2c")
     data[i + 9] |= 0x40  # set interlace flag in the image descriptor
-    with pytest.raises(NotImplementedError):
-        decode_gif(bytes(data))
+    inter = decode_gif(bytes(data))
+    import numpy as np
+
+    assert (inter == plain[np.argsort([0, 2, 1, 3], kind="stable")]).all()
 
 
 def test_gif_garbage_raises():
@@ -121,3 +127,29 @@ def test_gif_lzw_random_roundtrip(seed):
     indices = indices[:total]
     img = decode_gif(make_gif_lzw(w, h, bits, indices=indices))
     assert (img == _expect_img(w, h, bits, indices)).all(), (seed, bits, w, h)
+
+
+def test_gif_interlace_row_order_kat():
+    """Hand-derived appendix-E order for h=10 (pass1: 0,8; pass2: 4;
+    pass3: 2,6; pass4: 1,3,5,7,9) — pins the shared spec math
+    independently of both encoder and decoder."""
+    from pdf_extract_spark.operators.gif import _interlace_rows
+
+    assert _interlace_rows(10).tolist() == [0, 8, 4, 2, 6, 1, 3, 5, 7, 9]
+    assert _interlace_rows(1).tolist() == [0]
+    assert _interlace_rows(5).tolist() == [0, 4, 2, 1, 3]
+
+
+@pytest.mark.parametrize("h", [1, 2, 3, 5, 8, 9, 16, 33])
+def test_gif_interlaced_decodes_like_progressive(h):
+    """An interlaced GIF must decode to the same pixels as its
+    non-interlaced twin, for heights around every pass boundary."""
+    from pdf_extract_spark.sources.media_corpus import make_gif_lzw
+
+    w, bits = 11, 4
+    rng = np.random.default_rng(h)
+    indices = rng.integers(0, 16, size=w * h).tolist()
+    plain = decode_gif(make_gif_lzw(w, h, bits, indices=indices))
+    inter = decode_gif(make_gif_lzw(w, h, bits, indices=indices, interlace=True))
+    assert (plain == inter).all()
+    assert (plain == _expect_img(w, h, bits, indices)).all()

@@ -310,3 +310,31 @@ def test_png_roundtrip_random_content_and_filters(seed, ct):
     else:
         expect = pixels[:, :, :3]
     assert (img == expect).all(), (seed, ct, filters[:5])
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    ct=st.sampled_from([0, 2, 6]),
+)
+@settings(max_examples=50, deadline=None)
+def test_png_adam7_roundtrip(seed, ct):
+    """Adam7-interlaced streams decode verbatim: seven independently
+    filtered sub-images scattered back onto the pass grid, including
+    dimensions small enough that some passes are empty (w or h < 5
+    leaves pass 2/3/... with zero pixels and no bytes)."""
+    import numpy as np
+
+    from pdf_extract_spark.operators.multimodal import _decode_png
+    from pdf_extract_spark.sources.media_corpus import make_png_raw
+
+    rng = np.random.default_rng(seed)
+    nch = {0: 1, 2: 3, 6: 4}[ct]
+    w, h = int(rng.integers(1, 24)), int(rng.integers(1, 24))
+    pixels = rng.integers(0, 256, size=(h, w, nch), dtype=np.uint16).astype(np.uint8)
+    if ct == 6:
+        pixels[:, :, 3] = 255
+    img = _decode_png(make_png_raw(pixels, color_type=ct, interlace=True))
+    plain = _decode_png(make_png_raw(pixels, color_type=ct))
+    assert (img == plain).all(), (seed, ct, w, h)
+    expect = np.repeat(pixels, 3, axis=2) if ct == 0 else pixels[:, :, :3]
+    assert (img == expect).all(), (seed, ct, w, h)

@@ -45,6 +45,7 @@ from pdf_extract_spark.sources.media_corpus import (  # noqa: E402
     make_flac,
     make_jpeg_progressive,
     make_png,
+    make_png_raw,
     make_ppm,
     make_wav,
     png_pixel,
@@ -117,6 +118,24 @@ def golden_rows():
     feat = [gif_gray(bits, x, y) / 255.0 for y in ys for x in xs]
     rows.append(
         ("gif-lzw-4bit-40x30", "image", make_gif_lzw(w, h, bits), w, h, feat, "gif")
+    )
+    # interlaced variants: same pixel formulas, reordered on the wire
+    w, h = 21, 17
+    xs, ys = thumb_indices(w), thumb_indices(h)
+    feat = [png_pixel(x, y) / 255.0 for y in ys for x in xs]
+    px = np.array(
+        [[[png_pixel(x, y)] for x in range(w)] for y in range(h)], dtype=np.uint8
+    )
+    rows.append(
+        ("png-adam7-gray-21x17", "image",
+         make_png_raw(px, color_type=0, interlace=True), w, h, feat, "png")
+    )
+    w, h, bits = 19, 13, 4
+    xs, ys = thumb_indices(w), thumb_indices(h)
+    feat = [gif_gray(bits, x, y) / 255.0 for y in ys for x in xs]
+    rows.append(
+        ("gif-interlaced-4bit-19x13", "image",
+         make_gif_lzw(w, h, bits, interlace=True), w, h, feat, "gif")
     )
     for name, payload in STUB_SPECS:
         w, h, feat = stub_expect(payload)
