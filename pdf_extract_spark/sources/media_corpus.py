@@ -283,19 +283,29 @@ class _BitWriter:
 
 
 def make_jpeg(block_vals: list[list[int]], color: bool = False,
-              subsample420: bool = False, restart_interval: int = 0) -> bytes:
+              subsample420: bool = False, restart_interval: int = 0,
+              subsample: str | None = None, dc_quant: int = 1) -> bytes:
     """Baseline JFIF bytes for a grid of flat 8x8 blocks: pixel value of
     block (r, c) = block_vals[r][c] (0..255 integers).  With `color`, a
     3-component image with Cb = Cr = 128 (decodes to gray RGB exactly);
     with `subsample420` (implies color), Y is 2x2-sampled vs 1x1 chroma —
     the dominant web-JPEG layout — and the block grid must be even.
     `restart_interval` > 0 emits a DRI segment and RSTn markers every N
-    MCUs (DC predictors reset, markers cycle D0-D7)."""
+    MCUs (DC predictors reset, markers cycle D0-D7).  `subsample` names
+    the chroma layout explicitly ('444'/'420'/'422' — 4:2:2 is the classic
+    digital-video layout: Y 2x1-sampled, one MCU = 2 Y + Cb + Cr);
+    `dc_quant` > 1 writes a DQT whose DC entry is that step and emits
+    QUANTIZED coefficients, so the decoder's dequantize path multiplies by
+    a non-trivial step (grid values must keep (v-128)*8 divisible by it)."""
     rows, cols = len(block_vals), len(block_vals[0])
     w, h = cols * 8, rows * 8
-    if subsample420:
+    mode = subsample or ("420" if subsample420 else "444")
+    if mode == "420":
         color = True
         assert rows % 2 == 0 and cols % 2 == 0, "4:2:0 needs an even grid"
+    elif mode == "422":
+        color = True
+        assert cols % 2 == 0, "4:2:2 needs an even column count"
     dc = _huff_codes(_JPEG_DC_COUNTS, _JPEG_DC_SYMBOLS)
     ac = _huff_codes(_JPEG_AC_COUNTS, _JPEG_AC_SYMBOLS)
 
@@ -303,10 +313,11 @@ def make_jpeg(block_vals: list[list[int]], color: bool = False,
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
     out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # DQT id 0, all ones
+    # DQT id 0: DC step = dc_quant, AC steps 1 (zigzag position 0 is DC)
+    out += seg(0xDB, bytes([0x00, dc_quant]) + bytes([1] * 63))
     ncomp = 3 if color else 1
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    y_hv = 0x22 if subsample420 else 0x11
+    y_hv = {"444": 0x11, "420": 0x22, "422": 0x21}[mode]
     for cid in range(1, ncomp + 1):
         sof += bytes([cid, y_hv if cid == 1 else 0x11, 0])
     out += seg(0xC0, sof)
@@ -339,22 +350,37 @@ def make_jpeg(block_vals: list[list[int]], color: bool = False,
         code, length = ac[0x00]  # EOB: no AC coefficients
         bw.put(code, length)
 
+    def qdc(v: int) -> int:
+        dc = (v - 128) * 8
+        assert dc % dc_quant == 0, "grid value not exact under dc_quant"
+        return dc // dc_quant
+
     # MCU list first, so restart markers can slice the stream uniformly
     mcus: list[list[tuple[int, int]]] = []
-    if subsample420:
+    if mode == "420":
         for mr in range(rows // 2):
             for mc in range(cols // 2):
                 # MCU: 4 Y blocks (2x2, raster) then one Cb, one Cr
                 mcu = [
-                    (1, (block_vals[mr * 2 + by][mc * 2 + bx] - 128) * 8)
+                    (1, qdc(block_vals[mr * 2 + by][mc * 2 + bx]))
                     for by in range(2) for bx in range(2)
                 ]
                 mcus.append(mcu + [(2, 0), (3, 0)])
+    elif mode == "422":
+        for r in range(rows):
+            for mc in range(cols // 2):
+                # MCU: 2 Y blocks side by side then one Cb, one Cr
+                mcu = [
+                    (1, qdc(block_vals[r][mc * 2])),
+                    (1, qdc(block_vals[r][mc * 2 + 1])),
+                    (2, 0), (3, 0),
+                ]
+                mcus.append(mcu)
     else:
         for r in range(rows):
             for c in range(cols):
                 # MCU order (4:4:4 / gray): Y block then Cb, Cr
-                mcu = [(1, (block_vals[r][c] - 128) * 8)]
+                mcu = [(1, qdc(block_vals[r][c]))]
                 if color:
                     mcu += [(2, 0), (3, 0)]
                 mcus.append(mcu)

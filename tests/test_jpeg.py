@@ -258,3 +258,33 @@ def test_jpeg_progressive_random_roundtrip(seed):
             assert (np.abs(got.astype(int) - want.astype(int)) <= 1).all(), (
                 seed, r, c, restart, split,
             )
+
+
+def test_jpeg_422_subsampling_decodes_exactly():
+    """4:2:2 (Y 2x1-sampled vs chroma — the classic digital-video layout)
+    through the generic hmax/vmax upsampler: flat gray blocks decode to
+    the exact grid values, including with restart markers."""
+    grid = [[8, 48, 96, 248], [248, 96, 48, 8], [120, 136, 152, 168]]
+    img = decode_jpeg(make_jpeg(grid, subsample="422"))
+    h, w = len(grid) * 8, len(grid[0]) * 8
+    assert img.shape == (h, w, 3)
+    for r, row in enumerate(grid):
+        for c, v in enumerate(row):
+            blk = img[r * 8 : (r + 1) * 8, c * 8 : (c + 1) * 8]
+            assert (blk == v).all(), (r, c, np.unique(blk))
+    with_rst = decode_jpeg(make_jpeg(grid, subsample="422", restart_interval=2))
+    assert (with_rst == img).all()
+
+
+def test_jpeg_nontrivial_quant_table_dequantizes():
+    """A DQT with DC step 16 forces the decoder's dequantize multiply to
+    matter: quantized coefficients x16 must reconstruct the exact grid
+    (values chosen so (v-128)*8 is divisible by 16, i.e. v even)."""
+    grid = [[0, 64, 128, 254], [254, 128, 64, 0]]
+    base = decode_jpeg(make_jpeg(grid))
+    quant = decode_jpeg(make_jpeg(grid, dc_quant=16))
+    assert (quant == base).all()
+    for r, row in enumerate(grid):
+        for c, v in enumerate(row):
+            blk = quant[r * 8 : (r + 1) * 8, c * 8 : (c + 1) * 8]
+            assert (blk == v).all(), (r, c)
