@@ -416,6 +416,19 @@ PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PII_PHONE_RE = r"\b\d{3}[\-]\d{3}[\-]\d{4}\b|\+\d{1,2}[ ]\d{3}[ ]\d{3}[ ]\d{4}\b"
 
 
+def pii_redact_expr(c: Column) -> Column:
+    """The full redaction chain as ONE column expression (no counts) —
+    for callers that only want the scrubbed text as a narrow scan-side
+    rewrite (e.g. corpus_pipeline's final stage), with no join."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>"),
+            PII_IP_RE, "<IP>",
+        ),
+        PII_PHONE_RE, "<PHONE>",
+    )
+
+
 def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """PII scrubbing (the CCNet/Dolma-style pre-release pass): replace
     emails, IPv4 addresses, and phone numbers with typed placeholder
@@ -434,7 +447,7 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n_ips = F.regexp_count(after_email, F.lit(PII_IP_RE)).cast("long")
     after_ip = F.regexp_replace(after_email, PII_IP_RE, "<IP>")
     n_phones = F.regexp_count(after_ip, F.lit(PII_PHONE_RE)).cast("long")
-    redacted = F.regexp_replace(after_ip, PII_PHONE_RE, "<PHONE>")
+    redacted = pii_redact_expr(c)
     return docs.select(
         "doc_id",
         redacted.alias("redacted"),

@@ -31,6 +31,7 @@ from .functions.text import (
     decontaminate,
     fingerprint,
     gopher_keep_expr,
+    pii_redact_expr,
     repetition_signals,
     source_quota_cap,
     stratified_sample,
@@ -93,6 +94,7 @@ def corpus_pipeline(
     sample_default_pct: int = 100,
     min_stopwords: int = 2,
     checkpoint_dir: str | None = None,
+    redact_pii: bool = False,
 ) -> dict[str, DataFrame]:
     """Run the full corpus-construction flow; returns the stage frames
     keyed by stage name (each a filter of the previous — count them for
@@ -102,7 +104,10 @@ def corpus_pipeline(
     benchmark proxy for decontamination (in production, pass the real
     benchmark corpus through `functions.text.decontaminate` directly).
     `quota_cap` / `sample_rates`: optional anti-domination cap and
-    per-source mixing percentages (100 = keep all)."""
+    per-source mixing percentages (100 = keep all).  `redact_pii`
+    rewrites the final stage's text through `pii_redact` (a narrow
+    scan-side pass — the standard pre-release scrub); doc counts are
+    unchanged, so the funnel stays comparable either way."""
     stages: dict[str, DataFrame] = {"ingested": docs}
 
     # degenerate-source defense: a corpus that arrives in fewer splits
@@ -146,6 +151,9 @@ def corpus_pipeline(
         mixed = stratified_sample(
             mixed, rates=sample_rates or {}, default_pct=sample_default_pct
         )
+    if redact_pii:
+        # narrow in-place column rewrite — no join, no shuffle
+        mixed = mixed.withColumn(text_col, pii_redact_expr(F.col(text_col)))
     stages["final"] = mixed
     return stages
 

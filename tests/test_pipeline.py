@@ -113,3 +113,28 @@ def test_corpus_job_spark_submit(tmp_path):
         "GROUP BY source)"
     ).fetchone()[0]
     assert max_per_src <= 40
+
+
+def test_corpus_pipeline_redact_pii(spark):
+    """redact_pii=True rewrites the final stage's text in place (same doc
+    set, PII replaced) via a narrow column expression — no join."""
+    from pdf_extract_spark.pipeline import corpus_pipeline, release_stages
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = base.withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit(" contact me at leak@example.com")),
+    )
+    stages = corpus_pipeline(docs, min_stopwords=1, redact_pii=True)
+    final = stages["final"]
+    rows = final.limit(50).collect()
+    assert rows, "pipeline dropped everything"
+    assert all("<EMAIL>" in r["text"] for r in rows)
+    assert all("leak@example.com" not in r["text"] for r in rows)
+    # same survivors as the unredacted run
+    stages2 = corpus_pipeline(docs, min_stopwords=1)
+    a = sorted(r["doc_id"] for r in final.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in stages2["final"].select("doc_id").collect())
+    assert a == b
+    release_stages(stages)
+    release_stages(stages2)
