@@ -38,6 +38,9 @@ def main(argv=None) -> None:
     p.add_argument("--checkpoint-dir", default=None,
                    help="reliable checkpoint dir for connected components "
                         "(recommended on a real cluster)")
+    p.add_argument("--redact-pii", action="store_true",
+                   help="scrub emails/IPs/phones from the final corpus "
+                        "(narrow scan-side rewrite)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -55,6 +58,7 @@ def main(argv=None) -> None:
         quota_cap=args.quota_cap,
         sample_default_pct=args.sample_pct,
         checkpoint_dir=args.checkpoint_dir,
+        redact_pii=args.redact_pii,
     )
 
     stages["final"].write.mode("overwrite").parquet(f"{args.output}/corpus")
