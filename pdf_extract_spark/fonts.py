@@ -576,10 +576,6 @@ def _font_cache_key(doc, obj, depth: int = 0):
     in one shallow pass with no deref recursion."""
     if depth > 8:
         return _UNCACHEABLE
-    from .pdfmini.objects import Name as _Name
-    from .pdfmini.objects import PdfString as _PdfString
-    from .pdfmini.objects import Stream as _Stream
-
     if isinstance(obj, dict):
         items = []
         for k in sorted(obj):
@@ -599,11 +595,11 @@ def _font_cache_key(doc, obj, depth: int = 0):
     obj = doc.deref(obj)
     if obj is None or isinstance(obj, (bool, int, float)):
         return ("v", obj)
-    if isinstance(obj, _PdfString):
+    if isinstance(obj, PdfString):
         return ("s", bytes(obj))
-    if isinstance(obj, (_Name, str)):
+    if isinstance(obj, (Name, str)):
         return ("n", str(obj))
-    if isinstance(obj, _Stream):
+    if isinstance(obj, Stream):
         import hashlib
 
         d = _font_cache_key(doc, dict(obj.dict), depth + 1)
