@@ -25,6 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "q1_pricing_summary",
     "q3_top_urgent_revenue",
+    "q4_order_priority",
+    "q12_shipmode_priority",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
     "q5_nation_revenue",
     "q6_forecast_revenue",
     "top3_orders_per_customer",

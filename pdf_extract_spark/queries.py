@@ -111,6 +111,180 @@ LIMIT 10
 """
 
 
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: per-priority order counts where EXISTS a line item
+    shipped after the order date — a non-equi LEFT SEMI join (the
+    EXISTS-subquery plan) followed by a tiny-key aggregation."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (li.l_orderkey == orders.o_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q12_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12 shape: CASE-conditional counts inside one aggregation
+    (high- vs low-priority line counts per line status over a date
+    window) — the classic pivoted-sum pattern."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional-revenue ratio (PROMO parts' share of
+    discounted revenue in a shipping window) — conditional sum over a
+    fact-dim join reduced to one scalar."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .agg(
+            F.round(
+                100 * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
+                / F.sum(disc),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+Q14_SQL = """
+SELECT round(100 * sum(CASE WHEN p_type = 'PROMO'
+                            THEN l_extendedprice * (1 - l_discount)
+                            ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+"""
+
+
+def q18_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING over a grouped sum (orders whose total
+    line-item quantity exceeds a threshold) joined back to customers —
+    aggregation-as-filter feeding a join."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 150
+) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+def q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive brand/quantity bands
+    (OR-of-ANDs) over a fact-dim join — the predicate shape that tests
+    whether the optimizer still pushes the shared join key."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    band = (
+        ((F.col("p_brand") == "Brand#12") & (q >= 1) & (q <= 11))
+        | ((F.col("p_brand") == "Brand#23") & (q >= 10) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#34") & (q >= 20) & (q <= 30))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(band)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 def q5_nation_revenue(spark, sf_dir):
     """Multi-way star join: broadcast the small dims (region/nation) —
     Catalyst + AQE choose broadcast-hash, no sort-merge on the dims."""
@@ -1879,6 +2053,11 @@ def media_features(spark, sf_dir):
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_urgent_revenue": q3_top_urgent_revenue,
+    "q4_order_priority": q4_order_priority,
+    "q12_shipmode_priority": q12_shipmode_priority,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q19_discounted_revenue": q19_discounted_revenue,
     "q5_nation_revenue": q5_nation_revenue,
     "q6_forecast_revenue": q6_forecast_revenue,
     "top3_orders_per_customer": top3_orders_per_customer,
@@ -1926,6 +2105,11 @@ QUERIES = {
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "q3_top_urgent_revenue": Q3_SQL,
+    "q4_order_priority": Q4_SQL,
+    "q12_shipmode_priority": Q12_SQL,
+    "q14_promo_revenue": Q14_SQL,
+    "q18_large_volume_customers": Q18_SQL,
+    "q19_discounted_revenue": Q19_SQL,
     "q5_nation_revenue": Q5_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "top3_orders_per_customer": TOP3_SQL,
