@@ -216,3 +216,16 @@ def test_url_dedup_partial_aggregation(spark):
     txt = plan_of(url_dedup(docs))
     assert txt.count("HashAggregate") >= 2, txt[:1500]
     assert "Python" not in txt.split("== Physical Plan ==")[-1]
+
+
+def test_q4_exists_is_equi_semi_join(spark):
+    """The EXISTS(non-equi) predicate must compile to a hash/merge SEMI
+    join on the extracted equi key (l_orderkey = o_orderkey) with the
+    date comparison as a residual — never a nested-loop over the fact
+    table."""
+    from pdf_extract_spark.queries import q4_order_priority
+
+    txt = plan_of(q4_order_priority(spark, SF))
+    assert "LeftSemi" in txt, txt[:1500]
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "CartesianProduct" not in txt
