@@ -66,15 +66,24 @@ def connected_components(
         # it is eager by default (materializes via an internal action)
         return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
 
-    # Materialize the candidate-generation pipeline ONCE, before anything
-    # fans out: the symmetric-edge union has TWO branches over `pairs` (no
-    # cross-branch subquery reuse in Spark), and every loop iteration joins
-    # against `edges` — without this checkpoint the upstream pipeline (e.g.
-    # the whole minhash LSH job) re-executes 2 + 2*rounds times (measured:
-    # 34s -> 16s for minhash-pairs clustering at sf0.1).
-    pairs = cut(pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")))
+    # Materialize the candidate-generation pipeline ONCE, before the loop:
+    # every iteration joins against `edges`, so without this checkpoint the
+    # upstream pipeline (e.g. the whole minhash LSH job) re-executes once
+    # per round (measured: 34s -> 16s for minhash-pairs clustering at
+    # sf0.1).  Symmetric edges come from ONE explode over the pairs scan —
+    # a union's two branches would execute the upstream twice (Spark has
+    # no cross-branch subquery reuse), which used to force a second
+    # checkpoint of the raw pairs first.
     edges = cut(
-        pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .distinct()
     )
     labels = cut(
