@@ -87,11 +87,34 @@ def _spin_control() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _spin_worker(_):
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(5_000_000):
+        acc += i * i
+    return time.perf_counter() - t0
+
+
+def _spin_control_parallel(k: int = 8) -> float:
+    """MANY-CORE steal indicator: mean per-task time of k concurrent
+    busy-loops.  The single-thread control under-reports contention when
+    other tenants load most-but-not-all cores (observed: scalar spin 0.34
+    — clean — while a 32-way spin averaged 0.99 vs the ~0.30 idle
+    reference, i.e. the host was effectively ~1/3 of its cores); this
+    control makes that visible in the recorded evidence."""
+    import multiprocessing as mp
+
+    with mp.Pool(k) as p:
+        times = p.map(_spin_worker, range(k))
+    return round(sum(times) / len(times), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = _sf_from_dir(sf_dir)
     spin_start = _spin_control()
+    spin_par_start = _spin_control_parallel(cpus)
 
     from pdf_extract_spark.operators.extraction import extract_documents
     from pdf_extract_spark.plans.session import get_spark
@@ -203,6 +226,10 @@ def main() -> None:
                 "corpus_pipeline_sec": corpus_pipeline_sec,
                 "corpus_funnel": funnel,
                 "spin_control_sec": {"start": spin_start, "end": _spin_control()},
+                "spin_parallel_sec": {
+                    "start": spin_par_start,
+                    "end": _spin_control_parallel(cpus),
+                },
                 "cpus": cpus,
             }
         )
