@@ -494,3 +494,46 @@ def test_streaming_quality_filter_matches_batch(spark, tmp_path):
         ).filter("keep").select("doc_id").collect()
     }
     assert stream_ids == batch_ids == {1, 3}
+
+
+def test_streaming_quality_gate_with_pii_scrub(spark, tmp_path):
+    """streaming/quality.py: the ingest-time gate (Gopher keep + PII
+    rewrite) streams as-is and matches the batch output row-for-row,
+    including the redacted text bytes."""
+    from pdf_extract_spark.streaming.quality import quality_gate_stream
+
+    src = str(tmp_path / "gate_in")
+    out = str(tmp_path / "gate_out")
+    ckpt = str(tmp_path / "gate_ckpt")
+    good = ("the quick brown fox likes to jump over lazy dogs and it does "
+            "that with great patience because they have nothing better to "
+            "do today while the sun shines over the quiet meadow")
+    rows = [
+        (1, good + " write to leak@example.com about it"),
+        (2, "too short"),
+        (3, good + " from host 10.1.2.3 indeed"),
+    ]
+    schema = "doc_id long, text string"
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        quality_gate_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    assert not q.isActive or q.awaitTermination(60)
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    batch = {
+        r["doc_id"]: r["text"]
+        for r in quality_gate_stream(
+            spark.createDataFrame(rows, schema)
+        ).collect()
+    }
+    assert got == batch and set(got) == {1, 3}
+    assert "<EMAIL>" in got[1] and "leak@example.com" not in got[1]
+    assert "<IP>" in got[3] and "10.1.2.3" not in got[3]
