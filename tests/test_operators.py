@@ -795,3 +795,24 @@ def test_url_dedup_groups(spark):
     assert rows[1]["is_canonical"] is True and rows[2]["is_canonical"] is False
     assert rows[1]["n_dups"] == 2 and rows[3]["n_dups"] == 1
     assert rows[3]["is_canonical"] is True
+
+
+def test_wav_8bit_pcm_decodes():
+    """The 8-bit unsigned PCM branch of decode_audio_real: bytes centered
+    at 128, normalized by 128 — amplitude 64 either side gives RMS 0.5
+    exactly in every window."""
+    import io
+    import wave
+
+    from pdf_extract_spark.operators.multimodal import decode_audio_real
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(1)
+        wf.setframerate(8000)
+        wf.writeframes(bytes([192] * 64 + [64] * 64))
+    rate, nch, feat, dec = decode_audio_real(buf.getvalue())
+    assert (rate, nch, dec) == (8000, 1, "wav")
+    assert len(feat) == 16
+    assert all(abs(f - 0.5) < 1e-12 for f in feat), feat
