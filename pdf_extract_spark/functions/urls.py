@@ -71,8 +71,12 @@ def url_dedup(docs: DataFrame, url_col: str = "url",
     """URL-keyed dedup verdicts: one row per input doc with its canonical
     URL, whether it is the keeper (minimum id among docs sharing the
     canonical form), and the group size.  One map-side-combined groupBy on
-    the canonical key + one equi-join back — the exact-dedup shuffle shape,
-    safe at any scale (canonical-URL groups are tiny)."""
+    the canonical key + one equi-join back — the exact-dedup shuffle
+    shape, chosen over a window on purpose: crawls DO have giant dup
+    groups (a landing page recrawled 10^8 times), and a
+    Window.partitionBy(canonical_url) would push such a group through one
+    task, while here the groupBy combines map-side and AQE splits the
+    skewed probe side of the join."""
     with_c = docs.select(
         id_col, url_col, canonical_url(F.col(url_col)).alias("canonical_url")
     )
