@@ -30,6 +30,10 @@ HEADLINE = [
     "q14_promo_revenue",
     "q18_large_volume_customers",
     "q19_discounted_revenue",
+    "q10_returned_revenue",
+    "events_value_percentiles",
+    "events_json_props",
+    "corpus_top_terms",
     "q5_nation_revenue",
     "q6_forecast_revenue",
     "top3_orders_per_customer",

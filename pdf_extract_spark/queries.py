@@ -285,6 +285,130 @@ WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11)
 """
 
 
+def q10_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returned items per customer —
+    a 4-way join (lineitem filter -> orders -> customer -> broadcast
+    nation) reduced to a deterministic top-20."""
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def events_value_percentiles(spark, sf_dir):
+    """Exact continuous percentiles (p50/p90/p99 of event value per
+    type): Spark's `percentile` and DuckDB's `quantile_cont` share the
+    linear-interpolation definition, so the values hash-match after a
+    4-decimal round."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_PCTL_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def events_json_props(spark, sf_dir):
+    """Semi-structured column handling: extract an integer property from
+    the JSON `props` string and aggregate per event type — the
+    get_json_object path every event pipeline hits."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def corpus_top_terms(spark, sf_dir):
+    """Global term-frequency top-k: explode lowercase whitespace tokens,
+    count, keep the deterministic top 50 — the corpus-vocabulary report
+    (and the high-cardinality global top-k shape: map-side combined agg,
+    then a single ordered limit)."""
+    docs = load(spark, sf_dir, "documents")
+    from .functions.text import tokens
+
+    return (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n_occ"))
+        .orderBy(F.desc("n_occ"), F.asc("term"))
+        .limit(50)
+    )
+
+
+CORPUS_TOP_TERMS_SQL = r"""
+SELECT term, count(*) AS n_occ
+FROM (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents
+)
+GROUP BY term
+ORDER BY n_occ DESC, term ASC
+LIMIT 50
+"""
+
+
 def q5_nation_revenue(spark, sf_dir):
     """Multi-way star join: broadcast the small dims (region/nation) —
     Catalyst + AQE choose broadcast-hash, no sort-merge on the dims."""
@@ -2058,6 +2182,10 @@ QUERIES = {
     "q14_promo_revenue": q14_promo_revenue,
     "q18_large_volume_customers": q18_large_volume_customers,
     "q19_discounted_revenue": q19_discounted_revenue,
+    "q10_returned_revenue": q10_returned_revenue,
+    "events_value_percentiles": events_value_percentiles,
+    "events_json_props": events_json_props,
+    "corpus_top_terms": corpus_top_terms,
     "q5_nation_revenue": q5_nation_revenue,
     "q6_forecast_revenue": q6_forecast_revenue,
     "top3_orders_per_customer": top3_orders_per_customer,
@@ -2110,6 +2238,10 @@ ORACLES = {
     "q14_promo_revenue": Q14_SQL,
     "q18_large_volume_customers": Q18_SQL,
     "q19_discounted_revenue": Q19_SQL,
+    "q10_returned_revenue": Q10_SQL,
+    "events_value_percentiles": EVENTS_PCTL_SQL,
+    "events_json_props": EVENTS_JSON_SQL,
+    "corpus_top_terms": CORPUS_TOP_TERMS_SQL,
     "q5_nation_revenue": Q5_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "top3_orders_per_customer": TOP3_SQL,

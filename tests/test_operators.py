@@ -816,3 +816,16 @@ def test_wav_8bit_pcm_decodes():
     assert (rate, nch, dec) == (8000, 1, "wav")
     assert len(feat) == 16
     assert all(abs(f - 0.5) < 1e-12 for f in feat), feat
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """The HLL++ sketch path (approx_count_distinct) must land within its
+    configured relative error of the exact distinct count — the sketch a
+    100 TB profiling pass uses where exact distinct would shuffle the
+    universe."""
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    exact = ev.select(F.countDistinct("user_id")).collect()[0][0]
+    approx = ev.select(
+        F.approx_count_distinct("user_id", rsd=0.02)
+    ).collect()[0][0]
+    assert abs(approx - exact) <= max(3, 0.05 * exact), (approx, exact)
