@@ -27,11 +27,17 @@ from ..functions.text import gopher_keep_expr, pii_redact_expr
 
 def quality_gate_stream(docs: DataFrame, text_col: str = "text",
                         min_stopwords: int = 2,
-                        redact_pii: bool = True) -> DataFrame:
+                        redact_pii: bool = False) -> DataFrame:
     """Apply the Gopher keep predicate (narrow filter) and optionally the
     PII scrub (narrow column rewrite) to a streaming documents frame.
     Works identically on a batch frame — the batch-parity test feeds the
-    same rows through both and asserts equal output."""
+    same rows through both and asserts equal output.
+
+    ``redact_pii`` defaults to False to match ``corpus_pipeline``'s batch
+    default: a corpus ingested through this gate and later rebuilt or
+    audited through the batch pipeline must produce identical text bytes
+    (and therefore identical dedup hashes/fingerprints) with no flags
+    passed on either side."""
     out = docs.filter(gopher_keep_expr(text_col, min_stopwords=min_stopwords))
     if redact_pii:
         out = out.withColumn(text_col, pii_redact_expr(F.col(text_col)))

@@ -518,7 +518,7 @@ def test_streaming_quality_gate_with_pii_scrub(spark, tmp_path):
 
     stream = spark.readStream.schema(schema).parquet(src)
     q = (
-        quality_gate_stream(stream)
+        quality_gate_stream(stream, redact_pii=True)
         .writeStream.format("parquet")
         .option("path", out)
         .option("checkpointLocation", ckpt)
@@ -531,7 +531,7 @@ def test_streaming_quality_gate_with_pii_scrub(spark, tmp_path):
     batch = {
         r["doc_id"]: r["text"]
         for r in quality_gate_stream(
-            spark.createDataFrame(rows, schema)
+            spark.createDataFrame(rows, schema), redact_pii=True
         ).collect()
     }
     assert got == batch and set(got) == {1, 3}
