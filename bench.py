@@ -54,6 +54,8 @@ HEADLINE = [
     "doc_url_dedup",
     "doc_token_bpe",
     "doc_winnow_fingerprints",
+    "doc_lm_perplexity",
+    "doc_pack_sequences",
     "dedup_exact",
     "minhash_lsh_candidates",
     "dedup_clusters",

@@ -1,0 +1,105 @@
+"""Count-based n-gram language-model perplexity scoring (CCNet-style).
+
+After the rule filters (Gopher, repetition) the standard web-corpus
+quality signal is perplexity under a small LM trained on a trusted
+slice — the CCNet recipe (Wenzek et al., 2019).  This module is the
+count-based bigram variant, entirely in DataFrame ops:
+
+  train:  bigram counts + context (bigram-prefix) counts over the
+          reference slice — two groupBy shuffles, map-side combined;
+          vocabulary size stays a one-row frame cross-joined with a
+          broadcast hint, never collected to the driver
+  score:  explode every doc into bigrams, equi-join the two count
+          tables, add-one smoothing over the reference vocabulary,
+          quantize per-bigram bits to an int (floor(x*1000), the house
+          rule for cross-engine value-hash stability), then ONE per-doc
+          aggregation
+
+Scale notes (100 TB): the doc-bigram ⋈ LM-bigram join hash-partitions
+on (w1, w2) — fine-grained keys; residual hot-token skew ("of the") is
+AQE skew-join territory, not a single-reducer design flaw.  The context
+count table is vocabulary-sized (10^6-10^8 rows for web text) and is
+deliberately left to AQE's broadcast threshold rather than forced: at
+real vocab sizes a forced driver-side broadcast is the OOM, not the
+win.  Docs with fewer than two tokens have no bigram evidence and are
+excluded from the output (documented contract; a caller keeps them with
+a left join on the input spine).
+
+Quantization contract: bits are per-transition
+``floor(-log2((c_bg + 1) / (c_ctx + V)) * 1000)`` summed as BIGINTs, so
+the only float op is one log2 per distinct join row — sums are exact
+integer arithmetic and hash identically across engines regardless of
+summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _ltoks(col: Column) -> Column:
+    """Lowercased whitespace token array (same split as functions.text)."""
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def _bigram_frame(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, w1, w2) — one row per adjacent token pair.  Docs with a
+    single token produce no rows (slice length 0 explodes to nothing)."""
+    return (
+        docs.select("doc_id", _ltoks(F.col(text_col)).alias("ts"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(ts, 1, greatest(size(ts) - 1, 0)),"
+                    " (w, i) -> struct(w AS w1, element_at(ts, i + 2) AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+
+
+def lm_perplexity(
+    docs: DataFrame, ref_filter: Column, text_col: str = "text"
+) -> DataFrame:
+    """Score every doc's mean bigram surprisal under an add-one-smoothed
+    bigram LM trained on ``docs.filter(ref_filter)``.
+
+    Returns (doc_id, n_bigrams, sum_bits_x1000, avg_bits_x1000); higher
+    avg bits = less reference-like = the CCNet "tail" a pipeline drops
+    or down-samples.
+    """
+    ref_bg = _bigram_frame(docs.filter(ref_filter), text_col)
+    bg_counts = ref_bg.groupBy("w1", "w2").agg(F.count("*").alias("c_bg"))
+    ctx_counts = ref_bg.groupBy("w1").agg(F.count("*").alias("c_ctx"))
+    vocab = (
+        docs.filter(ref_filter)
+        .select(F.explode(_ltoks(F.col(text_col))).alias("t"))
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    scored = (
+        _bigram_frame(docs, text_col)
+        .join(bg_counts, ["w1", "w2"], "left")
+        .join(ctx_counts, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "bits_x1000",
+            F.floor(
+                -F.log2(
+                    (F.coalesce(F.col("c_bg"), F.lit(0)) + 1).cast("double")
+                    / (F.coalesce(F.col("c_ctx"), F.lit(0)) + F.col("v"))
+                )
+                * 1000
+            ).cast("long"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("bits_x1000").cast("long").alias("sum_bits_x1000"),
+        )
+        .withColumn("avg_bits_x1000", F.expr("sum_bits_x1000 DIV n_bigrams"))
+    )

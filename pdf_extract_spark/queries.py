@@ -2174,6 +2174,95 @@ def media_features(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# LM perplexity scoring + sequence packing (training-pipeline operators)
+# ---------------------------------------------------------------------------
+
+
+def doc_lm_perplexity(spark, sf_dir):
+    """CCNet-style bigram-LM surprisal per doc, LM trained on the trusted
+    'src0' slice (functions/lm.py).  Docs with <2 tokens carry no bigram
+    evidence and are excluded (documented operator contract)."""
+    from .functions.lm import lm_perplexity
+
+    docs = load(spark, sf_dir, "documents")
+    return lm_perplexity(docs, F.col("source") == "src0").orderBy("doc_id")
+
+
+LM_PPL_SQL = r"""
+WITH base AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+  FROM documents
+), bgl AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, greatest(len(ts) - 1, 0) + 1),
+                i -> struct_pack(w1 := ts[i], w2 := ts[i+1]))) AS b
+  FROM base
+), bgf AS (
+  SELECT doc_id, source, b.w1 AS w1, b.w2 AS w2 FROM bgl
+), bg_counts AS (
+  SELECT w1, w2, count(*) AS c_bg FROM bgf WHERE source = 'src0' GROUP BY 1, 2
+), ctx_counts AS (
+  SELECT w1, count(*) AS c_ctx FROM bgf WHERE source = 'src0' GROUP BY 1
+), vocab AS (
+  SELECT count(DISTINCT t) AS v
+  FROM (SELECT unnest(ts) AS t FROM base WHERE source = 'src0')
+), scored AS (
+  SELECT d.doc_id,
+         CAST(floor(-log2(CAST(coalesce(b.c_bg, 0) + 1 AS DOUBLE)
+                          / (coalesce(c.c_ctx, 0) + vocab.v)) * 1000)
+              AS BIGINT) AS bits
+  FROM bgf d
+  LEFT JOIN bg_counts b USING (w1, w2)
+  LEFT JOIN ctx_counts c USING (w1)
+  CROSS JOIN vocab
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(bits) AS BIGINT) AS sum_bits_x1000,
+       CAST(sum(bits) // count(*) AS BIGINT) AS avg_bits_x1000
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def doc_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-chunk shard map at seq_len=512 over doc_id
+    order (operators/pack.py — two-phase distributed prefix sum)."""
+    from .operators.pack import pack_sequences
+
+    docs = load(spark, sf_dir, "documents")
+    return pack_sequences(docs, 512).orderBy("chunk_id", "doc_id")
+
+
+PACK_SEQUENCES_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) + 1 AS BIGINT) AS n_tok
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tok,
+         CAST(sum(n_tok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS tok_end
+  FROM t
+), s AS (
+  SELECT doc_id, n_tok, tok_end, tok_end - n_tok AS tok_start FROM c
+)
+SELECT CAST(k.chunk_id AS BIGINT) AS chunk_id,
+       doc_id,
+       CAST(greatest(tok_start, k.chunk_id * 512) - tok_start AS BIGINT)
+         AS doc_off,
+       CAST(greatest(tok_start, k.chunk_id * 512) - k.chunk_id * 512 AS BIGINT)
+         AS chunk_off,
+       CAST(least(tok_end, (k.chunk_id + 1) * 512)
+            - greatest(tok_start, k.chunk_id * 512) AS BIGINT) AS n_toks
+FROM s, unnest(range(tok_start // 512, (tok_end - 1) // 512 + 1)) AS k(chunk_id)
+ORDER BY chunk_id, doc_id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_urgent_revenue": q3_top_urgent_revenue,
@@ -2228,6 +2317,8 @@ QUERIES = {
     "embedding_near_dup": embedding_near_dup,
     "doc_token_bpe": doc_token_bpe,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
+    "doc_lm_perplexity": doc_lm_perplexity,
+    "doc_pack_sequences": doc_pack_sequences,
 }
 
 ORACLES = {
@@ -2288,4 +2379,6 @@ ORACLES = {
     # (tools/gen_golden_ann.py) since k-means isn't SQL-expressible.
     "ann_lsh_topk": ANN_LSH_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
+    "doc_lm_perplexity": LM_PPL_SQL,
+    "doc_pack_sequences": PACK_SEQUENCES_SQL,
 }

@@ -1,0 +1,152 @@
+"""LM perplexity scoring (functions/lm.py) and sequence packing
+(operators/pack.py): value semantics, scale-shape gates, and the
+partition-invariance contract the two-phase prefix sum promises."""
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# lm_perplexity
+# ---------------------------------------------------------------------------
+
+
+def _expected_bits(c_bg: int, c_ctx: int, v: int) -> int:
+    return math.floor(-math.log2((c_bg + 1) / (c_ctx + v)) * 1000)
+
+
+def test_lm_perplexity_hand_computed(spark):
+    """Tiny corpus with a hand-computable bigram LM: reference slice is
+    'a b a b' (bigrams ab, ba, ab; vocab {a, b}); scored docs include an
+    in-domain one and an all-OOV one, which must score strictly worse."""
+    from pdf_extract_spark.functions.lm import lm_perplexity
+
+    rows = [
+        (1, "a b a b", "ref"),
+        (2, "a b", "other"),
+        (3, "x y", "other"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in lm_perplexity(docs, F.col("source") == "ref").collect()
+    }
+    v = 2  # vocab of the ref slice
+    # ref doc 1: bigrams ab(c=2,ctx a=2), ba(c=1,ctx b=1), ab
+    ab = _expected_bits(2, 2, v)
+    ba = _expected_bits(1, 1, v)
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["sum_bits_x1000"] == 2 * ab + ba
+    assert out[2]["n_bigrams"] == 1 and out[2]["sum_bits_x1000"] == ab
+    # fully OOV: c_bg=0, c_ctx=0 -> bits = -log2(1/2)*1000 = 1000
+    assert out[3]["sum_bits_x1000"] == _expected_bits(0, 0, v) == 1000
+    assert out[3]["avg_bits_x1000"] > out[2]["avg_bits_x1000"]
+
+
+def test_lm_perplexity_short_docs_excluded(spark):
+    """Docs with <2 tokens carry no bigram evidence and are excluded —
+    the documented contract (callers left-join the input spine)."""
+    from pdf_extract_spark.functions.lm import lm_perplexity
+
+    docs = spark.createDataFrame(
+        [(1, "one", "ref"), (2, "two tokens here", "ref")],
+        "doc_id long, text string, source string",
+    )
+    got = {r["doc_id"] for r in lm_perplexity(docs, F.lit(True)).collect()}
+    assert got == {2}
+
+
+def test_lm_perplexity_no_python_udf(spark):
+    """The whole train+score pipeline must stay JVM-side: built-in
+    explode/join/agg only, no Python evaluation in the plan."""
+    from pdf_extract_spark.functions.lm import lm_perplexity
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    txt = plan_of(lm_perplexity(docs, F.col("source") == "src0"))
+    assert "Python" not in txt, txt[:2000]
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences
+# ---------------------------------------------------------------------------
+
+
+def test_pack_partition_invariant(spark):
+    """The shard map depends only on doc_id order, never on where the
+    range-partition cuts fall: different partition counts (and input
+    layouts) must emit identical rows."""
+    from pdf_extract_spark.operators.pack import pack_sequences
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = sorted(map(tuple, pack_sequences(docs, 128, num_parts=3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            pack_sequences(
+                docs.repartition(17, "doc_id"), 128, num_parts=11
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+
+
+def test_pack_invariants(spark):
+    """Stream-accounting invariants: every chunk except the last holds
+    exactly seq_len tokens; each doc's pieces cover token_count+1 tokens
+    contiguously from doc_off 0."""
+    from pdf_extract_spark.functions.text import token_count
+    from pdf_extract_spark.operators.pack import pack_sequences
+
+    seq = 128
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = pack_sequences(docs, seq).collect()
+    by_chunk: dict[int, int] = {}
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_chunk[r["chunk_id"]] = by_chunk.get(r["chunk_id"], 0) + r["n_toks"]
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    last = max(by_chunk)
+    assert set(by_chunk) == set(range(last + 1))  # no chunk gaps
+    for k, tot in by_chunk.items():
+        assert tot == seq or (k == last and 0 < tot <= seq), (k, tot)
+    ntok = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", (token_count(F.col("text")) + 1).alias("n")
+        ).collect()
+    }
+    for doc_id, pieces in by_doc.items():
+        pieces.sort(key=lambda r: r["doc_off"])
+        assert pieces[0]["doc_off"] == 0
+        covered = 0
+        for p in pieces:
+            assert p["doc_off"] == covered  # contiguous, no overlap
+            covered += p["n_toks"]
+        assert covered == ntok[doc_id]
+
+
+def test_pack_prefix_sum_is_two_phase(spark):
+    """Scale gate: the corpus-sized window must partition by the physical
+    partition id (parallel local cumsum); the only unpartitioned window
+    may run over the P-row totals frame.  A naive global
+    sum().over(orderBy) plan has ONE unpartitioned window over the scan
+    and would fail the partition-spec assertion."""
+    from pdf_extract_spark.operators.pack import pack_sequences
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    txt = plan_of(pack_sequences(docs, 128, num_parts=4))
+    wins = re.findall(r"Window \[[^\n]*", txt)
+    assert len(wins) == 2, txt[:2000]
+    partitioned = [w for w in wins if "pid" in w.split("windowspecdefinition")[-1]]
+    # the corpus cumsum window carries pid in its partition spec
+    assert any("local_end" in w and "pid" in w for w in wins), wins
+    assert partitioned, wins
