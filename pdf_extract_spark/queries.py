@@ -2227,6 +2227,67 @@ ORDER BY doc_id
 """
 
 
+def doc_quality_classifier(spark, sf_dir):
+    """fastText/DCLM-style provenance classifier: multinomial NB trained
+    on source labels (src0-2 = trusted), scoring every doc
+    (functions/classify.py — exact integer-quantized arithmetic)."""
+    from .functions.classify import nb_score
+
+    docs = load(spark, sf_dir, "documents")
+    return nb_score(docs, F.col("source").isin("src0", "src1", "src2")).orderBy(
+        "doc_id"
+    )
+
+
+NB_CLASSIFY_SQL = r"""
+WITH base AS (
+  SELECT doc_id, source IN ('src0','src1','src2') AS y,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+  FROM documents
+), toks AS (
+  SELECT doc_id, y, unnest(ts) AS t FROM base
+), counts AS (
+  SELECT t,
+         sum(CASE WHEN y THEN 1 ELSE 0 END) AS c_pos,
+         sum(CASE WHEN y THEN 0 ELSE 1 END) AS c_neg
+  FROM toks GROUP BY t
+), scal AS (
+  SELECT (SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) FROM toks) AS n_pos,
+         (SELECT sum(CASE WHEN y THEN 0 ELSE 1 END) FROM toks) AS n_neg,
+         (SELECT count(DISTINCT t) FROM toks) AS v,
+         (SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) FROM base) AS d_pos,
+         (SELECT sum(CASE WHEN y THEN 0 ELSE 1 END) FROM base) AS d_neg
+), weighted AS (
+  SELECT doc_id,
+         CAST(floor(log2(CAST(coalesce(c.c_pos, 0) + 1 AS DOUBLE)
+                         / (s.n_pos + s.v)) * 1000) AS BIGINT) AS b_pos,
+         CAST(floor(log2(CAST(coalesce(c.c_neg, 0) + 1 AS DOUBLE)
+                         / (s.n_neg + s.v)) * 1000) AS BIGINT) AS b_neg
+  FROM toks k
+  LEFT JOIN counts c USING (t)
+  CROSS JOIN scal s
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(b_pos) AS BIGINT) AS s_pos,
+         CAST(sum(b_neg) AS BIGINT) AS s_neg
+  FROM weighted GROUP BY doc_id
+), pri AS (
+  SELECT CAST(floor(log2(CAST(d_pos AS DOUBLE) / (d_pos + d_neg)) * 1000)
+              AS BIGINT) AS pp,
+         CAST(floor(log2(CAST(d_neg AS DOUBLE) / (d_pos + d_neg)) * 1000)
+              AS BIGINT) AS pn
+  FROM scal
+)
+SELECT doc_id, n_tokens,
+       s_pos + pp AS score_pos_x1000,
+       s_neg + pn AS score_neg_x1000,
+       s_pos + pp - (s_neg + pn) AS margin_x1000,
+       s_pos + pp > s_neg + pn AS pred_pos
+FROM agg CROSS JOIN pri
+ORDER BY doc_id
+"""
+
+
 def doc_pack_sequences(spark, sf_dir):
     """GPT-style concat-and-chunk shard map at seq_len=512 over doc_id
     order (operators/pack.py — two-phase distributed prefix sum)."""
@@ -2319,6 +2380,7 @@ QUERIES = {
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
     "doc_lm_perplexity": doc_lm_perplexity,
     "doc_pack_sequences": doc_pack_sequences,
+    "doc_quality_classifier": doc_quality_classifier,
 }
 
 ORACLES = {
@@ -2381,4 +2443,5 @@ ORACLES = {
     "ann_ivf_topk": ANN_IVF_SQL,
     "doc_lm_perplexity": LM_PPL_SQL,
     "doc_pack_sequences": PACK_SEQUENCES_SQL,
+    "doc_quality_classifier": NB_CLASSIFY_SQL,
 }
