@@ -56,6 +56,8 @@ HEADLINE = [
     "doc_winnow_fingerprints",
     "doc_lm_perplexity",
     "doc_pack_sequences",
+    "doc_quality_classifier",
+    "semantic_dedup",
     "dedup_exact",
     "minhash_lsh_candidates",
     "dedup_clusters",

@@ -189,6 +189,58 @@ def srp_bucket(vec_col, planes: list[list[float]]):
     return bucket
 
 
+def train_centroids(
+    emb: DataFrame,
+    n_centroids: int,
+    train_cap: int = 20_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic coarse-quantizer training shared by `ivf_topk` and
+    `semantic_dedup` (operators/semdedup.py): bounded hash-sample of
+    vectors in id order, first-k init, 10 numpy-float64 Lloyd iterations,
+    zero RNG.  Returns the (n_centroids, dim) float64 centroid matrix —
+    tiny by construction, meant to be broadcast by the caller.
+
+    The xxhash64-pmod sample plus the 512 MiB guard make this the only
+    corpus-sized driver allocation in either operator: faiss-style, the
+    quantizer trains on a sample, never the corpus."""
+    import numpy as np
+
+    total = emb.count()
+    frac_pct = max(1, min(100, int(100 * train_cap / max(total, 1))))
+    sample = (
+        emb.select(id_col, vec_col)
+        .filter(F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(100)) < frac_pct)
+        .orderBy(id_col)
+        .limit(train_cap)
+        .collect()
+    )
+    train = np.array([r[1] for r in sample], dtype=np.float64)
+    if len(train) < n_centroids:
+        raise ValueError(f"{len(train)} training vectors < {n_centroids} centroids")
+    # guard the driver-side footprint: refuse quietly pressuring driver
+    # memory instead of OOMing mid-job
+    train_bytes = train.nbytes
+    if train_bytes > 512 * 1024 * 1024:
+        raise ValueError(
+            f"k-means train sample is {train_bytes >> 20} MiB "
+            f"({len(train)} x {train.shape[1]} f64): lower train_cap — the "
+            "quantizer needs only a bounded sample (faiss-style)"
+        )
+    cent = train[:n_centroids].copy()
+    for _ in range(10):
+        # argmin ||v-c||^2 = argmin (|c|^2 - 2 v.c): (n,K) temporaries only,
+        # never the (n,K,dim) broadcast form (~160 MB/iter at defaults)
+        c2 = (cent * cent).sum(axis=1)
+        assign = (c2[None, :] - 2.0 * (train @ cent.T)).argmin(axis=1)
+        for c in range(n_centroids):
+            members = train[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -220,38 +272,9 @@ def ivf_topk(
 
     spark = emb.sparkSession
     # -- 1. deterministic bounded sample -> driver-side Lloyd iterations
-    total = emb.count()
-    frac_pct = max(1, min(100, int(100 * train_cap / max(total, 1))))
-    sample = (
-        emb.select(id_col, vec_col)
-        .filter(F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(100)) < frac_pct)
-        .orderBy(id_col)
-        .limit(train_cap)
-        .collect()
+    cent = train_centroids(
+        emb, n_centroids, train_cap, id_col=id_col, vec_col=vec_col
     )
-    train = np.array([r[1] for r in sample], dtype=np.float64)
-    if len(train) < n_centroids:
-        raise ValueError(f"{len(train)} training vectors < {n_centroids} centroids")
-    # guard the driver-side footprint: the train matrix is the ONLY
-    # corpus-sized driver allocation in this operator (train_cap x dim f64);
-    # refuse quietly pressuring driver memory instead of OOMing mid-job
-    train_bytes = train.nbytes
-    if train_bytes > 512 * 1024 * 1024:
-        raise ValueError(
-            f"k-means train sample is {train_bytes >> 20} MiB "
-            f"({len(train)} x {train.shape[1]} f64): lower train_cap — the "
-            "quantizer needs only a bounded sample (faiss-style)"
-        )
-    cent = train[:n_centroids].copy()
-    for _ in range(10):
-        # argmin ||v-c||^2 = argmin (|c|^2 - 2 v.c): (n,K) temporaries only,
-        # never the (n,K,dim) broadcast form (~160 MB/iter at defaults)
-        c2 = (cent * cent).sum(axis=1)
-        assign = (c2[None, :] - 2.0 * (train @ cent.T)).argmin(axis=1)
-        for c in range(n_centroids):
-            members = train[assign == c]
-            if len(members):
-                cent[c] = members.mean(axis=0)
     bc = spark.sparkContext.broadcast(cent)
 
     # -- 2. cell assignment, one narrow vectorized pass

@@ -2288,6 +2288,35 @@ ORDER BY doc_id
 """
 
 
+def semantic_dedup(spark, sf_dir):
+    """SemDeDup semantic near-dup pruning (operators/semdedup.py): shared
+    deterministic k-means quantizer, per-cell (cent_sim ASC, id ASC)
+    greedy prefix-max pruning at cos >= 1 - eps.  Oracled against an
+    independent single-node numpy reimplementation of the spec
+    (tools/gen_golden_semdedup.py, golden keyed by corpus fingerprint)."""
+    from .operators.semdedup import semantic_dedup as _sd
+
+    return _sd(
+        load(spark, sf_dir, "embeddings"), eps=0.7, n_centroids=16
+    ).orderBy("vec_id")
+
+
+_GOLDEN_SEMDEDUP_PARQUET = _golden("golden_semdedup.parquet")
+
+# SemDeDup oracle: k-means + the per-cell greedy prefix rule are not
+# SQL-expressible; expectations come from the independent numpy
+# reimplementation, fingerprint-keyed exactly like ANN_IVF_SQL.
+SEMDEDUP_SQL = f"""
+SELECT vec_id, cell, cent_sim_x1m, max_prefix_x1m, keep
+FROM read_parquet('{_GOLDEN_SEMDEDUP_PARQUET}')
+WHERE corpus_fp = (
+  SELECT md5(string_agg(vec_id::VARCHAR || embedding::VARCHAR, '|' ORDER BY vec_id))
+  FROM embeddings
+)
+ORDER BY vec_id
+"""
+
+
 def doc_pack_sequences(spark, sf_dir):
     """GPT-style concat-and-chunk shard map at seq_len=512 over doc_id
     order (operators/pack.py — two-phase distributed prefix sum)."""
@@ -2381,6 +2410,7 @@ QUERIES = {
     "doc_lm_perplexity": doc_lm_perplexity,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_quality_classifier": doc_quality_classifier,
+    "semantic_dedup": semantic_dedup,
 }
 
 ORACLES = {
@@ -2444,4 +2474,5 @@ ORACLES = {
     "doc_lm_perplexity": LM_PPL_SQL,
     "doc_pack_sequences": PACK_SEQUENCES_SQL,
     "doc_quality_classifier": NB_CLASSIFY_SQL,
+    "semantic_dedup": SEMDEDUP_SQL,
 }
