@@ -22,11 +22,13 @@ and there is no iterative float state to drift between engines.
 Scale notes (100 TB): the doc-token ⋈ weight join hash-partitions on
 the token — fine-grained keys, hot stopwords are AQE skew-join
 territory; the weight table is vocabulary-sized and left to AQE's
-broadcast threshold.  Scalars (V, class totals, priors) ride a one-row
-cross-joined frame with a broadcast hint — nothing is collected to the
-driver.  Out-of-vocabulary tokens contribute the smoothing floor
-``floor(log2(1/(n_c + V)) * 1000)`` via coalesce, so unseen text is
-scored, not dropped.
+broadcast threshold.  Scalars ride two independent one-row broadcast
+frames (token totals + V for the weights; doc-count priors for the
+final select) — nothing is collected to the driver, and neither frame's
+aggregate is recomputed for the other.  When scoring a frame other than
+the training slice (``score_docs``), out-of-vocabulary tokens
+contribute the smoothing floor ``floor(log2(1/(n_c + V)) * 1000)`` via
+coalesce, so unseen text is scored, not dropped.
 """
 
 from __future__ import annotations
@@ -38,21 +40,30 @@ from .lm import _ltoks
 
 
 def nb_score(
-    docs: DataFrame, pos_label: Column, text_col: str = "text"
+    docs: DataFrame,
+    pos_label: Column,
+    text_col: str = "text",
+    score_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Train a two-class multinomial NB on ``docs`` labeled by the
-    boolean column expression ``pos_label``, then score every doc.
+    boolean column expression ``pos_label``, then score ``score_docs``
+    (default: the training frame itself — the single-query form the
+    oracle checks).  Passing ``score_docs`` is the production DCLM
+    pattern: train on a provenance-labeled slice, score the whole
+    corpus; tokens unseen in training contribute the smoothing floor
+    ``floor(log2(1/(n_c + V)) * 1000)``.
 
     Returns (doc_id, n_tokens, score_pos_x1000, score_neg_x1000,
     margin_x1000, pred_pos): scores are the quantized log-joint
     ``floor(log2 P(class))*1000 + Σ floor(log2 P(token|class))*1000``;
     ``margin_x1000 > 0`` ⇔ ``pred_pos`` — the keep/resample signal.
+    Scored docs with zero tokens produce no row (no token evidence —
+    callers left-join the input spine, same contract as lm_perplexity).
 
-    In production the labels come from provenance on a labeled frame;
-    train-on/score-on the same frame here keeps the operator a single
-    deterministic query (a caller trains on a slice by passing the
-    labeled frame and scoring a second one via the same helper chain).
-    """
+    ``pos_label`` must split the training frame into two non-empty
+    classes; a label matching zero or all docs raises at run time (an
+    in-plan assert on the one-row priors frame — no extra driver job)
+    instead of silently emitting NULL scores from log2(0)."""
     labeled = docs.select(
         "doc_id",
         pos_label.cast("boolean").alias("y"),
@@ -68,20 +79,32 @@ def nb_score(
             F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("c_neg"),
         )
     )
-    # scalars as a one-row broadcast frame: class token totals, vocab
-    # size, class doc counts (priors) — never collected
-    scalars = (
-        toks.agg(
-            F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("n_pos"),
-            F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("n_neg"),
-            F.countDistinct("t").alias("v"),
-        )
-        .crossJoin(
-            labeled.agg(
-                F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("d_pos"),
-                F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("d_neg"),
-            )
-        )
+    # scalars as TWO independent one-row broadcast frames — never
+    # collected.  Keeping the token totals and the doc-count priors
+    # separate matters: Catalyst prunes columns, not join inputs, so a
+    # single cross-joined frame would re-run the full corpus explode +
+    # aggregate a second time just to read d_pos/d_neg at the end.
+    tok_scalars = toks.agg(
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("n_neg"),
+        F.countDistinct("t").alias("v"),
+    )
+    doc_scalars = labeled.agg(
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("d_pos"),
+        F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("d_neg"),
+    )
+    # degenerate-label guard, evaluated when the one-row frame builds:
+    # assert_true returns NULL on success, raises with the message on a
+    # zero-count class — the d_pos passthrough keeps it un-prunable
+    guard = F.assert_true(
+        (F.col("d_pos") > 0) & (F.col("d_neg") > 0),
+        F.lit(
+            "nb_score: pos_label must split the training frame into two "
+            "non-empty classes (one class has zero docs)"
+        ),
+    )
+    doc_scalars = doc_scalars.select(
+        F.when(guard.isNull(), F.col("d_pos")).alias("d_pos"), "d_neg"
     )
 
     def bits(c: Column, n: Column, v: Column) -> Column:
@@ -89,9 +112,16 @@ def nb_score(
             F.log2((c + 1).cast("double") / (n + v)) * 1000
         ).cast("long")
 
+    if score_docs is None:
+        stoks = toks.select("doc_id", "t")
+    else:
+        stoks = score_docs.select(
+            "doc_id", _ltoks(F.col(text_col)).alias("ts")
+        ).select("doc_id", F.explode("ts").alias("t"))
+
     weighted = (
-        toks.join(counts, "t", "left")
-        .crossJoin(F.broadcast(scalars))
+        stoks.join(counts, "t", "left")
+        .crossJoin(F.broadcast(tok_scalars))
         .select(
             "doc_id",
             bits(F.coalesce(F.col("c_pos"), F.lit(0)), F.col("n_pos"), F.col("v"))
@@ -110,7 +140,7 @@ def nb_score(
             F.sum("b_pos").cast("long").alias("s_pos"),
             F.sum("b_neg").cast("long").alias("s_neg"),
         )
-        .crossJoin(F.broadcast(scalars.select("d_pos", "d_neg")))
+        .crossJoin(F.broadcast(doc_scalars))
         .select(
             "doc_id",
             "n_tokens",

@@ -28,10 +28,15 @@ corpus (the paper uses 50k clusters for LAION; cells of 10^3-10^4 rows
 keep the per-group GEMM in tens of ms).  The trainer is the one bounded
 driver collect (512 MiB guard).  Everything else is narrow.
 
-Float determinism: engine and oracle run the SAME numpy expressions on
-the same-ordered matrices, so results are bit-identical; outputs are
-additionally floor-quantized to x1e6 longs so the driver's value hash
-never sees a raw float.
+Float determinism: the ASSIGN pass sees whatever row batches Arrow
+delivers, so its kernels must be batch-shape-independent — cell
+distances use a fixed-order einsum SOP loop (never BLAS GEMM, whose
+kernel choice varies with M), and cent_sim/norms are per-row pairwise
+reductions over the fixed dim axis.  The PRUNE pass operates on whole
+cells in a pinned sort order, so engine and oracle GEMMs have identical
+shapes and contents there and are bit-identical on the same BLAS.
+Outputs are additionally floor-quantized to x1e6 longs so the driver's
+value hash never sees a raw float.
 """
 
 from __future__ import annotations
@@ -81,7 +86,14 @@ def semantic_dedup(
                 )
                 continue
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            cells = (c2[None, :] - 2.0 * (mat @ C.T)).argmin(axis=1)
+            # einsum (no optimize) instead of GEMM: the SOP loop sums
+            # over j in fixed index order PER OUTPUT ELEMENT, so the
+            # result for a row is independent of how many rows share the
+            # Arrow batch — BLAS dgemm kernel selection varies with M
+            # and could flip a near-tied argmin between layouts
+            cells = (
+                c2[None, :] - 2.0 * np.einsum("ij,kj->ik", mat, C)
+            ).argmin(axis=1)
             norms = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
             matn = mat / np.where(norms == 0.0, 1.0, norms)
             cent_sim = (matn * Cn[cells]).sum(axis=1)

@@ -288,8 +288,14 @@ def ivf_topk(
                 yield pd.DataFrame({"nbr_id": [], "v": [], "cell": []})
                 continue
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            # argmin ||v-c||^2 = argmin (|c|^2 - 2 v.c)
-            cells = (c2[None, :] - 2.0 * (mat @ C.T)).argmin(axis=1)
+            # argmin ||v-c||^2 = argmin (|c|^2 - 2 v.c); fixed-order
+            # einsum SOP loop, not BLAS GEMM — per-row results must not
+            # depend on how many rows share the Arrow batch (dgemm
+            # kernel choice varies with M and can flip a near-tied
+            # argmin between layouts / vs the full-matrix golden)
+            cells = (
+                c2[None, :] - 2.0 * np.einsum("ij,kj->ik", mat, C)
+            ).argmin(axis=1)
             yield pd.DataFrame(
                 {
                     "nbr_id": pdf[id_col],
@@ -322,7 +328,10 @@ def ivf_topk(
                 yield pd.DataFrame({"query_id": [], "q": [], "cell": []})
                 continue
             mat = np.array(list(pdf["q"]), dtype=np.float64)
-            order = (c2[None, :] - 2.0 * (mat @ C.T)).argsort(axis=1)[:, :n_probe]
+            # same batch-shape-independent kernel as assign_cells
+            order = (
+                c2[None, :] - 2.0 * np.einsum("ij,kj->ik", mat, C)
+            ).argsort(axis=1)[:, :n_probe]
             out = {"query_id": [], "q": [], "cell": []}
             for i in range(len(pdf)):
                 for c in order[i]:

@@ -63,6 +63,53 @@ def test_nb_score_hand_computed(spark):
     assert out[1]["pred_pos"] and not out[2]["pred_pos"]
 
 
+def test_nb_score_external_frame_oov(spark):
+    """DCLM pattern: train on the labeled slice, score a separate frame.
+    Out-of-vocabulary tokens must contribute the smoothing floor
+    bits(0) = floor(log2(1/(n_c+V))*1000), not drop the doc."""
+    from pdf_extract_spark.functions.classify import nb_score
+
+    train = spark.createDataFrame(
+        [
+            (1, "good good nice", "src0"),
+            (2, "bad ugly", "crawl"),
+            (3, "good bad", "crawl"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    score = spark.createDataFrame(
+        [(10, "good zork", "x")], "doc_id long, text string, source string"
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in nb_score(
+            train, F.col("source") == "src0", score_docs=score
+        ).collect()
+    }
+    n_pos, n_neg, v, d_pos, d_neg = 3, 4, 4, 1, 2
+    s_pos = _bits(2, n_pos, v) + _bits(0, n_pos, v) + _prior(d_pos, d_pos, d_neg)
+    s_neg = _bits(1, n_neg, v) + _bits(0, n_neg, v) + _prior(d_neg, d_pos, d_neg)
+    assert set(out) == {10}
+    assert out[10]["n_tokens"] == 2
+    assert out[10]["score_pos_x1000"] == s_pos
+    assert out[10]["score_neg_x1000"] == s_neg
+
+
+def test_nb_score_degenerate_label_raises(spark):
+    """A pos_label matching zero (or all) docs must raise loudly, never
+    emit NULL scores from log2(0)."""
+    import pytest
+    from pdf_extract_spark.functions.classify import nb_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b", "s"), (2, "c d", "s")],
+        "doc_id long, text string, source string",
+    )
+    for label in (F.lit(False), F.lit(True)):
+        with pytest.raises(Exception, match="non-empty classes"):
+            nb_score(docs, label).collect()
+
+
 def test_nb_score_no_python_udf(spark):
     """Train + score must stay JVM-side: explode/join/agg built-ins only."""
     from pdf_extract_spark.functions.classify import nb_score

@@ -97,13 +97,17 @@ def ivf_rows(sf_dir: str):
             if len(members):
                 cent[c] = members.mean(axis=0)
 
-    # ASSIGN + PROBE — same numpy expressions as the engine's pandas passes
+    # ASSIGN + PROBE — same numpy expressions as the engine's pandas
+    # passes; fixed-order einsum (batch-shape-independent, never BLAS
+    # GEMM) so the full-corpus matrices here match per-batch results
     c2 = (cent * cent).sum(axis=1)
     mat = np.array([vecs[i] for i in ids], dtype=np.float64)
-    cells = (c2[None, :] - 2.0 * (mat @ cent.T)).argmin(axis=1)
+    cells = (c2[None, :] - 2.0 * np.einsum("ij,kj->ik", mat, cent)).argmin(axis=1)
     cell_of = dict(zip(ids, cells.tolist()))
     qmat = np.array([vecs[q] for q in QUERY_IDS], dtype=np.float64)
-    probe = (c2[None, :] - 2.0 * (qmat @ cent.T)).argsort(axis=1)[:, :N_PROBE]
+    probe = (
+        c2[None, :] - 2.0 * np.einsum("ij,kj->ik", qmat, cent)
+    ).argsort(axis=1)[:, :N_PROBE]
 
     rows = []
     for qi, q in enumerate(QUERY_IDS):

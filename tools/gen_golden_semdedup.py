@@ -72,9 +72,11 @@ def semdedup_rows(sf_dir: str):
             if len(members):
                 cent[c] = members.mean(axis=0)
 
-    # ASSIGN — same numpy expressions as the engine's pandas pass
+    # ASSIGN — same numpy expressions as the engine's pandas pass; the
+    # fixed-order einsum SOP loop is batch-shape-independent, so the
+    # full-corpus matrix here matches the engine's per-batch results
     c2 = (cent * cent).sum(axis=1)
-    cells = (c2[None, :] - 2.0 * (mat @ cent.T)).argmin(axis=1)
+    cells = (c2[None, :] - 2.0 * np.einsum("ij,kj->ik", mat, cent)).argmin(axis=1)
     cn = cent / np.sqrt((cent * cent).sum(axis=1, keepdims=True))
     norms = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
     matn = mat / np.where(norms == 0.0, 1.0, norms)
