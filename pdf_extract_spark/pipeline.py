@@ -95,6 +95,9 @@ def corpus_pipeline(
     min_stopwords: int = 2,
     checkpoint_dir: str | None = None,
     redact_pii: bool = False,
+    embeddings: DataFrame | None = None,
+    semdedup_eps: float = 0.7,
+    semdedup_centroids: int = 16,
 ) -> dict[str, DataFrame]:
     """Run the full corpus-construction flow; returns the stage frames
     keyed by stage name (each a filter of the previous — count them for
@@ -107,7 +110,15 @@ def corpus_pipeline(
     per-source mixing percentages (100 = keep all).  `redact_pii`
     rewrites the final stage's text through `pii_redact` (a narrow
     scan-side pass — the standard pre-release scrub); doc counts are
-    unchanged, so the funnel stays comparable either way."""
+    unchanged, so the funnel stays comparable either way.
+
+    `embeddings` (optional, (vec_id, embedding) keyed by doc_id) enables
+    the SemDeDup stage after lexical near-dup: paraphrase-level
+    duplicates that share no n-grams are pruned by
+    `operators.semdedup.semantic_dedup` at cos >= 1 - semdedup_eps.  The
+    stage is one anti-join against the pruned-id set (small — only
+    duplicates — so AQE broadcasts it); docs without an embedding row
+    are untouched (no evidence, no drop)."""
     stages: dict[str, DataFrame] = {"ingested": docs}
 
     # degenerate-source defense: a corpus that arrives in fewer splits
@@ -135,11 +146,26 @@ def corpus_pipeline(
     near = near_dedup_stage(exact, text_col, checkpoint_dir=checkpoint_dir).cache()
     stages["near_dedup"] = near
 
-    verdicts = decontaminate(near, text_col, eval_pct=eval_pct)
+    spine = near
+    if embeddings is not None:
+        from .operators.semdedup import semantic_dedup
+
+        dropped = (
+            semantic_dedup(
+                embeddings, eps=semdedup_eps, n_centroids=semdedup_centroids
+            )
+            .filter(~F.col("keep"))
+            .select(F.col("vec_id").alias("doc_id"))
+        )
+        # cache: feeds decontamination, the final mix, and the funnel
+        spine = near.join(dropped, "doc_id", "left_anti").cache()
+        stages["semantic_dedup"] = spine
+
+    verdicts = decontaminate(spine, text_col, eval_pct=eval_pct)
     # cache: counted for the funnel AND re-read by the quota/sample stage
     # and the final sink — the gram explode + semi-join is the pipeline's
     # second-most-expensive recompute
-    clean = near.join(
+    clean = spine.join(
         verdicts.filter(~F.col("contaminated")).select("doc_id"), "doc_id", "left_semi"
     ).cache()
     stages["decontaminated"] = clean

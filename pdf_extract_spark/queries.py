@@ -1209,6 +1209,60 @@ ORDER BY stage_idx
 """
 
 
+def corpus_funnel_semantic(spark, sf_dir):
+    """The composed pipeline with the optional SemDeDup stage enabled:
+    lexical near-dup survivors are additionally pruned of semantic
+    (paraphrase-level) duplicates via the embeddings table before
+    decontamination.  Oracle = the recursive funnel SQL with a `sem` CTE
+    spliced in, reading the independent semdedup golden (fingerprint-
+    keyed) for the pruned-id set."""
+    from .pipeline import corpus_pipeline, funnel_frame
+
+    stages = corpus_pipeline(
+        load(spark, sf_dir, "documents"),
+        min_stopwords=1,
+        embeddings=load(spark, sf_dir, "embeddings"),
+    )
+    return funnel_frame(stages)
+
+
+def _splice_semantic_funnel(sql: str) -> str:
+    """Compose CORPUS_FUNNEL_SEMANTIC_SQL out of CORPUS_FUNNEL_SQL so the
+    shared stages can never drift between the two oracles.  Each anchor
+    must hit exactly once — asserted so an edit to the base SQL that
+    breaks the splice fails at import, not with a silent wrong oracle."""
+    sem_cte = f"""), sem AS (
+  SELECT n.* FROM near n
+  WHERE n.doc_id NOT IN (
+    SELECT vec_id FROM read_parquet('{_GOLDEN_SEMDEDUP_PARQUET}')
+    WHERE corpus_fp = (
+      SELECT md5(string_agg(vec_id::VARCHAR || embedding::VARCHAR, '|' ORDER BY vec_id))
+      FROM embeddings
+    ) AND NOT keep
+  )
+), dgrams AS ("""
+    edits = [
+        ("), dgrams AS (", sem_cte),
+        ("  FROM near\n), ev AS (", "  FROM sem\n), ev AS ("),
+        (
+            "  UNION ALL SELECT 4, 'decontaminated', "
+            "CAST((SELECT count(*) FROM clean) AS BIGINT)\n"
+            "  UNION ALL SELECT 5, 'final', "
+            "CAST((SELECT count(*) FROM clean) AS BIGINT)",
+            "  UNION ALL SELECT 4, 'semantic_dedup', "
+            "CAST((SELECT count(*) FROM sem) AS BIGINT)\n"
+            "  UNION ALL SELECT 5, 'decontaminated', "
+            "CAST((SELECT count(*) FROM clean) AS BIGINT)\n"
+            "  UNION ALL SELECT 6, 'final', "
+            "CAST((SELECT count(*) FROM clean) AS BIGINT)",
+        ),
+    ]
+    for old, new in edits:
+        assert sql.count(old) == 1, f"funnel splice anchor drifted: {old[:40]!r}"
+        sql = sql.replace(old, new)
+    return sql
+
+
 CORPUS_SUMMARY_SQL = r"""
 SELECT lang, source,
        count(*) AS n_docs,
@@ -2411,6 +2465,7 @@ QUERIES = {
     "doc_pack_sequences": doc_pack_sequences,
     "doc_quality_classifier": doc_quality_classifier,
     "semantic_dedup": semantic_dedup,
+    "corpus_funnel_semantic": corpus_funnel_semantic,
 }
 
 ORACLES = {
@@ -2475,4 +2530,5 @@ ORACLES = {
     "doc_pack_sequences": PACK_SEQUENCES_SQL,
     "doc_quality_classifier": NB_CLASSIFY_SQL,
     "semantic_dedup": SEMDEDUP_SQL,
+    "corpus_funnel_semantic": _splice_semantic_funnel(CORPUS_FUNNEL_SQL),
 }

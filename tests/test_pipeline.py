@@ -138,3 +138,34 @@ def test_corpus_pipeline_redact_pii(spark):
     assert a == b
     release_stages(stages)
     release_stages(stages2)
+
+
+def test_corpus_pipeline_semantic_stage(spark):
+    """With an embeddings frame the SemDeDup stage appears between
+    near_dedup and decontaminated, equals near minus the pruned ids, and
+    docs without an embedding row are never dropped by it."""
+    from pdf_extract_spark.operators.semdedup import semantic_dedup
+    from pdf_extract_spark.pipeline import release_stages
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # hold back embeddings for half the ids: those docs carry no semantic
+    # evidence and must pass the stage untouched
+    emb_half = emb.filter(F.col("vec_id") < 250)
+
+    stages = corpus_pipeline(docs, min_stopwords=1, embeddings=emb_half)
+    names = [n for n, _ in funnel_report(stages)]
+    assert names == ["ingested", "quality", "exact_dedup", "near_dedup",
+                     "semantic_dedup", "decontaminated", "final"]
+
+    near_ids = {r["doc_id"] for r in stages["near_dedup"].select("doc_id").collect()}
+    sem_ids = {r["doc_id"] for r in stages["semantic_dedup"].select("doc_id").collect()}
+    dropped = {
+        r["vec_id"]
+        for r in semantic_dedup(emb_half).filter(~F.col("keep")).collect()
+    }
+    assert sem_ids == near_ids - dropped
+    assert sem_ids < near_ids, "stage should prune something on this corpus"
+    # no-embedding docs all survived
+    assert {i for i in near_ids if i >= 250} <= sem_ids
+    release_stages(stages)
