@@ -58,6 +58,7 @@ HEADLINE = [
     "doc_pack_sequences",
     "doc_quality_classifier",
     "semantic_dedup",
+    "doc_classifier_topk",
     "dedup_exact",
     "minhash_lsh_candidates",
     "dedup_clusters",

@@ -33,7 +33,7 @@ coalesce, so unseen text is scored, not dropped.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .lm import _ltoks
@@ -154,3 +154,97 @@ def nb_score(
         )
         .withColumn("pred_pos", F.col("margin_x1000") > 0)
     )
+
+
+def nb_topk_filter(
+    docs: DataFrame,
+    pos_label: Column,
+    pct: int,
+    text_col: str = "text",
+    num_parts: int | None = None,
+    score_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Keep the top ``pct`` percent of scored docs by classifier margin —
+    the DCLM/FineWeb-Edu resampling step (train a cheap classifier, keep
+    the best-scoring slice of the corpus).
+
+    Selection is EXACT and deterministic: the ceil(n*pct/100) docs that
+    rank first by (margin_x1000 DESC, doc_id ASC).  Returns the kept
+    docs' full score rows (same schema as `nb_score`).
+
+    Scale shape — exact global top-k where k is corpus-proportional, so
+    neither a global sort nor a driver collect is acceptable:
+      1. histogram of the integer-quantized margins (one map-side-
+         combined shuffle; distinct margins << docs);
+      2. descending cumulative count over the histogram via the same
+         two-phase prefix sum as operators/pack.py (range partition,
+         local window per physical partition, single-task window only
+         over the P partition totals) -> every margin value knows its
+         cumulative rank range [cum_start, cum_end);
+      3. margins with cum_end <= k keep ALL their docs (semi-join on the
+         margin key);
+      4. the ONE boundary margin (cum_start < k < cum_end) needs its
+         smallest-doc_id quota — resolved with a second two-phase prefix
+         COUNT over just that margin's docs, so even a degenerate corpus
+         where every doc ties on one margin never funnels through a
+         single window task."""
+    spark = docs.sparkSession
+    parts = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    scored = nb_score(docs, pos_label, text_col, score_docs)
+
+    hist = scored.groupBy("margin_x1000").agg(F.count(F.lit(1)).alias("cnt"))
+    h = (
+        hist.repartitionByRange(parts, F.col("margin_x1000").desc())
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_local = Window.partitionBy("pid").orderBy(F.col("margin_x1000").desc())
+    local = h.withColumn("local_end", F.sum("cnt").over(w_local))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        h.groupBy("pid")
+        .agg(F.sum("cnt").alias("ptotal"))
+        .withColumn(
+            "poffset", F.coalesce(F.sum("ptotal").over(w_off), F.lit(0)).cast("long")
+        )
+    )
+    k_frame = hist.agg(
+        F.ceil(F.sum("cnt") * F.lit(int(pct)) / F.lit(100.0))
+        .cast("long")
+        .alias("k")
+    )
+    cum = (
+        local.join(F.broadcast(offsets.select("pid", "poffset")), "pid")
+        .withColumn("cum_end", (F.col("local_end") + F.col("poffset")).cast("long"))
+        .withColumn("cum_start", F.col("cum_end") - F.col("cnt"))
+        .crossJoin(F.broadcast(k_frame))
+    )
+
+    full_margins = cum.filter(F.col("cum_end") <= F.col("k")).select("margin_x1000")
+    kept_full = scored.join(full_margins, "margin_x1000", "left_semi")
+
+    boundary = cum.filter(
+        (F.col("cum_start") < F.col("k")) & (F.col("k") < F.col("cum_end"))
+    ).select("margin_x1000", (F.col("k") - F.col("cum_start")).alias("quota"))
+    bdocs = (
+        scored.join(F.broadcast(boundary), "margin_x1000")
+        .repartitionByRange(parts, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    wb_local = Window.partitionBy("pid").orderBy("doc_id")
+    b_local = bdocs.withColumn("local_rn", F.count(F.lit(1)).over(wb_local))
+    b_offsets = (
+        bdocs.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("ptotal"))
+        .withColumn(
+            "poffset", F.coalesce(F.sum("ptotal").over(w_off), F.lit(0)).cast("long")
+        )
+    )
+    kept_boundary = (
+        b_local.join(F.broadcast(b_offsets.select("pid", "poffset")), "pid")
+        .filter(F.col("local_rn") + F.col("poffset") <= F.col("quota"))
+        .drop("pid", "local_rn", "quota")
+    )
+    out_cols = scored.columns
+    return kept_full.select(out_cols).unionByName(kept_boundary.select(out_cols))

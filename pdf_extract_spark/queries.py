@@ -2293,7 +2293,7 @@ def doc_quality_classifier(spark, sf_dir):
     )
 
 
-NB_CLASSIFY_SQL = r"""
+_NB_CORE_SQL = r"""
 WITH base AS (
   SELECT doc_id, source IN ('src0','src1','src2') AS y,
          regexp_split_to_array(trim(lower(text)), '\s+') AS ts
@@ -2338,8 +2338,38 @@ SELECT doc_id, n_tokens,
        s_pos + pp - (s_neg + pn) AS margin_x1000,
        s_pos + pp > s_neg + pn AS pred_pos
 FROM agg CROSS JOIN pri
+"""
+
+NB_CLASSIFY_SQL = _NB_CORE_SQL + "ORDER BY doc_id\n"
+
+# exact top-pct% selection: the oracle can afford the global sort the
+# engine's histogram/two-phase plan exists to avoid
+NB_TOPK_SQL = f"""
+WITH nb AS ({_NB_CORE_SQL}),
+tot AS (SELECT count(*) AS n FROM nb)
+SELECT doc_id, n_tokens, margin_x1000, pred_pos FROM (
+  SELECT nb.*, row_number() OVER (ORDER BY margin_x1000 DESC, doc_id) AS rn, t.n
+  FROM nb CROSS JOIN tot t
+)
+WHERE rn <= ceil(n * 10 / 100.0)
 ORDER BY doc_id
 """
+
+
+def doc_classifier_topk(spark, sf_dir):
+    """DCLM/FineWeb-Edu-style classifier resampling: keep the exact top
+    10% of docs by NB margin (functions/classify.py:nb_topk_filter —
+    margin-histogram cumulative ranks via two-phase prefix sums, so no
+    corpus-wide global sort or single-task window even under total score
+    ties)."""
+    from .functions.classify import nb_topk_filter
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        nb_topk_filter(docs, F.col("source").isin("src0", "src1", "src2"), pct=10)
+        .select("doc_id", "n_tokens", "margin_x1000", "pred_pos")
+        .orderBy("doc_id")
+    )
 
 
 def semantic_dedup(spark, sf_dir):
@@ -2466,6 +2496,7 @@ QUERIES = {
     "doc_quality_classifier": doc_quality_classifier,
     "semantic_dedup": semantic_dedup,
     "corpus_funnel_semantic": corpus_funnel_semantic,
+    "doc_classifier_topk": doc_classifier_topk,
 }
 
 ORACLES = {
@@ -2531,4 +2562,5 @@ ORACLES = {
     "doc_quality_classifier": NB_CLASSIFY_SQL,
     "semantic_dedup": SEMDEDUP_SQL,
     "corpus_funnel_semantic": _splice_semantic_funnel(CORPUS_FUNNEL_SQL),
+    "doc_classifier_topk": NB_TOPK_SQL,
 }

@@ -119,6 +119,48 @@ def test_nb_score_no_python_udf(spark):
     assert "Python" not in txt, txt[:2000]
 
 
+def test_nb_topk_exact_selection(spark):
+    """nb_topk_filter must return exactly the ceil(n*pct/100) docs that
+    rank first by (margin DESC, doc_id ASC) — verified against a local
+    sort of the full score table."""
+    from pdf_extract_spark.functions.classify import nb_score, nb_topk_filter
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    lab = F.col("source").isin("src0", "src1", "src2")
+    scored = nb_score(docs, lab).collect()
+    expect = {
+        r["doc_id"]
+        for r in sorted(scored, key=lambda r: (-r["margin_x1000"], r["doc_id"]))[
+            : -(-len(scored) * 10 // 100)
+        ]
+    }
+    got = {r["doc_id"] for r in nb_topk_filter(docs, lab, pct=10).collect()}
+    assert got == expect and len(got) == -(-len(scored) * 10 // 100)
+
+
+def test_nb_topk_all_ties_boundary(spark):
+    """Degenerate corpus where every doc lands on ONE margin value: the
+    boundary path must hand back exactly the k smallest doc_ids, and the
+    histogram/boundary windows must all be partitioned by the physical
+    partition id (no corpus-wide single-task window)."""
+    import re
+    from pdf_extract_spark.functions.classify import nb_topk_filter
+
+    docs = spark.createDataFrame(
+        [(i, "same text every time", "src0" if i % 2 else "crawl")
+         for i in range(10)],
+        "doc_id long, text string, source string",
+    )
+    out = nb_topk_filter(docs, F.col("source") == "src0", pct=40)
+    assert {r["doc_id"] for r in out.collect()} == {0, 1, 2, 3}
+    txt = out._jdf.queryExecution().executedPlan().toString()
+    wins = re.findall(r"Window \[[^\n]*", txt)
+    for w in wins:
+        spec = w.split("windowspecdefinition")[-1]
+        # unpartitioned windows may only run over the P-row pid-totals
+        assert "pid" in spec, w
+
+
 def test_nb_score_partition_invariant(spark):
     """Integer-quantized weights sum identically regardless of layout."""
     from pdf_extract_spark.functions.classify import nb_score
