@@ -31,6 +31,13 @@ HEADLINE = [
     "q18_large_volume_customers",
     "q19_discounted_revenue",
     "q10_returned_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
     "events_value_percentiles",
     "events_json_props",
     "corpus_top_terms",

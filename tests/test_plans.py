@@ -229,3 +229,41 @@ def test_q4_exists_is_equi_semi_join(spark):
     assert "LeftSemi" in txt, txt[:1500]
     assert "BroadcastNestedLoopJoin" not in txt
     assert "CartesianProduct" not in txt
+
+
+def test_q7_q8_dims_broadcast_no_nested_loop(spark):
+    """The double-role nation joins (and region/part/supplier dims) must
+    all be broadcast hash joins; only the lineitem->orders->customer
+    chain may shuffle.  A nested-loop anywhere means a role-join
+    compiled to a cartesian."""
+    from pdf_extract_spark.queries import q7_volume_shipping, q8_market_share
+
+    for q in (q7_volume_shipping, q8_market_share):
+        txt = plan_of(q(spark, SF))
+        assert "BroadcastHashJoin" in txt, txt[:1500]
+        assert "CartesianProduct" not in txt
+        assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_q13_outer_join_preserved(spark):
+    """The join-side priority predicate must stay ON the LEFT OUTER join
+    (zero-order customers survive with count 0) — if it slid into a
+    WHERE the outer join would have collapsed to inner."""
+    from pdf_extract_spark.queries import q13_customer_distribution
+
+    txt = plan_of(q13_customer_distribution(spark, SF))
+    assert "LeftOuter" in txt, txt[:1500]
+
+
+def test_q22_recent_orders_is_anti_join(spark):
+    """NOT EXISTS(recent order) must compile to a hash LEFT ANTI join on
+    the customer key, with the date filter pushed below the join."""
+    from pdf_extract_spark.queries import q22_global_sales_opportunity
+
+    df = q22_global_sales_opportunity(spark, SF)
+    txt = plan_of(df)
+    assert "LeftAnti" in txt, txt[:1500]
+    assert "CartesianProduct" not in txt
+    ftxt = formatted(df)
+    m = re.findall(r"PushedFilters: \[([^\]]*)\]", ftxt)
+    assert any("o_orderdate" in g for g in m), m
