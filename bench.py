@@ -41,6 +41,8 @@ HEADLINE = [
     "events_value_percentiles",
     "events_json_props",
     "corpus_top_terms",
+    "doc_bm25_topk",
+    "doc_index_hot_terms",
     "q5_nation_revenue",
     "q6_forecast_revenue",
     "top3_orders_per_customer",

@@ -776,6 +776,83 @@ LIMIT 50
 """
 
 
+def doc_bm25_topk(spark, sf_dir):
+    """Okapi BM25 ranked retrieval for a 3-term probe query — the
+    corpus-curation search primitive.  Only query-matching tokens are
+    exploded (higher-order filter before the explode), so the wide
+    stage is O(matching tokens) not O(corpus tokens)."""
+    from .operators.retrieval import bm25_topk
+
+    docs = load(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "window", "merge"], k=10)
+
+
+DOC_BM25_SQL = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+),
+dims AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dims),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+  WHERE term IN ('spark', 'window', 'merge')
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term)
+SELECT tf.doc_id,
+       round(sum(
+         ln(1 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
+         * (tf * (1.2 + 1.0))
+           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+       ), 4) AS score
+FROM tf
+JOIN dfreq USING (term)
+JOIN dims ON tf.doc_id = dims.doc_id
+CROSS JOIN stats
+GROUP BY tf.doc_id
+ORDER BY score DESC, tf.doc_id ASC
+LIMIT 10
+"""
+
+
+def doc_index_hot_terms(spark, sf_dir):
+    """Inverted-index provisioning stats: per-term document frequency,
+    collection frequency, and max within-doc tf; hottest 30 terms.
+    Both aggregations are map-side partial, so the shuffle carries
+    term partials, never raw postings."""
+    from .operators.retrieval import inverted_index_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        inverted_index_stats(docs, min_df=2)
+        .orderBy(F.desc("coll_freq"), F.asc("term"))
+        .limit(30)
+    )
+
+
+DOC_INDEX_HOT_SQL = r"""
+WITH per_doc AS (
+  SELECT term, doc_id, count(*) AS tf
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+    FROM documents
+  )
+  GROUP BY term, doc_id
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS doc_freq,
+       CAST(sum(tf) AS BIGINT) AS coll_freq,
+       CAST(max(tf) AS BIGINT) AS max_tf
+FROM per_doc
+GROUP BY term
+HAVING count(*) >= 2
+ORDER BY coll_freq DESC, term ASC
+LIMIT 30
+"""
+
+
 def q5_nation_revenue(spark, sf_dir):
     """Multi-way star join: broadcast the small dims (region/nation) —
     Catalyst + AQE choose broadcast-hash, no sort-merge on the dims."""
@@ -2823,6 +2900,8 @@ QUERIES = {
     "events_value_percentiles": events_value_percentiles,
     "events_json_props": events_json_props,
     "corpus_top_terms": corpus_top_terms,
+    "doc_bm25_topk": doc_bm25_topk,
+    "doc_index_hot_terms": doc_index_hot_terms,
     "q5_nation_revenue": q5_nation_revenue,
     "q6_forecast_revenue": q6_forecast_revenue,
     "top3_orders_per_customer": top3_orders_per_customer,
@@ -2892,6 +2971,8 @@ ORACLES = {
     "events_value_percentiles": EVENTS_PCTL_SQL,
     "events_json_props": EVENTS_JSON_SQL,
     "corpus_top_terms": CORPUS_TOP_TERMS_SQL,
+    "doc_bm25_topk": DOC_BM25_SQL,
+    "doc_index_hot_terms": DOC_INDEX_HOT_SQL,
     "q5_nation_revenue": Q5_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "top3_orders_per_customer": TOP3_SQL,

@@ -829,3 +829,82 @@ def test_approx_count_distinct_within_tolerance(spark):
         F.approx_count_distinct("user_id", rsd=0.02)
     ).collect()[0][0]
     assert abs(approx - exact) <= max(3, 0.05 * exact), (approx, exact)
+
+
+# ---------------------------------------------------------------------------
+# Ranked retrieval (BM25 / inverted index)
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_matches_hand_computation(spark):
+    """Score a 3-doc corpus by hand with the same non-negative-idf BM25
+    and check both values and ranking."""
+    from pdf_extract_spark.operators.retrieval import bm25_topk
+
+    rows = [
+        (1, "spark spark join"),
+        (2, "spark window"),
+        (3, "window window window merge"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.score
+        for r in bm25_topk(docs, ["spark", "merge"], k=3).collect()
+    }
+
+    def idf(dfreq, n=3):
+        return math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+
+    def tf_part(tf, dl, avgdl=3.0, k1=1.2, b=0.75):
+        return tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    exp = {
+        1: round(idf(2) * tf_part(2, 3), 4),
+        2: round(idf(2) * tf_part(1, 2), 4),
+        3: round(idf(1) * tf_part(1, 4), 4),
+    }
+    assert out == exp
+    # doc 3's single rare 'merge' outranks doc 2's single common 'spark'
+    ranked = sorted(exp, key=lambda d: (-exp[d], d))
+    assert [r for r in ranked] == sorted(out, key=lambda d: (-out[d], d))
+
+
+def test_bm25_no_match_is_empty_and_k_bounds(spark):
+    from pdf_extract_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    assert bm25_topk(docs, ["zzz"], k=5).count() == 0
+    assert bm25_topk(docs, ["alpha"], k=1).count() == 1
+
+
+def test_inverted_index_stats(spark):
+    from pdf_extract_spark.operators.retrieval import inverted_index_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "b b b")], "doc_id long, text string"
+    )
+    out = {
+        r.term: (r.doc_freq, r.coll_freq, r.max_tf)
+        for r in inverted_index_stats(docs).collect()
+    }
+    assert out == {"a": (2, 3, 2), "b": (2, 4, 3), "c": (1, 1, 1)}
+    filtered = {r.term for r in inverted_index_stats(docs, min_df=2).collect()}
+    assert filtered == {"a", "b"}
+
+
+def test_bm25_plan_is_jvm_only_with_broadcast_stats(spark):
+    """The retrieval plan must stay in codegen (no Python UDF) and join
+    the tiny df/corpus-stats frames broadcast."""
+    from pdf_extract_spark.operators.retrieval import bm25_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        bm25_topk(docs, ["spark", "window"], k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
