@@ -53,6 +53,8 @@ HEADLINE = [
     "doc_stats",
     "doc_quality_filter",
     "doc_sample_stratified",
+    "doc_mix_temperature",
+    "doc_chunk_sliding",
     "doc_source_quota",
     "corpus_summary_stats",
     "doc_repetition_flags",

@@ -548,3 +548,103 @@ def document_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("lang_pred"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    budget: int,
+    temperature: float = 0.5,
+    weight_scale: int = 1000,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-weighted source mixing: sample the corpus down to
+    ~`budget` docs with per-source rates proportional to n_s^temperature
+    / n_s — the standard up-weighting of small high-quality sources (and
+    down-weighting of the dominant crawl) used when composing LLM
+    training mixes.  temperature=1 reproduces natural proportions;
+    temperature->0 approaches uniform-per-source.
+
+    Determinism: per-source keep thresholds are computed on the driver
+    in EXACT Python integer arithmetic from the per-source counts (a
+    bounded collect — one row per source, same pattern as the IVF
+    trainer), quantized to parts-per-million, and a doc is kept iff its
+    md5 ppm-bucket clears its source's threshold.  For the default
+    temperature=0.5 the weight floor(sqrt(n)*scale) is exactly
+    reproducible by ANY IEEE-754 engine (sqrt is correctly rounded by
+    the standard, unlike pow), so an external auditor can re-derive the
+    retained set bit-for-bit; other temperatures use pow() and are
+    best-effort-portable.
+
+    Scale shape: one map-side-combined count agg (tiny result), then a
+    single narrow scan-side filter — no shuffle of the corpus itself,
+    no window, no RNG state."""
+    counts = {
+        r[0]: r[1]
+        for r in docs.groupBy(key_col).agg(F.count("*").alias("n")).collect()
+    }
+    if not counts:
+        return docs.filter(F.lit(False))
+    import math
+
+    def weight(n: int) -> int:
+        if temperature == 0.5:
+            return int(math.sqrt(n) * weight_scale)
+        return int(math.pow(n, temperature) * weight_scale)
+
+    weights = {s: weight(n) for s, n in counts.items()}
+    sum_w = sum(weights.values())
+    rate_ppm = {
+        s: min(
+            1_000_000,
+            (budget * weights[s] * 1_000_000) // (counts[s] * sum_w),
+        )
+        for s in counts
+    }
+    thresh = F.lit(0)
+    for s in sorted(rate_ppm):
+        thresh = F.when(F.col(key_col) == s, F.lit(rate_ppm[s])).otherwise(thresh)
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return docs.filter((h % 1_000_000) < thresh)
+
+
+def chunk_sliding(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window token chunking: split each document into training
+    chunks of `window` whitespace tokens advancing by `stride` (overlap
+    = window - stride carries context across chunk boundaries).  Every
+    doc yields at least one chunk; the final chunk may be short.
+
+    Pure narrow built-ins (sequence/transform/slice + one explode) —
+    zero shuffle, no Python; chunk counts derive from integer
+    arithmetic so the layout is engine-reproducible."""
+    assert 0 < stride <= window, "need 0 < stride <= window"
+    toks = tokens(F.col(text_col))
+    n = F.size("__toks").cast("long")
+    n_chunks = 1 + F.floor(
+        (F.greatest(n - window, F.lit(0)) + (stride - 1)) / stride
+    ).cast("long")
+    chunk = F.slice(
+        F.col("__toks"), F.col("__i").cast("int") * stride + 1, window
+    )
+    return (
+        docs.select(F.col(id_col), toks.alias("__toks"))
+        .select(
+            id_col,
+            "__toks",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("__i"),
+        )
+        .select(
+            id_col,
+            F.col("__i").alias("chunk_id"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )

@@ -1196,6 +1196,108 @@ WHERE rk <= 12
 ORDER BY doc_id
 """
 
+def doc_mix_temperature(spark, sf_dir):
+    """Temperature-weighted language mixing (budget 250, T=0.5): the
+    LLM-mix step that up-weights small languages against the dominant
+    one.  Rates are exact integer ppm thresholds derived from the
+    per-lang counts (functions/text.py:temperature_mix) — sqrt is
+    correctly rounded by IEEE-754, so the oracle re-derives the same
+    thresholds in HUGEINT arithmetic and the retained set matches
+    bit-for-bit."""
+    from .functions.text import temperature_mix
+
+    return (
+        temperature_mix(
+            load(spark, sf_dir, "documents"), budget=250, key_col="lang"
+        )
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+MIX_TEMPERATURE_SQL = r"""
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+weights AS (
+  SELECT lang, n, CAST(floor(sqrt(n) * 1000) AS HUGEINT) AS w FROM counts
+),
+tot AS (SELECT sum(w) AS sumw FROM weights),
+rates AS (
+  SELECT lang,
+         least(CAST(1000000 AS HUGEINT),
+               (CAST(250 AS HUGEINT) * w * 1000000)
+               // (CAST(n AS HUGEINT) * sumw)) AS rate_ppm
+  FROM weights, tot
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN rates USING (lang)
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT % 1000000
+      < rate_ppm
+ORDER BY d.doc_id
+"""
+
+
+def doc_chunk_sliding(spark, sf_dir):
+    """Sliding-window training chunks (32-token window, 24 stride): the
+    per-document chunking a context-bounded trainer consumes.  Narrow
+    zero-shuffle plan (functions/text.py:chunk_sliding)."""
+    from .functions.text import chunk_sliding
+
+    return chunk_sliding(
+        load(spark, sf_dir, "documents"), window=32, stride=24
+    ).orderBy("doc_id", "chunk_id")
+
+
+CHUNK_SLIDING_SQL = r"""
+WITH dims AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n
+  FROM documents
+)
+SELECT doc_id, i AS chunk_id,
+       CAST(len(toks[i*24+1 : i*24+32]) AS BIGINT) AS n_tokens,
+       array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text
+FROM dims, LATERAL unnest(range(0, 1 + (greatest(n - 32, 0) + 23) // 24)) AS t(i)
+ORDER BY doc_id, chunk_id
+"""
+
+
+def spans_linearize(spark, sf_dir):
+    """Interleaved-span linearization — the model-facing training
+    sequence: text spans verbatim, <p>/<h> sentinels for structure,
+    '<media:ref>' placeholders where images sit in the text flow
+    (operators/linearize.py).  Consumes the unified PDF+HTML spans
+    table; one groupBy(doc) shuffle with in-plan array_sort ordering."""
+    from .operators.linearize import linearize_spans
+
+    return linearize_spans(unified_spans(spark, sf_dir)).orderBy(
+        "source_format", "doc_id"
+    )
+
+
+SPANS_LINEARIZE_SQL = f"""
+WITH u AS (
+  SELECT doc_id, 'pdf' AS source_format, pos, kind, text, media_ref
+  FROM read_parquet('{{GOLDEN_SPANS}}')
+  UNION ALL
+  SELECT doc_id, 'html' AS source_format, pos, kind, text, media_ref
+  FROM read_parquet('{{GOLDEN_HTML_MAIN}}')
+)
+SELECT source_format, doc_id,
+       string_agg(
+         CASE WHEN kind = 'media' THEN '<media:' || media_ref || '>'
+              WHEN kind = 'para' THEN '<p>'
+              WHEN kind = 'heading' THEN '<h>'
+              ELSE text END,
+         ' ' ORDER BY pos) AS train_text,
+       count(*) AS n_spans,
+       CAST(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_media
+FROM u
+GROUP BY source_format, doc_id
+ORDER BY source_format, doc_id
+"""
+
+
 def doc_repetition_flags(spark, sf_dir):
     """Gopher-style intra-document repetition filter: top-bigram and
     duplicate-trigram occurrence fractions + per-rule booleans
@@ -2910,6 +3012,9 @@ QUERIES = {
     "doc_stats": doc_stats,
     "doc_quality_filter": doc_quality_filter,
     "doc_sample_stratified": doc_sample_stratified,
+    "doc_mix_temperature": doc_mix_temperature,
+    "doc_chunk_sliding": doc_chunk_sliding,
+    "spans_linearize": spans_linearize,
     "doc_source_quota": doc_source_quota,
     "corpus_summary_stats": corpus_summary_stats,
     "doc_repetition_flags": doc_repetition_flags,
@@ -2981,6 +3086,12 @@ ORACLES = {
     "doc_stats": DOC_STATS_SQL,
     "doc_quality_filter": DOC_QUALITY_SQL,
     "doc_sample_stratified": SAMPLE_STRATIFIED_SQL,
+    "doc_mix_temperature": MIX_TEMPERATURE_SQL,
+    "doc_chunk_sliding": CHUNK_SLIDING_SQL,
+    "spans_linearize": SPANS_LINEARIZE_SQL.format(
+        GOLDEN_SPANS=_GOLDEN_SPANS_PARQUET,
+        GOLDEN_HTML_MAIN=_GOLDEN_HTML_MAIN_PARQUET,
+    ),
     "doc_source_quota": SOURCE_QUOTA_SQL,
     "corpus_summary_stats": CORPUS_SUMMARY_SQL,
     "doc_repetition_flags": DOC_REPETITION_SQL,

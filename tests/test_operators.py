@@ -908,3 +908,121 @@ def test_bm25_plan_is_jvm_only_with_broadcast_stats(spark):
     assert "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixing / chunking / linearization
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_mix_rates_and_determinism(spark):
+    """T=0.5 up-weights the minority source: its keep RATE must exceed
+    the majority's, thresholds must follow the exact integer formula,
+    and the retained set must be identical on re-run (hash-determined,
+    no RNG)."""
+    from pdf_extract_spark.functions.text import temperature_mix
+
+    rows = [(i, "maj" if i < 400 else "min", "x") for i in range(500)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = temperature_mix(docs, budget=100, temperature=0.5)
+    got = {r.doc_id for r in out.collect()}
+    assert got == {r.doc_id for r in out.collect()}  # deterministic
+
+    import math
+
+    w = {"maj": int(math.sqrt(400) * 1000), "min": int(math.sqrt(100) * 1000)}
+    sumw = w["maj"] + w["min"]
+    rate = {
+        s: min(1_000_000, (100 * w[s] * 1_000_000) // (n * sumw))
+        for s, n in (("maj", 400), ("min", 100))
+    }
+    # sqrt weighting: minority keep-rate strictly higher
+    assert rate["min"] > rate["maj"]
+    import hashlib
+
+    def ppm(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 1_000_000
+
+    exp = {
+        i for i in range(500)
+        if ppm(i) < rate["maj" if i < 400 else "min"]
+    }
+    assert got == exp
+
+
+def test_temperature_mix_budget_caps_at_full_corpus(spark):
+    from pdf_extract_spark.functions.text import temperature_mix
+
+    docs = spark.createDataFrame(
+        [(i, "s", "x") for i in range(20)], "doc_id long, source string, text string"
+    )
+    # budget >= corpus: rate clamps to 1e6 ppm -> everything kept
+    assert temperature_mix(docs, budget=1000).count() == 20
+
+
+def test_chunk_sliding_layout(spark):
+    """Hand-checked chunk layout: 10 tokens, window 4, stride 3 ->
+    starts 0,3,6 (the last window already covers the final token, so no
+    redundant tail chunk); 11 tokens -> an extra short tail at 9."""
+    from pdf_extract_spark.functions.text import chunk_sliding
+
+    text = " ".join(f"t{i}" for i in range(10))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = sorted(
+        (r.chunk_id, r.n_tokens, r.chunk_text)
+        for r in chunk_sliding(docs, window=4, stride=3).collect()
+    )
+    assert out == [
+        (0, 4, "t0 t1 t2 t3"),
+        (1, 4, "t3 t4 t5 t6"),
+        (2, 4, "t6 t7 t8 t9"),
+    ]
+    text11 = " ".join(f"t{i}" for i in range(11))
+    docs11 = spark.createDataFrame([(3, text11)], "doc_id long, text string")
+    out11 = sorted(
+        (r.chunk_id, r.n_tokens, r.chunk_text)
+        for r in chunk_sliding(docs11, window=4, stride=3).collect()
+    )
+    assert out11 == [
+        (0, 4, "t0 t1 t2 t3"),
+        (1, 4, "t3 t4 t5 t6"),
+        (2, 4, "t6 t7 t8 t9"),
+        (3, 2, "t9 t10"),
+    ]
+    # short doc: exactly one (possibly short) chunk
+    short = spark.createDataFrame([(2, "a b")], "doc_id long, text string")
+    rows = chunk_sliding(short, window=4, stride=3).collect()
+    assert len(rows) == 1 and rows[0].chunk_text == "a b"
+
+
+def test_chunk_sliding_no_shuffle(spark):
+    from pdf_extract_spark.functions.text import chunk_sliding
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        chunk_sliding(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan[:1200]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_linearize_spans_order_and_sentinels(spark):
+    """Spans arrive UNORDERED; linearization must emit offset order with
+    sentinel/media tokens substituted."""
+    from pdf_extract_spark.operators.linearize import linearize_spans
+
+    rows = [
+        ("pdf", 1, 2, "text", "world", ""),
+        ("pdf", 1, 0, "para", "", ""),
+        ("pdf", 1, 1, "text", "hello", ""),
+        ("pdf", 1, 3, "media", "", "img#7"),
+        ("pdf", 2, 0, "heading", "Title", ""),
+    ]
+    spans = spark.createDataFrame(
+        rows, "source_format string, doc_id long, pos long, kind string, "
+              "text string, media_ref string"
+    )
+    out = {r.doc_id: r for r in linearize_spans(spans).collect()}
+    assert out[1].train_text == "<p> hello world <media:img#7>"
+    assert (out[1].n_spans, out[1].n_media) == (4, 1)
+    assert out[2].train_text == "<h>" and out[2].n_media == 0
