@@ -39,6 +39,7 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "q22_global_sales_opportunity",
     "events_value_percentiles",
+    "events_distinct_users_hll",
     "events_json_props",
     "corpus_top_terms",
     "doc_bm25_topk",

@@ -718,6 +718,28 @@ ORDER BY event_type
 """
 
 
+def events_distinct_users_hll(spark, sf_dir):
+    """Register-level portable HyperLogLog (operators/sketch.py): approx
+    distinct users per event type where the ENTIRE sketch — md5
+    registers, exact integer register sum, correction branch — is
+    re-derived by the DuckDB oracle, unlike the black-box HLL++ in
+    approx_count_distinct.  Mergeable across engines by construction."""
+    from .operators.sketch import hll_distinct
+
+    return hll_distinct(
+        load(spark, sf_dir, "events"), ["event_type"], "user_id", p=8
+    ).orderBy("event_type")
+
+
+def _events_hll_sql() -> str:
+    from .operators.sketch import hll_oracle_sql
+
+    return (
+        hll_oracle_sql("events", ["event_type"], "user_id", p=8)
+        + "\nORDER BY event_type"
+    )
+
+
 def events_json_props(spark, sf_dir):
     """Semi-structured column handling: extract an integer property from
     the JSON `props` string and aggregate per event type — the
@@ -3004,6 +3026,7 @@ QUERIES = {
     "corpus_top_terms": corpus_top_terms,
     "doc_bm25_topk": doc_bm25_topk,
     "doc_index_hot_terms": doc_index_hot_terms,
+    "events_distinct_users_hll": events_distinct_users_hll,
     "q5_nation_revenue": q5_nation_revenue,
     "q6_forecast_revenue": q6_forecast_revenue,
     "top3_orders_per_customer": top3_orders_per_customer,
@@ -3078,6 +3101,7 @@ ORACLES = {
     "corpus_top_terms": CORPUS_TOP_TERMS_SQL,
     "doc_bm25_topk": DOC_BM25_SQL,
     "doc_index_hot_terms": DOC_INDEX_HOT_SQL,
+    "events_distinct_users_hll": _events_hll_sql(),
     "q5_nation_revenue": Q5_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "top3_orders_per_customer": TOP3_SQL,

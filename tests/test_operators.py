@@ -1026,3 +1026,56 @@ def test_linearize_spans_order_and_sentinels(spark):
     assert out[1].train_text == "<p> hello world <media:img#7>"
     assert (out[1].n_spans, out[1].n_media) == (4, 1)
     assert out[2].train_text == "<h>" and out[2].n_media == 0
+
+
+def test_hll_distinct_accuracy_both_branches(spark):
+    """Portable HLL: small key (linear counting branch) and large key
+    (raw-estimate branch, all-but-few registers hit) must both land
+    within ~3 sigma of the exact count (p=8 -> sigma ~ 6.5%)."""
+    from pdf_extract_spark.operators.sketch import hll_distinct
+
+    rows = [("small", i) for i in range(80)] + [
+        ("large", 1000 + i) for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "grp string, user_id long")
+    out = {r.grp: r.approx_distinct for r in
+           hll_distinct(df, ["grp"], "user_id").collect()}
+    assert abs(out["small"] - 80) <= 0.2 * 80 + 3
+    assert abs(out["large"] - 5000) <= 0.2 * 5000
+    # dup rows must not change the sketch
+    out2 = {r.grp: r.approx_distinct for r in
+            hll_distinct(df.union(df), ["grp"], "user_id").collect()}
+    assert out == out2
+
+
+def test_hll_register_sum_matches_python_reference(spark):
+    """Exactness gate: the register table and integer register sum must
+    equal an independent Python md5 reimplementation bit-for-bit."""
+    import hashlib
+
+    from pdf_extract_spark.operators.sketch import _K, _WBITS, hll_distinct
+
+    vals = list(range(300))
+    df = spark.createDataFrame([("g", v) for v in vals],
+                               "grp string, user_id long")
+    regs = {}
+    for v in vals:
+        h = hashlib.md5(str(v).encode()).hexdigest()
+        j = int(h[:2], 16)
+        w = int(h[2:2 + _WBITS // 4], 16)
+        rho = (_WBITS + 1) if w == 0 else (_WBITS + 1 - w.bit_length())
+        regs[j] = max(regs.get(j, 0), rho)
+    s_present = sum(1 << (_K - r) for r in regs.values())
+    got = hll_distinct(df, ["grp"], "user_id")
+    m = 256
+    v_empty = m - len(regs)
+    s = s_present + v_empty * (1 << _K)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e_raw = (alpha * m * m) * float(1 << _K) / float(s)
+    import math
+
+    if e_raw <= 2.5 * m and v_empty > 0:
+        exp = round(m * math.log(m / v_empty))
+    else:
+        exp = round(e_raw)
+    assert got.collect()[0].approx_distinct == exp
