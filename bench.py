@@ -62,6 +62,7 @@ HEADLINE = [
     "doc_span_dedup",
     "doc_span_dedup_apply",
     "doc_decontaminate",
+    "doc_decontaminate_bloom",
     "doc_pii_redact",
     "doc_url_dedup",
     "doc_token_bpe",

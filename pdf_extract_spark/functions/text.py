@@ -409,6 +409,105 @@ def decontaminate(docs: DataFrame, text_col: str = "text", n: int = 8,
     )
 
 
+def decontaminate_bloom(docs: DataFrame, text_col: str = "text", n: int = 8,
+                        eval_pct: int = 3,
+                        eval_docs: DataFrame | None = None,
+                        mbits: int = 1 << 17, k: int = 4) -> DataFrame:
+    """Bloom-filter variant of `decontaminate`: identical verdict
+    semantics (modulo the filter's deterministic false positives), but
+    the eval set travels as a FIXED-SIZE bitmap instead of its distinct
+    gram hashes.  At 100 TB this is the difference between broadcasting
+    a constant ~16 KB-2 MB bitmap and broadcasting an eval-gram table
+    that grows with the benchmark suite — and the membership test is a
+    narrow per-row expression, so the corpus side needs only its ONE
+    per-doc aggregation shuffle (no semi join at all).
+
+    Portability: positions are Kirsch-Mitzenmacher double hashing over
+    the gram md5 (h1 = first 8 hex digits, h2 = next 8; pos_i =
+    (h1 + i*h2) mod mbits) packed into 32-bit words — all exact BIGINT
+    arithmetic, so the DuckDB oracle rebuilds the same bitmap
+    bit-for-bit and reproduces every false positive.
+
+    The bitmap is built distributed (explode -> word-level bit_or) and
+    collected once — <= mbits/32 longs (guarded), the same bounded
+    driver-collect pattern as the IVF trainer."""
+    assert mbits <= (1 << 22), "bitmap above 512 KiB — raise deliberately"
+    assert mbits % 32 == 0 and k >= 1
+
+    def grams_expr(colname: str) -> Column:
+        return F.array_distinct(
+            gram_array(tokens(F.lower(F.col(colname))), n)
+        )
+
+    bucket = hash_bucket(F.col("doc_id"))
+    base = docs.select(
+        "doc_id", bucket.alias("bk"), grams_expr(text_col).alias("gs")
+    )
+    if eval_docs is not None:
+        eval_gram_src = eval_docs.select(
+            F.explode(grams_expr(text_col)).alias("g")
+        )
+        train = base
+    else:
+        eval_gram_src = base.filter(F.col("bk") < eval_pct).select(
+            F.explode("gs").alias("g")
+        )
+        train = base.filter(F.col("bk") >= eval_pct)
+
+    h = F.md5(F.encode("g", "utf-8"))
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    pos = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: (h1 + i.cast("long") * h2) % mbits,
+        )
+    ).alias("pos")
+    words = (
+        eval_gram_src.select(pos)
+        .select(
+            (F.col("pos") / 32).cast("int").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+            .alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("b"))
+        .collect()
+    )
+    bitmap = [0] * (mbits // 32)
+    for r in words:
+        bitmap[r["w"]] = r["b"]
+
+    hh = "md5(encode(__g, 'utf-8'))"
+    p1 = f"CAST(conv(substr({hh}, 1, 8), 16, 10) AS BIGINT)"
+    p2 = f"CAST(conv(substr({hh}, 9, 8), 16, 10) AS BIGINT)"
+    terms = []
+    for i in range(k):
+        p = f"(({p1} + {i} * {p2}) % {mbits})"
+        terms.append(
+            f"(element_at(__bm, CAST({p} DIV 32 AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST({p} % 32 AS INT))) != 0"
+        )
+    hit = F.expr(" AND ".join(terms))
+
+    hits = (
+        train.select("doc_id", F.explode("gs").alias("__g"))
+        .withColumn("__bm", F.lit(bitmap))
+        .groupBy("doc_id")
+        .agg(F.sum(hit.cast("long")).alias("n_hits"))
+    )
+    return (
+        train.select("doc_id", F.size("gs").cast("long").alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 # PII patterns: constructs restricted to the RE2/Java common subset so
 # the Spark expressions and the DuckDB oracle match byte-for-byte
 PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"

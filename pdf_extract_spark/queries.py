@@ -1648,6 +1648,80 @@ ORDER BY doc_id
 """
 
 
+_BLOOM_MBITS = 1 << 14
+_BLOOM_K = 4
+
+
+def doc_decontaminate_bloom(spark, sf_dir):
+    """Bloom-bitmap decontamination (functions/text.py:
+    decontaminate_bloom): same verdict semantics as doc_decontaminate
+    but the eval set travels as a constant-size bitmap and membership
+    is a narrow per-row expression — no semi join on the corpus side.
+    The oracle rebuilds the identical bitmap in SQL, reproducing every
+    deterministic false positive bit-for-bit."""
+    from .functions.text import decontaminate_bloom
+
+    return decontaminate_bloom(
+        load(spark, sf_dir, "documents"),
+        n=8, eval_pct=3, mbits=_BLOOM_MBITS, k=_BLOOM_K,
+    ).orderBy("doc_id")
+
+
+def _bloom_decontaminate_sql(mbits: int = _BLOOM_MBITS,
+                             k: int = _BLOOM_K) -> str:
+    terms = []
+    for i in range(k):
+        p = f"((h1 + {i} * h2) % {mbits})"
+        terms.append(
+            f"(arr[CAST({p} // 32 AS INT) + 1]"
+            f" & ((1::BIGINT) << CAST({p} % 32 AS INT))) <> 0"
+        )
+    hit = "\n             AND ".join(terms)
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
+           AS bk,
+         list_distinct(list_transform(range(1, greatest(len(ts) - 7, 0) + 1),
+                       i -> array_to_string(ts[i:i+7], ' '))) AS gs
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+        FROM documents)
+), evh AS (
+  SELECT DISTINCT md5(g) AS h FROM base, unnest(gs) AS t(g) WHERE bk < 3
+), posns AS (
+  SELECT ((('0x' || substr(h, 1, 8))::BIGINT
+           + i * ('0x' || substr(h, 9, 8))::BIGINT) % {mbits}) AS pos
+  FROM evh, unnest(range(0, {k})) AS t(i)
+), bits AS (
+  SELECT CAST(pos // 32 AS INT) AS w,
+         bit_or((1::BIGINT) << CAST(pos % 32 AS INT)) AS b
+  FROM posns GROUP BY 1
+), bitmap AS (
+  SELECT list(coalesce(b.b, 0) ORDER BY r.range) AS arr
+  FROM range(0, {mbits // 32}) r LEFT JOIN bits b ON b.w = r.range
+), trh AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT AS h1,
+         ('0x' || substr(md5(g), 9, 8))::BIGINT AS h2
+  FROM base, unnest(gs) AS t(g) WHERE bk >= 3
+), hits AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN {hit}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+  FROM trh, bitmap
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.gs) AS BIGINT) AS n_grams,
+       coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM base b
+LEFT JOIN hits h USING (doc_id)
+WHERE b.bk >= 3
+ORDER BY doc_id
+"""
+
+
 def corpus_funnel(spark, sf_dir):
     """The COMPOSED corpus-construction pipeline (pipeline.py) as one
     oracled query: per-stage surviving-document counts for quality ->
@@ -3044,6 +3118,7 @@ QUERIES = {
     "doc_span_dedup": doc_span_dedup,
     "doc_span_dedup_apply": doc_span_dedup_apply,
     "doc_decontaminate": doc_decontaminate,
+    "doc_decontaminate_bloom": doc_decontaminate_bloom,
     "doc_pii_redact": doc_pii_redact,
     "doc_url_dedup": doc_url_dedup,
     "corpus_funnel": corpus_funnel,
@@ -3122,6 +3197,7 @@ ORACLES = {
     "doc_span_dedup": DOC_SPAN_DEDUP_SQL,
     "doc_span_dedup_apply": DOC_SPAN_DEDUP_APPLY_SQL,
     "doc_decontaminate": DOC_DECONTAMINATE_SQL,
+    "doc_decontaminate_bloom": _bloom_decontaminate_sql(),
     "doc_pii_redact": DOC_PII_REDACT_SQL,
     "doc_url_dedup": DOC_URL_DEDUP_SQL,
     "corpus_funnel": CORPUS_FUNNEL_SQL,

@@ -1079,3 +1079,66 @@ def test_hll_register_sum_matches_python_reference(spark):
     else:
         exp = round(e_raw)
     assert got.collect()[0].approx_distinct == exp
+
+
+def test_bloom_decontaminate_agrees_with_exact_on_true_hits(spark):
+    """Bloom verdicts must include every EXACT hit (no false negatives);
+    with a roomy bitmap the synthetic corpus should produce no false
+    positives either, so verdicts match the exact operator."""
+    from pdf_extract_spark.functions.text import decontaminate, decontaminate_bloom
+
+    rows = []
+    for i in range(40):
+        rows.append((i, " ".join(f"w{i}_{j}" for j in range(12))))
+    # two docs sharing an 8-gram with doc 0 (doc 0 may land in the eval slice)
+    rows.append((100, " ".join(f"w0_{j}" for j in range(12))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {r.doc_id: r.contaminated
+             for r in decontaminate(docs, eval_pct=20).collect()}
+    bloom = {r.doc_id: r.contaminated
+             for r in decontaminate_bloom(docs, eval_pct=20,
+                                          mbits=1 << 14).collect()}
+    assert set(bloom) == set(exact)
+    for d, c in exact.items():
+        if c:
+            assert bloom[d], f"false negative for doc {d}"
+    assert bloom == exact  # no FPs at this load factor
+
+
+def test_bloom_membership_matches_python_reference(spark):
+    """The bitmap build + k-position probe must equal an independent
+    Python md5/Kirsch-Mitzenmacher reimplementation on crafted grams."""
+    import hashlib
+
+    from pdf_extract_spark.functions.text import decontaminate_bloom
+
+    mbits, k, n = 1 << 10, 4, 2
+    text_eval = "alpha beta gamma"          # grams: 'alpha beta','beta gamma'
+    text_hit = "alpha beta something"       # shares 'alpha beta'
+    text_miss = "delta epsilon zeta"
+    # md5 buckets: doc 1 -> 60, doc 2 -> 5, doc 3 -> 10; eval_pct=8
+    # puts exactly doc 2 (the eval text) in the eval slice
+    docs = spark.createDataFrame(
+        [(2, text_eval), (1, text_hit), (3, text_miss)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_hits, r.contaminated)
+           for r in decontaminate_bloom(docs, n=n, eval_pct=8,
+                                        mbits=mbits, k=k).collect()}
+
+    def positions(gram):
+        h = hashlib.md5(gram.encode()).hexdigest()
+        h1, h2 = int(h[:8], 16), int(h[8:16], 16)
+        return [(h1 + i * h2) % mbits for i in range(k)]
+
+    bits = set()
+    for g in ["alpha beta", "beta gamma"]:
+        bits.update(positions(g))
+    expect = {}
+    for doc_id, text in ((1, text_hit), (3, text_miss)):
+        toks = text.split()
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        nh = sum(1 for g in set(grams) if all(p in bits for p in positions(g)))
+        expect[doc_id] = (nh, nh > 0)
+    assert out == expect
+    assert out[1][1] and not out[3][1]
