@@ -342,6 +342,36 @@ def span_dedup_apply(docs: DataFrame, text_col: str = "text",
     )
 
 
+def _decontam_split(docs: DataFrame, text_col: str, n: int, eval_pct: int,
+                    eval_docs: DataFrame | None):
+    """Shared scaffolding for both decontamination variants: the per-doc
+    distinct-gram frame (train side) and the eval gram stream — either
+    an EXTERNAL benchmark frame or the deterministic md5-bucket slice of
+    the corpus itself.  One definition so the gram construction and the
+    eval-slice rule cannot drift between the exact and Bloom paths."""
+
+    def grams_expr(colname: str) -> Column:
+        # unbound expression over the named column: it resolves against
+        # whichever frame it is selected from
+        return F.array_distinct(
+            gram_array(tokens(F.lower(F.col(colname))), n)
+        )
+
+    base = docs.select(
+        "doc_id",
+        hash_bucket(F.col("doc_id")).alias("bk"),
+        grams_expr(text_col).alias("gs"),
+    )
+    if eval_docs is not None:
+        return base, eval_docs.select(
+            F.explode(grams_expr(text_col)).alias("g")
+        )
+    return (
+        base.filter(F.col("bk") >= eval_pct),
+        base.filter(F.col("bk") < eval_pct).select(F.explode("gs").alias("g")),
+    )
+
+
 def decontaminate(docs: DataFrame, text_col: str = "text", n: int = 8,
                   eval_pct: int = 3,
                   eval_docs: DataFrame | None = None) -> DataFrame:
@@ -365,27 +395,7 @@ def decontaminate(docs: DataFrame, text_col: str = "text", n: int = 8,
     per-doc hit count; gram totals come from the array length (no second
     shuffle).  One explode shuffle total, and the contamination verdict
     never moves the corpus."""
-    def grams_expr(colname: str) -> Column:
-        # unbound expression over the named column: it resolves against
-        # whichever frame it is selected from
-        return F.array_distinct(
-            gram_array(tokens(F.lower(F.col(colname))), n)
-        )
-
-    bucket = hash_bucket(F.col("doc_id"))
-    base = docs.select(
-        "doc_id",
-        bucket.alias("bk"),
-        grams_expr(text_col).alias("gs"),
-    )
-    if eval_docs is not None:
-        eval_gram_src = eval_docs.select(F.explode(grams_expr(text_col)).alias("g"))
-        train = base
-    else:
-        eval_gram_src = base.filter(F.col("bk") < eval_pct).select(
-            F.explode("gs").alias("g")
-        )
-        train = base.filter(F.col("bk") >= eval_pct)
+    train, eval_gram_src = _decontam_split(docs, text_col, n, eval_pct, eval_docs)
     eval_grams = eval_gram_src.select(
         F.md5(F.encode("g", "utf-8")).alias("h")
     ).distinct()
@@ -433,26 +443,7 @@ def decontaminate_bloom(docs: DataFrame, text_col: str = "text", n: int = 8,
     driver-collect pattern as the IVF trainer."""
     assert mbits <= (1 << 22), "bitmap above 512 KiB — raise deliberately"
     assert mbits % 32 == 0 and k >= 1
-
-    def grams_expr(colname: str) -> Column:
-        return F.array_distinct(
-            gram_array(tokens(F.lower(F.col(colname))), n)
-        )
-
-    bucket = hash_bucket(F.col("doc_id"))
-    base = docs.select(
-        "doc_id", bucket.alias("bk"), grams_expr(text_col).alias("gs")
-    )
-    if eval_docs is not None:
-        eval_gram_src = eval_docs.select(
-            F.explode(grams_expr(text_col)).alias("g")
-        )
-        train = base
-    else:
-        eval_gram_src = base.filter(F.col("bk") < eval_pct).select(
-            F.explode("gs").alias("g")
-        )
-        train = base.filter(F.col("bk") >= eval_pct)
+    train, eval_gram_src = _decontam_split(docs, text_col, n, eval_pct, eval_docs)
 
     h = F.md5(F.encode("g", "utf-8"))
     h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
@@ -678,9 +669,12 @@ def temperature_mix(
     Scale shape: one map-side-combined count agg (tiny result), then a
     single narrow scan-side filter — no shuffle of the corpus itself,
     no window, no RNG state."""
+    # NULL-key rows form no stratum and are dropped (matching the
+    # oracle's inner JOIN on the rates table, which drops NULL keys)
     counts = {
         r[0]: r[1]
         for r in docs.groupBy(key_col).agg(F.count("*").alias("n")).collect()
+        if r[0] is not None
     }
     if not counts:
         return docs.filter(F.lit(False))
@@ -703,10 +697,7 @@ def temperature_mix(
     thresh = F.lit(0)
     for s in sorted(rate_ppm):
         thresh = F.when(F.col(key_col) == s, F.lit(rate_ppm[s])).otherwise(thresh)
-    h = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-    ).cast("long")
-    return docs.filter((h % 1_000_000) < thresh)
+    return docs.filter(hash_bucket(F.col(id_col), 1_000_000) < thresh)
 
 
 def chunk_sliding(

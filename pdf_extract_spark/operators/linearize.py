@@ -44,7 +44,11 @@ def linearize_spans(
     order_col: str = "pos",
 ) -> DataFrame:
     """One row per document: the space-joined training sequence plus the
-    span/media counts a shard manifest records."""
+    span/media counts a shard manifest records.
+
+    Ordering: primary key `order_col`; on equal positions the struct
+    sort falls through to the rendered token (binary string compare) —
+    deterministic, and mirrored by the oracle's secondary ORDER BY."""
     tok = span_token()
     return (
         spans.select(

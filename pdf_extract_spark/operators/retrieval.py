@@ -33,15 +33,16 @@ from ..functions.text import tokens
 
 def _matched_term_freqs(
     docs: DataFrame, query_terms: Sequence[str], text_col: str, id_col: str
-):
-    """(doc_id, term, tf, dl) for query terms only, plus the narrow
-    (doc_id, dl) frame it was derived from."""
-    qlit = F.array(*[F.lit(t) for t in query_terms])
+) -> DataFrame:
+    """(doc_id, term, tf, dl) for query terms only.  Query terms are
+    normalized the same way document tokens are (lowercased) so a
+    mixed-case probe can never silently match nothing."""
+    qlit = F.array(*[F.lit(t.lower()) for t in query_terms])
     base = docs.select(
         F.col(id_col),
         tokens(F.lower(F.col(text_col))).alias("toks"),
     ).withColumn("dl", F.size("toks").cast("long"))
-    matched = (
+    return (
         base.select(
             id_col,
             "dl",
@@ -52,7 +53,6 @@ def _matched_term_freqs(
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
     )
-    return matched, base.select(id_col, "dl")
 
 
 def bm25_topk(
@@ -72,7 +72,7 @@ def bm25_topk(
     negative.  Scores are rounded to 4 decimals and ties broken by
     doc_id, making the top-k deterministic and cross-engine stable.
     """
-    matched, _ = _matched_term_freqs(docs, query_terms, text_col, id_col)
+    matched = _matched_term_freqs(docs, query_terms, text_col, id_col)
     stats = docs.agg(
         F.count("*").alias("n_docs"),
         F.avg(F.size(tokens(F.lower(F.col(text_col))))).alias("avgdl"),

@@ -31,7 +31,13 @@ _K = 55  # scaled-power exponent: terms 2^(_K - rho), exact in BIGINT
 
 
 def _alpha(m: int) -> float:
-    # standard HLL bias constant for m >= 128
+    # standard HLL bias constants (Flajolet et al. 2007)
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
     return 0.7213 / (1.0 + 1.079 / m)
 
 

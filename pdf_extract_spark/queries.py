@@ -1310,7 +1310,13 @@ SELECT source_format, doc_id,
               WHEN kind = 'para' THEN '<p>'
               WHEN kind = 'heading' THEN '<h>'
               ELSE text END,
-         ' ' ORDER BY pos) AS train_text,
+         ' ' ORDER BY pos,
+         -- equal-pos tiebreak: the rendered token, mirroring Spark's
+         -- array_sort falling through the (pos, tok) struct
+         CASE WHEN kind = 'media' THEN '<media:' || media_ref || '>'
+              WHEN kind = 'para' THEN '<p>'
+              WHEN kind = 'heading' THEN '<h>'
+              ELSE text END) AS train_text,
        count(*) AS n_spans,
        CAST(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS BIGINT)
          AS n_media

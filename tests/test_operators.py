@@ -1142,3 +1142,23 @@ def test_bloom_membership_matches_python_reference(spark):
         expect[doc_id] = (nh, nh > 0)
     assert out == expect
     assert out[1][1] and not out[3][1]
+
+
+def test_temperature_mix_null_key_rows_dropped(spark):
+    """A NULL stratum key must not crash the driver; NULL-key rows form
+    no stratum and are dropped (matching the oracle's inner join)."""
+    from pdf_extract_spark.functions.text import temperature_mix
+
+    rows = [(1, "a", "x"), (2, None, "x"), (3, "a", "x")]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r.doc_id for r in temperature_mix(docs, budget=10).collect()}
+    assert 2 not in got and got <= {1, 3}
+
+
+def test_bm25_query_terms_case_insensitive(spark):
+    from pdf_extract_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "Spark is fast"), (2, "other words")], "doc_id long, text string"
+    )
+    assert bm25_topk(docs, ["SPARK"], k=5).count() == 1
