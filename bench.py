@@ -173,6 +173,36 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # Forced-evaluation pass: count() lets Catalyst prune columns (and
+    # even eliminate a left join against a provably-unique aggregate),
+    # so for a few queries the count() number under-measures the real
+    # work (r5 found doc_decontaminate at 0.27s counted vs 18s forced,
+    # pre-optimization).  This pass forces every output column through
+    # an xxhash64 aggregate — full computation, no driver transfer.
+    # `queries` stays count()-based for round-over-round comparability;
+    # `queries_forced` is the honest total-work number.
+    timings_forced: dict[str, float] = {}
+    from pyspark.sql import functions as _F
+
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            try:
+                # bit_xor, not sum: summing 64-bit hashes overflows
+                # under ANSI mode
+                df.agg(
+                    _F.expr(
+                        "bit_xor(xxhash64(" + ", ".join(df.columns) + "))"
+                    )
+                ).collect()
+            except Exception:
+                df.count()
+            best = min(best, time.perf_counter() - t0)
+        timings_forced[name] = round(best, 3)
+
     # extraction throughput: deterministic mixed corpus (5% multi-page
     # docs for skew), generated executor-side, scaled by sf.  min-of-3
     # with EVERY sample recorded: the host suffers intermittent multi-x
@@ -236,6 +266,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_forced": timings_forced,
                 "sf": sf,
                 "extract_docs": n_docs,
                 "extract_docs_per_sec": docs_per_sec,

@@ -160,21 +160,6 @@ def gopher_quality_flags(docs: DataFrame, text_col: str = "text",
     )
 
 
-def gram_array(ts: Column, n: int) -> Column:
-    """All overlapping word n-grams of a token array as space-joined
-    strings; empty array when the doc has fewer than n tokens.  Pure
-    codegen expression (sequence + slice + concat_ws) — the `when` guard
-    matters because sequence(1, 0) would produce a DESCENDING sequence,
-    not an empty one."""
-    return F.when(
-        F.size(ts) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(ts) - n),
-            lambda i: F.concat_ws(" ", F.slice(ts, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-
-
 def repetition_signals(docs: DataFrame, text_col: str = "text",
                        top_bigram_pct: int = 20,
                        dup_trigram_pct: int = 30) -> DataFrame:
@@ -194,9 +179,8 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
     a repetitive 10^6-token doc costs one reducer O(distinct grams), not
     O(occurrences).  A left join restores docs too short to have grams
     (vacuously passing)."""
-    base = docs.select("doc_id", tokens(F.lower(F.col(text_col))).alias("ts"))
-    bg = base.select("doc_id", F.explode(gram_array(F.col("ts"), 2)).alias("g"))
-    tg = base.select("doc_id", F.explode(gram_array(F.col("ts"), 3)).alias("g"))
+    bg = _gram_stream(docs, text_col, 2, ("doc_id",))
+    tg = _gram_stream(docs, text_col, 3, ("doc_id",))
     bg_doc = (
         bg.groupBy("doc_id", "g").count()
         .groupBy("doc_id")
@@ -244,11 +228,9 @@ def _span_occurrences_judged(docs: DataFrame, text_col: str, n: int) -> DataFram
     combine + one join back — the single source of truth for the keeper
     rule, so the stats and apply operators (and their SQL oracles) cannot
     drift apart."""
-    base = docs.select("doc_id", tokens(F.lower(F.col(text_col))).alias("ts"))
-    grams = base.select(
-        "doc_id",
-        F.posexplode(gram_array(F.col("ts"), n)).alias("pos", "g"),
-    ).select("doc_id", "pos", F.md5(F.encode("g", "utf-8")).alias("h"))
+    grams = _gram_stream(docs, text_col, n, ("doc_id",), with_pos=True).select(
+        "doc_id", "pos", F.md5(F.encode("g", "utf-8")).alias("h")
+    )
     stats = grams.groupBy("h").agg(
         F.count("*").alias("occ"),
         F.min(F.struct("doc_id", "pos")).alias("keeper"),
@@ -342,33 +324,56 @@ def span_dedup_apply(docs: DataFrame, text_col: str = "text",
     )
 
 
+def _gram_stream(df: DataFrame, text_col: str, n: int,
+                 id_cols: tuple[str, ...],
+                 with_pos: bool = False) -> DataFrame:
+    """Exploded word n-gram stream (duplicates included) built WITHOUT
+    higher-order functions: explode the start indexes, then one codegen
+    slice+concat per row.  The HOF form (transform + array_distinct)
+    evaluates its lambda interpreted — measured 10-16x slower at sf0.1 —
+    so dedup is left to the downstream aggregation, which combines
+    map-side anyway (each doc's grams are born in one partition).
+    `with_pos` adds the 0-based gram start index as `pos` (identical to
+    what posexplode over the gram array produced)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    idx = df.select(*id_cols, toks.alias("__ts")).select(
+        *id_cols,
+        "__ts",
+        F.explode(
+            # the `when` guard matters: sequence(0, -1) would DESCEND,
+            # not produce an empty array
+            F.when(
+                F.size("__ts") >= n,
+                F.sequence(F.lit(0), F.size("__ts") - n),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("__i"),
+    )
+    g = F.concat_ws(" ", F.slice("__ts", F.col("__i") + 1, n)).alias("g")
+    if with_pos:
+        return idx.select(*id_cols, F.col("__i").alias("pos"), g)
+    return idx.select(*id_cols, g)
+
+
 def _decontam_split(docs: DataFrame, text_col: str, n: int, eval_pct: int,
                     eval_docs: DataFrame | None):
-    """Shared scaffolding for both decontamination variants: the per-doc
-    distinct-gram frame (train side) and the eval gram stream — either
-    an EXTERNAL benchmark frame or the deterministic md5-bucket slice of
-    the corpus itself.  One definition so the gram construction and the
-    eval-slice rule cannot drift between the exact and Bloom paths."""
-
-    def grams_expr(colname: str) -> Column:
-        # unbound expression over the named column: it resolves against
-        # whichever frame it is selected from
-        return F.array_distinct(
-            gram_array(tokens(F.lower(F.col(colname))), n)
-        )
-
-    base = docs.select(
-        "doc_id",
-        hash_bucket(F.col("doc_id")).alias("bk"),
-        grams_expr(text_col).alias("gs"),
-    )
+    """Shared scaffolding for both decontamination variants: the train
+    doc-id spine, the train gram stream, and the eval gram stream —
+    the eval side is either an EXTERNAL benchmark frame or the
+    deterministic md5-bucket slice of the corpus itself.  One definition
+    so the gram construction and the eval-slice rule cannot drift
+    between the exact and Bloom paths."""
+    bk = hash_bucket(F.col("doc_id"))
     if eval_docs is not None:
-        return base, eval_docs.select(
-            F.explode(grams_expr(text_col)).alias("g")
-        )
+        train_ids = docs.select("doc_id")
+        train_src, eval_src = docs, eval_docs
+    else:
+        train_ids = docs.filter(bk >= eval_pct).select("doc_id")
+        train_src = docs.filter(bk >= eval_pct)
+        eval_src = docs.filter(bk < eval_pct)
     return (
-        base.filter(F.col("bk") >= eval_pct),
-        base.filter(F.col("bk") < eval_pct).select(F.explode("gs").alias("g")),
+        train_ids,
+        _gram_stream(train_src, text_col, n, ("doc_id",)),
+        _gram_stream(eval_src, text_col, n, ()),
     )
 
 
@@ -395,24 +400,36 @@ def decontaminate(docs: DataFrame, text_col: str = "text", n: int = 8,
     per-doc hit count; gram totals come from the array length (no second
     shuffle).  One explode shuffle total, and the contamination verdict
     never moves the corpus."""
-    train, eval_gram_src = _decontam_split(docs, text_col, n, eval_pct, eval_docs)
-    eval_grams = eval_gram_src.select(
+    train_ids, train_stream, eval_stream = _decontam_split(
+        docs, text_col, n, eval_pct, eval_docs
+    )
+    eval_grams = eval_stream.select(
         F.md5(F.encode("g", "utf-8")).alias("h")
     ).distinct()
-    train_grams = train.select(
-        "doc_id", F.explode("gs").alias("g")
-    ).select("doc_id", F.md5(F.encode("g", "utf-8")).alias("h"))
-    hits = (
-        train_grams.join(F.broadcast(eval_grams), "h", "left_semi")
+    # ONE gram build: per-doc distinct grams via a (doc_id, h) dedup
+    # (combined map-side — each doc's grams are born in one partition),
+    # then a broadcast left join flags eval membership and a single
+    # per-doc aggregate counts grams and flags together.  The doc-id
+    # spine joined back at the end restores zero-gram docs; its
+    # projection needs no text, so the corpus is tokenized exactly once.
+    train_grams = train_stream.select(
+        "doc_id", F.md5(F.encode("g", "utf-8")).alias("h")
+    ).distinct()
+    per_doc = (
+        train_grams.join(
+            F.broadcast(eval_grams.withColumn("__hit", F.lit(1))), "h", "left"
+        )
         .groupBy("doc_id")
-        .agg(F.count("*").cast("long").alias("n_hits"))
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
     )
     return (
-        train.select("doc_id", F.size("gs").cast("long").alias("n_grams"))
-        .join(hits, "doc_id", "left")
+        train_ids.join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
-            "n_grams",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
@@ -443,7 +460,9 @@ def decontaminate_bloom(docs: DataFrame, text_col: str = "text", n: int = 8,
     driver-collect pattern as the IVF trainer."""
     assert mbits <= (1 << 22), "bitmap above 512 KiB — raise deliberately"
     assert mbits % 32 == 0 and k >= 1
-    train, eval_gram_src = _decontam_split(docs, text_col, n, eval_pct, eval_docs)
+    train_ids, train_stream, eval_stream = _decontam_split(
+        docs, text_col, n, eval_pct, eval_docs
+    )
 
     h = F.md5(F.encode("g", "utf-8"))
     h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
@@ -454,45 +473,60 @@ def decontaminate_bloom(docs: DataFrame, text_col: str = "text", n: int = 8,
             lambda i: (h1 + i.cast("long") * h2) % mbits,
         )
     ).alias("pos")
-    words = (
-        eval_gram_src.select(pos)
+    # Bitmap laid out as NIBBLES so it can travel as one hex STRING
+    # literal: position pos lives in hex char pos//4 (0-based) at bit
+    # value 1<<(pos%4).  A string literal is a true plan constant —
+    # unlike F.lit(list), whose CreateArray is rebuilt per row (measured
+    # 20x slower at sf0.1) — and substr-probing it is a narrow codegen
+    # expression.
+    nibbles = (
+        eval_stream.select(pos)
         .select(
-            (F.col("pos") / 32).cast("int").alias("w"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
-            .alias("m"),
+            (F.col("pos") / 4).cast("int").alias("ni"),
+            F.expr("shiftleft(1, CAST(pos % 4 AS INT))").alias("m"),
         )
-        .groupBy("w")
-        .agg(F.expr("bit_or(m)").alias("b"))
+        .groupBy("ni")
+        .agg(F.expr("bit_or(m)").alias("nv"))
         .collect()
     )
-    bitmap = [0] * (mbits // 32)
-    for r in words:
-        bitmap[r["w"]] = r["b"]
+    nib = [0] * (mbits // 4)
+    for r in nibbles:
+        nib[r["ni"]] = r["nv"]
+    bm_hex = "".join("0123456789abcdef"[v] for v in nib)
 
-    hh = "md5(encode(__g, 'utf-8'))"
-    p1 = f"CAST(conv(substr({hh}, 1, 8), 16, 10) AS BIGINT)"
-    p2 = f"CAST(conv(substr({hh}, 9, 8), 16, 10) AS BIGINT)"
+    # hash each gram ONCE, then probe the k positions off (h1, h2)
+    p1 = "CAST(conv(substr(__h, 1, 8), 16, 10) AS BIGINT)"
+    p2 = "CAST(conv(substr(__h, 9, 8), 16, 10) AS BIGINT)"
     terms = []
     for i in range(k):
-        p = f"(({p1} + {i} * {p2}) % {mbits})"
+        p = f"((__h1 + {i} * __h2) % {mbits})"
         terms.append(
-            f"(element_at(__bm, CAST({p} DIV 32 AS INT) + 1)"
-            f" & shiftleft(CAST(1 AS BIGINT), CAST({p} % 32 AS INT))) != 0"
+            f"(CAST(conv(substr(__bm, CAST({p} DIV 4 AS INT) + 1, 1), 16, 10)"
+            f" AS INT) & shiftleft(1, CAST({p} % 4 AS INT))) != 0"
         )
     hit = F.expr(" AND ".join(terms))
 
-    hits = (
-        train.select("doc_id", F.explode("gs").alias("__g"))
-        .withColumn("__bm", F.lit(bitmap))
+    # one gram build: n_grams and n_hits from the same exploded stream
+    # (see decontaminate); the probe is a narrow expression, so this
+    # variant's corpus side has NO join at all before the spine restore
+    per_doc = (
+        train_stream.select(
+            "doc_id", F.md5(F.encode("g", "utf-8")).alias("__h")
+        )
+        .distinct()  # per-doc distinct grams, combined map-side
+        .select("doc_id", F.expr(p1).alias("__h1"), F.expr(p2).alias("__h2"))
+        .withColumn("__bm", F.lit(bm_hex))
         .groupBy("doc_id")
-        .agg(F.sum(hit.cast("long")).alias("n_hits"))
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(hit.cast("long")).alias("n_hits"),
+        )
     )
     return (
-        train.select("doc_id", F.size("gs").cast("long").alias("n_grams"))
-        .join(hits, "doc_id", "left")
+        train_ids.join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
-            "n_grams",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )

@@ -1679,8 +1679,8 @@ def _bloom_decontaminate_sql(mbits: int = _BLOOM_MBITS,
     for i in range(k):
         p = f"((h1 + {i} * h2) % {mbits})"
         terms.append(
-            f"(arr[CAST({p} // 32 AS INT) + 1]"
-            f" & ((1::BIGINT) << CAST({p} % 32 AS INT))) <> 0"
+            f"(('0x' || substr(bm, CAST({p} // 4 AS INT) + 1, 1))::INT"
+            f" & (1 << CAST({p} % 4 AS INT))) <> 0"
         )
     hit = "\n             AND ".join(terms)
     return rf"""
@@ -1698,13 +1698,14 @@ WITH base AS (
   SELECT ((('0x' || substr(h, 1, 8))::BIGINT
            + i * ('0x' || substr(h, 9, 8))::BIGINT) % {mbits}) AS pos
   FROM evh, unnest(range(0, {k})) AS t(i)
-), bits AS (
-  SELECT CAST(pos // 32 AS INT) AS w,
-         bit_or((1::BIGINT) << CAST(pos % 32 AS INT)) AS b
+), nibbles AS (
+  SELECT CAST(pos // 4 AS INT) AS ni,
+         bit_or(1 << CAST(pos % 4 AS INT)) AS nv
   FROM posns GROUP BY 1
 ), bitmap AS (
-  SELECT list(coalesce(b.b, 0) ORDER BY r.range) AS arr
-  FROM range(0, {mbits // 32}) r LEFT JOIN bits b ON b.w = r.range
+  -- same nibble-hex layout the Spark side ships as a string literal
+  SELECT string_agg(to_hex(coalesce(n.nv, 0)), '' ORDER BY r.range) AS bm
+  FROM range(0, {mbits // 4}) r LEFT JOIN nibbles n ON n.ni = r.range
 ), trh AS (
   SELECT doc_id,
          ('0x' || substr(md5(g), 1, 8))::BIGINT AS h1,

@@ -164,12 +164,18 @@ def test_winnow_is_single_arrow_pass(spark):
 
 def test_decontaminate_eval_side_is_broadcast(spark):
     """The benchmark-gram side of doc_decontaminate must build as the
-    broadcast side of the semi-join (the verdict never moves the corpus)."""
+    broadcast side of the membership join (the verdict never moves the
+    corpus), and the gram streams must be codegen — no interpreted
+    higher-order lambdas (the r5 gram-build rewrite)."""
     from pdf_extract_spark.queries import doc_decontaminate
 
     plan = plan_of(doc_decontaminate(spark, SF))
-    m = re.search(r"BroadcastHashJoin \[h#\d+\], \[h#\d+\], LeftSemi", plan)
+    m = re.search(
+        r"BroadcastHashJoin \[h#\d+\], \[h#\d+\], Left(Semi|Outer), BuildRight",
+        plan,
+    )
     assert m, plan[:2000]
+    assert "lambdafunction" not in plan, plan[:2000]
 
 
 def test_span_dedup_gram_stats_partial_aggregation(spark):
