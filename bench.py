@@ -40,6 +40,7 @@ HEADLINE = [
     "q22_global_sales_opportunity",
     "events_value_percentiles",
     "events_distinct_users_hll",
+    "corpus_term_cm_freq",
     "events_json_props",
     "corpus_top_terms",
     "doc_bm25_topk",

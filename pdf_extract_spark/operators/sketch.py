@@ -128,3 +128,97 @@ SELECT {keys},
        END AS BIGINT) AS approx_distinct
 FROM per_key
 """
+
+
+def count_min_freq(
+    df: DataFrame,
+    value_col: str,
+    probes: Sequence[str],
+    d: int = 4,
+    w: int = 1 << 12,
+) -> DataFrame:
+    """Engine-portable count-min sketch: estimated occurrence counts for
+    `probes` over `value_col`, never under the true count.
+
+    The d x w counter table is built distributed — one explode to
+    (row, col) cells, one map-side-combined groupBy — with positions
+    from the same Kirsch-Mitzenmacher md5 double hashing the Bloom
+    filter uses (row i probes col (h1 + i*h2) mod w), so any md5-capable
+    engine reproduces every counter exactly (pure integer arithmetic,
+    no float anywhere).  The probe set joins against d counter cells and
+    takes the min — `est >= true`, with overestimates only from hash
+    collisions (eps ~ e/w, delta ~ e^-d).
+
+    Scale shape: the raw stream shuffles once, already reduced to
+    (row, col) partials; the sketch is d*w rows regardless of input
+    size and the probe lookup is a broadcast join against <= d*|probes|
+    cells."""
+    assert d >= 1 and w >= 2
+    h = F.md5(F.col(value_col).cast("string"))
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    cells = (
+        df.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(d - 1)),
+                    lambda i: F.struct(
+                        i.cast("int").alias("r"),
+                        ((h1 + i.cast("long") * h2) % w).cast("int").alias("c"),
+                    ),
+                )
+            ).alias("rc")
+        )
+        .groupBy("rc.r", "rc.c")
+        .agg(F.count("*").alias("cnt"))
+    )
+    probe_rows = []
+    import hashlib
+
+    for p in probes:
+        hh = hashlib.md5(str(p).encode()).hexdigest()
+        p1, p2 = int(hh[:8], 16), int(hh[8:16], 16)
+        for i in range(d):
+            probe_rows.append((str(p), i, (p1 + i * p2) % w))
+    spark = df.sparkSession
+    probe_df = spark.createDataFrame(
+        probe_rows, "probe string, r int, c int"
+    )
+    return (
+        probe_df.join(cells, ["r", "c"], "left")
+        .groupBy("probe")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est_count"))
+    )
+
+
+def count_min_oracle_sql(
+    table: str, value_col: str, probes: Sequence[str], d: int = 4,
+    w: int = 1 << 12,
+) -> str:
+    """DuckDB re-derivation of count_min_freq — same counters, same
+    probe cells, same min."""
+    probe_values = ", ".join(f"('{p}')" for p in probes)
+    return f"""
+WITH hashed AS (
+  SELECT ('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 8))::BIGINT AS h1,
+         ('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 9, 8))::BIGINT AS h2
+  FROM {table}
+),
+cells AS (
+  SELECT CAST(i AS INT) AS r, CAST((h1 + i * h2) % {w} AS INT) AS c,
+         count(*) AS cnt
+  FROM hashed, unnest(range(0, {d})) AS t(i)
+  GROUP BY 1, 2
+),
+probes(probe) AS (VALUES {probe_values}),
+probe_cells AS (
+  SELECT probe, CAST(i AS INT) AS r,
+         CAST((('0x' || substr(md5(probe), 1, 8))::BIGINT
+               + i * ('0x' || substr(md5(probe), 9, 8))::BIGINT) % {w} AS INT)
+           AS c
+  FROM probes, unnest(range(0, {d})) AS t(i)
+)
+SELECT probe, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est_count
+FROM probe_cells LEFT JOIN cells USING (r, c)
+GROUP BY probe
+"""

@@ -740,6 +740,35 @@ def _events_hll_sql() -> str:
     )
 
 
+_CM_PROBES = ["spark", "window", "merge", "zzz_absent_term"]
+
+
+def corpus_term_cm_freq(spark, sf_dir):
+    """Portable count-min sketch (operators/sketch.py): estimated corpus
+    term frequencies for a probe set incl. an absent term — the
+    heavy-hitter/frequency-estimation primitive whose counters any
+    md5-capable engine rebuilds exactly (pure integer arithmetic, so
+    the oracle reproduces estimates AND collision overestimates)."""
+    from .functions.text import tokens as _tokens
+    from .operators.sketch import count_min_freq
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens(F.lower(F.col("text")))).alias("term"))
+    return count_min_freq(toks, "term", _CM_PROBES).orderBy("probe")
+
+
+def _corpus_cm_sql() -> str:
+    from .operators.sketch import count_min_oracle_sql
+
+    table = (
+        r"(SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))"
+        r" AS term FROM documents) toks"
+    )
+    return (
+        count_min_oracle_sql(table, "term", _CM_PROBES) + "\nORDER BY probe"
+    )
+
+
 def events_json_props(spark, sf_dir):
     """Semi-structured column handling: extract an integer property from
     the JSON `props` string and aggregate per event type — the
@@ -3108,6 +3137,7 @@ QUERIES = {
     "doc_bm25_topk": doc_bm25_topk,
     "doc_index_hot_terms": doc_index_hot_terms,
     "events_distinct_users_hll": events_distinct_users_hll,
+    "corpus_term_cm_freq": corpus_term_cm_freq,
     "q5_nation_revenue": q5_nation_revenue,
     "q6_forecast_revenue": q6_forecast_revenue,
     "top3_orders_per_customer": top3_orders_per_customer,
@@ -3184,6 +3214,7 @@ ORACLES = {
     "doc_bm25_topk": DOC_BM25_SQL,
     "doc_index_hot_terms": DOC_INDEX_HOT_SQL,
     "events_distinct_users_hll": _events_hll_sql(),
+    "corpus_term_cm_freq": _corpus_cm_sql(),
     "q5_nation_revenue": Q5_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "top3_orders_per_customer": TOP3_SQL,

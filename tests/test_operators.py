@@ -1162,3 +1162,19 @@ def test_bm25_query_terms_case_insensitive(spark):
         [(1, "Spark is fast"), (2, "other words")], "doc_id long, text string"
     )
     assert bm25_topk(docs, ["SPARK"], k=5).count() == 1
+
+
+def test_count_min_never_underestimates_and_is_exact_when_sparse(spark):
+    """CM guarantees est >= true; with w >> distinct values collisions
+    are absent and estimates are exact, including 0 for absent probes."""
+    from pdf_extract_spark.operators.sketch import count_min_freq
+
+    rows = [("a",)] * 7 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "v string")
+    out = {r.probe: r.est_count for r in
+           count_min_freq(df, "v", ["a", "b", "c", "zz"], w=1 << 12).collect()}
+    assert out == {"a": 7, "b": 3, "c": 1, "zz": 0}
+    # tiny width forces collisions: still never under the true count
+    tight = {r.probe: r.est_count for r in
+             count_min_freq(df, "v", ["a", "b", "c", "zz"], w=2).collect()}
+    assert tight["a"] >= 7 and tight["b"] >= 3 and tight["c"] >= 1
