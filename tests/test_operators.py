@@ -1178,3 +1178,47 @@ def test_count_min_never_underestimates_and_is_exact_when_sparse(spark):
     tight = {r.probe: r.est_count for r in
              count_min_freq(df, "v", ["a", "b", "c", "zz"], w=2).collect()}
     assert tight["a"] >= 7 and tight["b"] >= 3 and tight["c"] >= 1
+
+
+def test_chunk_sliding_property_random_layouts(spark):
+    """Randomized window/stride/doc-length sweep vs a Python reference:
+    chunk starts, lengths, and contents must match exactly, every token
+    covered, no empty chunks."""
+    import random
+
+    rnd = random.Random(1234)
+    from pdf_extract_spark.functions.text import chunk_sliding
+
+    cases = []
+    for case in range(20):
+        n_tok = rnd.randint(1, 60)
+        cases.append((case, " ".join(f"c{case}t{j}" for j in range(n_tok))))
+    for window, stride in [(4, 3), (8, 8), (16, 5), (5, 1)]:
+        docs = spark.createDataFrame(cases, "doc_id long, text string")
+        got = {}
+        for r in chunk_sliding(docs, window=window, stride=stride).collect():
+            got.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text))
+        for doc_id, text in cases:
+            toks = text.split()
+            n = len(toks)
+            n_chunks = 1 + max(0, (n - window + stride - 1)) // stride
+            exp = [
+                (i, " ".join(toks[i * stride:i * stride + window]))
+                for i in range(n_chunks)
+            ]
+            assert sorted(got[doc_id]) == exp, (doc_id, window, stride)
+            covered = set()
+            for i, _ in exp:
+                covered.update(range(i * stride, min(i * stride + window, n)))
+            assert covered == set(range(n))
+
+
+def test_temperature_mix_budget_expectation(spark):
+    """With uniform hashing the retained count should land near the
+    budget (binomial concentration): within 25% for a 400-doc corpus."""
+    from pdf_extract_spark.functions.text import temperature_mix
+
+    rows = [(i, f"s{i % 4}", "x") for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = temperature_mix(docs, budget=120).count()
+    assert 90 <= got <= 150, got
