@@ -41,34 +41,46 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
-def hll_distinct(
-    df: DataFrame,
-    key_cols: Sequence[str],
-    value_col: str,
-    p: int = 8,
-) -> DataFrame:
-    """Approximate count-distinct of `value_col` per `key_cols` group
-    via an explicit md5 HLL sketch with 2^p registers (p=8 -> ~6.5%
-    standard error).  Includes the small-range linear-counting
-    correction (E <= 2.5m with empty registers)."""
+def hll_register_exprs(value_col: str, p: int = 8):
+    """The (register index, rho) expressions for one value — the
+    building block both the batch operator and the streaming windowed
+    aggregation group on."""
     assert 4 <= p <= 12
-    m = 1 << p
-    hexd = p // 4  # index nibbles (p multiple of 4 keeps hex parsing clean)
     assert p % 4 == 0, "p must be a multiple of 4 (hex-nibble register index)"
+    hexd = p // 4  # index nibbles
     h = F.md5(F.col(value_col).cast("string"))
     j = F.conv(F.substring(h, 1, hexd), 16, 10).cast("long")
     w = F.conv(F.substring(h, hexd + 1, _WBITS // 4), 16, 10).cast("long")
     rho = F.when(w == 0, F.lit(_WBITS + 1)).otherwise(
         F.lit(_WBITS + 1) - F.length(F.bin(w))
     )
+    return j, rho
+
+
+def hll_registers(
+    df: DataFrame, key_cols: Sequence[str], value_col: str, p: int = 8
+) -> DataFrame:
+    """The sketch itself: per-(keys, register) max-rho rows.  This table
+    is the mergeable/persistable artifact — union register tables from
+    different runs or engines and re-finalize."""
+    j, rho = hll_register_exprs(value_col, p)
     keys = list(key_cols)
-    regs = (
-        df.select(*keys, j.alias("__j"), rho.alias("__rho"))
-        .groupBy(*keys, "__j")
-        .agg(F.max("__rho").alias("__mrho"))
+    return (
+        df.select(*keys, j.alias("reg"), rho.alias("rho"))
+        .groupBy(*keys, "reg")
+        .agg(F.max("rho").alias("max_rho"))
     )
+
+
+def hll_finalize(
+    regs: DataFrame, key_cols: Sequence[str], p: int = 8
+) -> DataFrame:
+    """Registers -> per-key estimates (raw harmonic-mean branch + the
+    linear-counting small-range correction)."""
+    m = 1 << p
+    keys = list(key_cols)
     per_key = regs.groupBy(*keys).agg(
-        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_K} - __mrho)"))
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_K} - max_rho)"))
         .alias("__s_present"),
         F.count("*").alias("__n_present"),
     )
@@ -84,6 +96,19 @@ def hll_distinct(
     return per_key.select(
         *keys, estimate.cast("long").alias("approx_distinct")
     )
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """Approximate count-distinct of `value_col` per `key_cols` group
+    via an explicit md5 HLL sketch with 2^p registers (p=8 -> ~6.5%
+    standard error).  Includes the small-range linear-counting
+    correction (E <= 2.5m with empty registers)."""
+    return hll_finalize(hll_registers(df, key_cols, value_col, p), key_cols, p)
 
 
 def hll_oracle_sql(

@@ -537,3 +537,63 @@ def test_streaming_quality_gate_with_pii_scrub(spark, tmp_path):
     assert got == batch and set(got) == {1, 3}
     assert "<EMAIL>" in got[1] and "leak@example.com" not in got[1]
     assert "<IP>" in got[3] and "10.1.2.3" not in got[3]
+
+
+def test_streaming_windowed_hll_matches_batch_sketch(spark, tmp_path):
+    """Streamed watermarked HLL registers, finalized after landing, must
+    equal the BATCH hll_distinct estimates for the same windows
+    bit-for-bit (same md5 registers), and land within tolerance of the
+    exact distinct counts."""
+    from pyspark.sql import functions as F
+
+    from pdf_extract_spark.operators.sketch import hll_distinct
+    from pdf_extract_spark.streaming.sketch import (
+        finalize_windowed_distinct,
+        windowed_distinct_registers,
+    )
+
+    src = str(tmp_path / "ev_in")
+    out = str(tmp_path / "ev_regs")
+    ckpt = str(tmp_path / "ev_ckpt")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    regs = windowed_distinct_registers(
+        stream, "1 hour", "2 hours", key_cols=["event_type"]
+    )
+    q = (
+        regs.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    landed = spark.read.parquet(out)
+    assert landed.count() > 0
+    got = finalize_windowed_distinct(landed, ["event_type"])
+
+    batch = hll_distinct(
+        events.withColumn(
+            "window_start", F.date_trunc("hour", "ts")
+        ),
+        ["window_start", "event_type"],
+        "user_id",
+    )
+    # every streamed (closed) window must match the batch sketch exactly
+    diff = got.alias("g").join(
+        batch.alias("b"), ["window_start", "event_type"]
+    ).filter(F.col("g.approx_distinct") != F.col("b.approx_distinct"))
+    assert diff.count() == 0
+
+    # and the estimates track the exact distincts (p=8 -> ~6.5% sigma)
+    exact = events.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+    ).agg(F.countDistinct("user_id").alias("exact"))
+    joined = got.join(exact, ["window_start", "event_type"]).collect()
+    assert joined
+    for r in joined:
+        assert abs(r.approx_distinct - r.exact) <= max(3, 0.25 * r.exact)
