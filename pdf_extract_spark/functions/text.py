@@ -364,14 +364,12 @@ def _decontam_split(docs: DataFrame, text_col: str, n: int, eval_pct: int,
     between the exact and Bloom paths."""
     bk = hash_bucket(F.col("doc_id"))
     if eval_docs is not None:
-        train_ids = docs.select("doc_id")
         train_src, eval_src = docs, eval_docs
     else:
-        train_ids = docs.filter(bk >= eval_pct).select("doc_id")
         train_src = docs.filter(bk >= eval_pct)
         eval_src = docs.filter(bk < eval_pct)
     return (
-        train_ids,
+        train_src.select("doc_id"),
         _gram_stream(train_src, text_col, n, ("doc_id",)),
         _gram_stream(eval_src, text_col, n, ()),
     )
@@ -395,11 +393,13 @@ def decontaminate(docs: DataFrame, text_col: str = "text", n: int = 8,
         benchmark (self-contained mode for tests/oracles); the slice is
         excluded from the verdicts.
 
-    Scale shape (identical either way): eval grams -> distinct md5 keys ->
-    broadcast; training grams explode -> broadcast LEFT SEMI join ->
-    per-doc hit count; gram totals come from the array length (no second
-    shuffle).  One explode shuffle total, and the contamination verdict
-    never moves the corpus."""
+    Scale shape (identical either way): eval grams -> distinct md5 keys
+    -> broadcast; ONE training gram build (codegen index-explode) ->
+    per-doc distinct via (doc_id, h) dedup (combined map-side) ->
+    broadcast LEFT OUTER membership join -> a single per-doc aggregate
+    producing n_grams and n_hits together; the doc-id spine joined back
+    restores zero-gram docs without touching text.  The contamination
+    verdict never moves the corpus."""
     train_ids, train_stream, eval_stream = _decontam_split(
         docs, text_col, n, eval_pct, eval_docs
     )
@@ -451,14 +451,17 @@ def decontaminate_bloom(docs: DataFrame, text_col: str = "text", n: int = 8,
 
     Portability: positions are Kirsch-Mitzenmacher double hashing over
     the gram md5 (h1 = first 8 hex digits, h2 = next 8; pos_i =
-    (h1 + i*h2) mod mbits) packed into 32-bit words — all exact BIGINT
-    arithmetic, so the DuckDB oracle rebuilds the same bitmap
-    bit-for-bit and reproduces every false positive.
+    (h1 + i*h2) mod mbits), laid out as NIBBLES — position pos lives in
+    hex character pos//4 (0-based) at bit value 1 << (pos % 4) — all
+    exact integer arithmetic, so the DuckDB oracle rebuilds the same
+    bitmap bit-for-bit and reproduces every false positive.
 
-    The bitmap is built distributed (explode -> word-level bit_or) and
-    collected once — <= mbits/32 longs (guarded), the same bounded
-    driver-collect pattern as the IVF trainer."""
-    assert mbits <= (1 << 22), "bitmap above 512 KiB — raise deliberately"
+    The bitmap is built distributed (explode -> nibble-level bit_or) and
+    collected once — <= mbits/4 nibble values (guarded), the bounded
+    driver-collect pattern the IVF trainer set — then ships as one hex
+    STRING literal: a string literal is a true plan constant, unlike
+    F.lit(list) whose CreateArray is rebuilt per row."""
+    assert mbits <= (1 << 22), "bitmap above 128 KiB hex — raise deliberately"
     assert mbits % 32 == 0 and k >= 1
     train_ids, train_stream, eval_stream = _decontam_split(
         docs, text_col, n, eval_pct, eval_docs

@@ -76,9 +76,15 @@ def hll_finalize(
     regs: DataFrame, key_cols: Sequence[str], p: int = 8
 ) -> DataFrame:
     """Registers -> per-key estimates (raw harmonic-mean branch + the
-    linear-counting small-range correction)."""
+    linear-counting small-range correction).
+
+    Accepts MERGED input: register tables unioned from several runs may
+    carry multiple rows per (keys, reg), so the max-rho is re-reduced
+    first — without this, a union would double-count registers and
+    drive the empty-register term negative."""
     m = 1 << p
     keys = list(key_cols)
+    regs = regs.groupBy(*keys, "reg").agg(F.max("max_rho").alias("max_rho"))
     per_key = regs.groupBy(*keys).agg(
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_K} - max_rho)"))
         .alias("__s_present"),
@@ -182,15 +188,19 @@ def count_min_freq(
     h = F.md5(F.col(value_col).cast("string"))
     h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
     h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    # d is a Python int, so the (row, col) structs unroll to a plain
+    # codegen array literal — no interpreted HOF lambda on the hot path
     cells = (
         df.select(
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(d - 1)),
-                    lambda i: F.struct(
-                        i.cast("int").alias("r"),
-                        ((h1 + i.cast("long") * h2) % w).cast("int").alias("c"),
-                    ),
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).cast("int").alias("r"),
+                            ((h1 + i * h2) % w).cast("int").alias("c"),
+                        )
+                        for i in range(d)
+                    ]
                 )
             ).alias("rc")
         )
@@ -222,7 +232,9 @@ def count_min_oracle_sql(
 ) -> str:
     """DuckDB re-derivation of count_min_freq — same counters, same
     probe cells, same min."""
-    probe_values = ", ".join(f"('{p}')" for p in probes)
+    probe_values = ", ".join(
+        "('{}')".format(str(p).replace("'", "''")) for p in probes
+    )
     return f"""
 WITH hashed AS (
   SELECT ('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 8))::BIGINT AS h1,

@@ -1222,3 +1222,29 @@ def test_temperature_mix_budget_expectation(spark):
     docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
     got = temperature_mix(docs, budget=120).count()
     assert 90 <= got <= 150, got
+
+
+def test_hll_register_union_merge_refinalize(spark):
+    """The documented merge workflow: union register tables from two
+    runs, re-finalize, and get exactly the single-run estimate of the
+    combined data (registers re-reduced per (key, reg) first)."""
+    from pdf_extract_spark.operators.sketch import (
+        hll_distinct,
+        hll_finalize,
+        hll_registers,
+    )
+
+    a = spark.createDataFrame([("g", i) for i in range(200)],
+                              "grp string, user_id long")
+    b = spark.createDataFrame([("g", i) for i in range(100, 300)],
+                              "grp string, user_id long")
+    combined = a.union(b)
+    merged = hll_finalize(
+        hll_registers(a, ["grp"], "user_id").union(
+            hll_registers(b, ["grp"], "user_id")
+        ),
+        ["grp"],
+    ).collect()[0].approx_distinct
+    single = hll_distinct(combined, ["grp"], "user_id").collect()[0].approx_distinct
+    assert merged == single
+    assert merged > 0
