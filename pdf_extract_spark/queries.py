@@ -1355,6 +1355,45 @@ ORDER BY source_format, doc_id
 """
 
 
+def spans_pack_manifest(spark, sf_dir):
+    """The north-rule chain end-to-end: PDF+HTML extraction -> unified
+    interleaved spans -> linearized training sequences -> GPT-style
+    pack shard map at seq_len=128.  Composite doc key
+    'source_format:doc_id'; the oracle replays the whole chain in SQL
+    (string_agg linearization over the union of goldens feeding the
+    same prefix-sum pack CTEs)."""
+    from .operators.linearize import linearize_spans
+    from .operators.pack import pack_sequences
+
+    lin = linearize_spans(unified_spans(spark, sf_dir))
+    seqs = lin.select(
+        F.concat_ws(":", "source_format", "doc_id").alias("doc_id"),
+        F.col("train_text").alias("text"),
+    )
+    return pack_sequences(seqs, 128).orderBy("chunk_id", "doc_id")
+
+
+def _spans_pack_sql() -> str:
+    tok = (
+        "CASE WHEN kind = 'media' THEN '<media:' || media_ref || '>' "
+        "WHEN kind = 'para' THEN '<p>' "
+        "WHEN kind = 'heading' THEN '<h>' ELSE text END"
+    )
+    lin = f"""(
+  SELECT source_format || ':' || doc_id AS doc_id,
+         string_agg({tok}, ' ' ORDER BY pos, {tok}) AS text
+  FROM (
+    SELECT doc_id, 'pdf' AS source_format, pos, kind, text, media_ref
+    FROM read_parquet('{_GOLDEN_SPANS_PARQUET}')
+    UNION ALL
+    SELECT doc_id, 'html' AS source_format, pos, kind, text, media_ref
+    FROM read_parquet('{_GOLDEN_HTML_MAIN_PARQUET}')
+  ) u
+  GROUP BY source_format, doc_id
+) lin"""
+    return _pack_sql(128, source=lin)
+
+
 def doc_repetition_flags(spark, sf_dir):
     """Gopher-style intra-document repetition filter: top-bigram and
     duplicate-trigram occurrence fractions + per-rule booleans
@@ -3088,11 +3127,15 @@ def doc_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, 512).orderBy("chunk_id", "doc_id")
 
 
-PACK_SEQUENCES_SQL = r"""
+def _pack_sql(seq_len: int, source: str = "documents") -> str:
+    """The pack shard-map oracle, parameterized so the same prefix-sum
+    SQL verifies both the raw-documents query and compositions over a
+    derived (doc_id, text) relation."""
+    return rf"""
 WITH t AS (
   SELECT doc_id,
          CAST(len(regexp_split_to_array(trim(text), '\s+')) + 1 AS BIGINT) AS n_tok
-  FROM documents
+  FROM {source}
 ), c AS (
   SELECT doc_id, n_tok,
          CAST(sum(n_tok) OVER (ORDER BY doc_id
@@ -3104,15 +3147,19 @@ WITH t AS (
 )
 SELECT CAST(k.chunk_id AS BIGINT) AS chunk_id,
        doc_id,
-       CAST(greatest(tok_start, k.chunk_id * 512) - tok_start AS BIGINT)
+       CAST(greatest(tok_start, k.chunk_id * {seq_len}) - tok_start AS BIGINT)
          AS doc_off,
-       CAST(greatest(tok_start, k.chunk_id * 512) - k.chunk_id * 512 AS BIGINT)
-         AS chunk_off,
-       CAST(least(tok_end, (k.chunk_id + 1) * 512)
-            - greatest(tok_start, k.chunk_id * 512) AS BIGINT) AS n_toks
-FROM s, unnest(range(tok_start // 512, (tok_end - 1) // 512 + 1)) AS k(chunk_id)
+       CAST(greatest(tok_start, k.chunk_id * {seq_len})
+            - k.chunk_id * {seq_len} AS BIGINT) AS chunk_off,
+       CAST(least(tok_end, (k.chunk_id + 1) * {seq_len})
+            - greatest(tok_start, k.chunk_id * {seq_len}) AS BIGINT) AS n_toks
+FROM s, unnest(range(tok_start // {seq_len}, (tok_end - 1) // {seq_len} + 1))
+     AS k(chunk_id)
 ORDER BY chunk_id, doc_id
 """
+
+
+PACK_SEQUENCES_SQL = _pack_sql(512)
 
 
 QUERIES = {
@@ -3149,6 +3196,7 @@ QUERIES = {
     "doc_mix_temperature": doc_mix_temperature,
     "doc_chunk_sliding": doc_chunk_sliding,
     "spans_linearize": spans_linearize,
+    "spans_pack_manifest": spans_pack_manifest,
     "doc_source_quota": doc_source_quota,
     "corpus_summary_stats": corpus_summary_stats,
     "doc_repetition_flags": doc_repetition_flags,
@@ -3229,6 +3277,7 @@ ORACLES = {
         GOLDEN_SPANS=_GOLDEN_SPANS_PARQUET,
         GOLDEN_HTML_MAIN=_GOLDEN_HTML_MAIN_PARQUET,
     ),
+    "spans_pack_manifest": _spans_pack_sql(),
     "doc_source_quota": SOURCE_QUOTA_SQL,
     "corpus_summary_stats": CORPUS_SUMMARY_SQL,
     "doc_repetition_flags": DOC_REPETITION_SQL,
