@@ -41,6 +41,9 @@ HEADLINE = [
     "events_value_percentiles",
     "events_distinct_users_hll",
     "corpus_term_cm_freq",
+    "nation_balance_full_outer",
+    "custkeys_urgent_and_returned",
+    "events_moving_avg",
     "events_json_props",
     "corpus_top_terms",
     "doc_bm25_topk",

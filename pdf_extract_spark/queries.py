@@ -690,6 +690,100 @@ ORDER BY cntrycode
 """
 
 
+def nation_balance_full_outer(spark, sf_dir):
+    """FULL OUTER join shape: per-nation customer vs supplier balance
+    totals — nations with only one side present survive with NULLs
+    (coalesced to 0 for the hash compare)."""
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    c = customer.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.round(F.sum("c_acctbal"), 2).alias("cust_bal")
+    )
+    s = supplier.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.round(F.sum("s_acctbal"), 2).alias("supp_bal")
+    )
+    return (
+        c.join(s, "nk", "full_outer")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("cust_bal", F.lit(0.0)).alias("cust_bal"),
+            F.coalesce("supp_bal", F.lit(0.0)).alias("supp_bal"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+NATION_BALANCE_SQL = """
+SELECT nk AS nationkey,
+       coalesce(cust_bal, 0.0) AS cust_bal,
+       coalesce(supp_bal, 0.0) AS supp_bal
+FROM (SELECT c_nationkey AS nk, round(sum(c_acctbal), 2) AS cust_bal
+      FROM customer GROUP BY c_nationkey) c
+FULL OUTER JOIN
+     (SELECT s_nationkey AS nk, round(sum(s_acctbal), 2) AS supp_bal
+      FROM supplier GROUP BY s_nationkey) s
+USING (nk)
+ORDER BY nationkey
+"""
+
+
+def custkeys_urgent_and_returned(spark, sf_dir):
+    """INTERSECT shape (the set op EXCEPT/UNION don't cover): customers
+    who placed an urgent order AND had a returned line item."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    returned = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return urgent.intersect(returned).orderBy("custkey")
+
+
+CUST_INTERSECT_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey AS custkey
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+ORDER BY custkey
+"""
+
+
+def events_moving_avg(spark, sf_dir):
+    """Sliding window FRAME shape (ROWS BETWEEN 6 PRECEDING AND CURRENT
+    ROW): 7-event moving average of value per event type in time order —
+    the ordered-frame aggregation ranking/sessionize queries don't
+    exercise.  Tie-safe: ordered by (ts, event_id) which is unique."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.round(F.avg("value").over(w), 4).alias("mavg7"),
+        )
+        .orderBy("event_id")
+    )
+
+
+EVENTS_MAVG_SQL = """
+SELECT event_id, event_type,
+       round(avg(value) OVER (
+         PARTITION BY event_type ORDER BY ts, event_id
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS mavg7
+FROM events
+ORDER BY event_id
+"""
+
+
 def events_value_percentiles(spark, sf_dir):
     """Exact continuous percentiles (p50/p90/p99 of event value per
     type): Spark's `percentile` and DuckDB's `quantile_cont` share the
@@ -3179,6 +3273,9 @@ QUERIES = {
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "events_value_percentiles": events_value_percentiles,
+    "nation_balance_full_outer": nation_balance_full_outer,
+    "custkeys_urgent_and_returned": custkeys_urgent_and_returned,
+    "events_moving_avg": events_moving_avg,
     "events_json_props": events_json_props,
     "corpus_top_terms": corpus_top_terms,
     "doc_bm25_topk": doc_bm25_topk,
@@ -3257,6 +3354,9 @@ ORACLES = {
     "q21_waiting_suppliers": Q21_SQL,
     "q22_global_sales_opportunity": Q22_SQL,
     "events_value_percentiles": EVENTS_PCTL_SQL,
+    "nation_balance_full_outer": NATION_BALANCE_SQL,
+    "custkeys_urgent_and_returned": CUST_INTERSECT_SQL,
+    "events_moving_avg": EVENTS_MAVG_SQL,
     "events_json_props": EVENTS_JSON_SQL,
     "corpus_top_terms": CORPUS_TOP_TERMS_SQL,
     "doc_bm25_topk": DOC_BM25_SQL,
