@@ -757,7 +757,16 @@ def events_moving_avg(spark, sf_dir):
     """Sliding window FRAME shape (ROWS BETWEEN 6 PRECEDING AND CURRENT
     ROW): 7-event moving average of value per event type in time order —
     the ordered-frame aggregation ranking/sessionize queries don't
-    exercise.  Tie-safe: ordered by (ts, event_id) which is unique."""
+    exercise.  Tie-safe: ordered by (ts, event_id) which is unique.
+
+    Scale note: partitionBy(event_type) funnels each type's full
+    history through one task — fine for a bounded type dimension, but a
+    100-TB per-KEY unbounded history needs the two-phase bucket +
+    boundary-carry plan (range-partition by (key, time bucket), carry
+    the frame's preceding rows across bucket edges — the
+    pack_sequences two-phase prefix-sum precedent).  This query is the
+    frame-semantics gate, deliberately in the simple form the oracle
+    can mirror exactly."""
     ev = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("event_type")
