@@ -38,6 +38,9 @@ def main(argv=None) -> None:
     p.add_argument("--checkpoint-dir", default=None,
                    help="reliable checkpoint dir for connected components "
                         "(recommended on a real cluster)")
+    p.add_argument("--mix-budget", type=int, default=None,
+                   help="temperature-weighted mixing target doc count")
+    p.add_argument("--mix-temperature", type=float, default=0.5)
     p.add_argument("--redact-pii", action="store_true",
                    help="scrub emails/IPs/phones from the final corpus "
                         "(narrow scan-side rewrite)")
@@ -59,6 +62,8 @@ def main(argv=None) -> None:
         sample_default_pct=args.sample_pct,
         checkpoint_dir=args.checkpoint_dir,
         redact_pii=args.redact_pii,
+        mix_budget=args.mix_budget,
+        mix_temperature=args.mix_temperature,
     )
 
     stages["final"].write.mode("overwrite").parquet(f"{args.output}/corpus")

@@ -95,6 +95,9 @@ def corpus_pipeline(
     min_stopwords: int = 2,
     checkpoint_dir: str | None = None,
     redact_pii: bool = False,
+    mix_budget: int | None = None,
+    mix_temperature: float = 0.5,
+    mix_key: str = "source",
     embeddings: DataFrame | None = None,
     semdedup_eps: float = 0.7,
     semdedup_centroids: int = 16,
@@ -107,7 +110,11 @@ def corpus_pipeline(
     benchmark proxy for decontamination (in production, pass the real
     benchmark corpus through `functions.text.decontaminate` directly).
     `quota_cap` / `sample_rates`: optional anti-domination cap and
-    per-source mixing percentages (100 = keep all).  `redact_pii`
+    per-source mixing percentages (100 = keep all).  `mix_budget`
+    (optional) applies temperature-weighted mixing instead/in addition:
+    sample toward ~mix_budget docs with per-`mix_key` rates
+    proportional to n^mix_temperature / n (functions.text
+    .temperature_mix — exact integer ppm thresholds, scan-side).  `redact_pii`
     rewrites the final stage's text through `pii_redact` (a narrow
     scan-side pass — the standard pre-release scrub); doc counts are
     unchanged, so the funnel stays comparable either way.
@@ -176,6 +183,13 @@ def corpus_pipeline(
     if sample_rates is not None or sample_default_pct < 100:
         mixed = stratified_sample(
             mixed, rates=sample_rates or {}, default_pct=sample_default_pct
+        )
+    if mix_budget is not None:
+        from .functions.text import temperature_mix
+
+        mixed = temperature_mix(
+            mixed, budget=mix_budget, temperature=mix_temperature,
+            key_col=mix_key,
         )
     if redact_pii:
         # narrow in-place column rewrite — no join, no shuffle

@@ -169,3 +169,19 @@ def test_corpus_pipeline_semantic_stage(spark):
     # no-embedding docs all survived
     assert {i for i in near_ids if i >= 250} <= sem_ids
     release_stages(stages)
+
+
+def test_pipeline_temperature_mix_stage(spark):
+    """mix_budget engages temperature mixing as the final mix stage:
+    the final count lands near the budget and every kept doc passed the
+    upstream funnel."""
+    from pdf_extract_spark.pipeline import corpus_pipeline, release_stages
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    stages = corpus_pipeline(docs, min_stopwords=1, mix_budget=100)
+    final = stages["final"]
+    clean_ids = {r.doc_id for r in stages["decontaminated"].select("doc_id").collect()}
+    rows = final.select("doc_id").collect()
+    assert {r.doc_id for r in rows} <= clean_ids
+    assert 50 <= len(rows) <= 150  # concentration around the budget
+    release_stages(stages)
