@@ -26,10 +26,13 @@ from pyspark.sql import functions as F
 SENTINELS = {"para": "<p>", "heading": "<h>"}
 
 
-def span_token(kind=F.col("kind"), text=F.col("text"),
-               media_ref=F.col("media_ref")):
+def span_token(kind=None, text=None, media_ref=None):
     """The per-span token expression: media -> '<media:ref>', structural
-    kinds -> sentinel, everything else -> the span text."""
+    kinds -> sentinel, everything else -> the span text.  Defaults are
+    resolved lazily so the module imports without an active session."""
+    kind = F.col("kind") if kind is None else kind
+    text = F.col("text") if text is None else text
+    media_ref = F.col("media_ref") if media_ref is None else media_ref
     out = text
     for k, tok in sorted(SENTINELS.items()):
         out = F.when(kind == k, F.lit(tok)).otherwise(out)

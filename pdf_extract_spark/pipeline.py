@@ -13,9 +13,15 @@ filter runs first and prunes the corpus BEFORE anything shuffles; exact
 dedup (one fingerprint shuffle) runs before MinHash (shingle explode);
 near-dup clustering only sees the exact-dedup survivors; decontamination
 broadcasts the benchmark grams against the already-shrunk corpus.  Every
-stage is expressed on DataFrames — no collects, no driver loops; the
-iterative connected-components step cuts lineage via checkpoints
-(operators/graph.py).
+stage is expressed on DataFrames — the corpus itself never transits the
+driver.  Two steps do run bounded driver-side work at CONSTRUCTION time
+(not first-action time): the iterative connected-components rounds
+execute eagerly (checkpoints per round, operators/graph.py), and — only
+when `mix_budget` is set — temperature_mix collects the tiny per-source
+count table (one row per source, over the already-cached survivors) to
+derive exact integer keep thresholds.  Callers scheduling around the
+build should expect `corpus_pipeline(...)` to do the dedup work up
+front; the returned frames are cheap to act on.
 
 Returned stage frames share one cached spine (the quality survivors), so
 counting the funnel costs one scan of the cache per stage, not a re-run
@@ -114,7 +120,9 @@ def corpus_pipeline(
     (optional) applies temperature-weighted mixing instead/in addition:
     sample toward ~mix_budget docs with per-`mix_key` rates
     proportional to n^mix_temperature / n (functions.text
-    .temperature_mix — exact integer ppm thresholds, scan-side).  `redact_pii`
+    .temperature_mix — exact integer ppm thresholds, scan-side; derives
+    them from a bounded one-row-per-source collect, so setting this
+    makes pipeline CONSTRUCTION run the upstream stages).  `redact_pii`
     rewrites the final stage's text through `pii_redact` (a narrow
     scan-side pass — the standard pre-release scrub); doc counts are
     unchanged, so the funnel stays comparable either way.

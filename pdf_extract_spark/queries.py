@@ -1428,6 +1428,25 @@ def spans_linearize(spark, sf_dir):
     )
 
 
+def _span_tok_sql() -> str:
+    """Rendered-token CASE for one span, derived from
+    operators/linearize.SENTINELS so the linearize and pack-chain
+    oracles share one source of truth with the Spark-side
+    span_token() — adding a sentinel kind updates all of them."""
+    from .operators.linearize import SENTINELS
+
+    arms = " ".join(
+        f"WHEN kind = '{k}' THEN '{tok}'" for k, tok in sorted(SENTINELS.items())
+    )
+    return (
+        "CASE WHEN kind = 'media' THEN '<media:' || media_ref || '>' "
+        + arms
+        + " ELSE text END"
+    )
+
+
+_SPAN_TOK_SQL = _span_tok_sql()
+
 SPANS_LINEARIZE_SQL = f"""
 WITH u AS (
   SELECT doc_id, 'pdf' AS source_format, pos, kind, text, media_ref
@@ -1438,17 +1457,11 @@ WITH u AS (
 )
 SELECT source_format, doc_id,
        string_agg(
-         CASE WHEN kind = 'media' THEN '<media:' || media_ref || '>'
-              WHEN kind = 'para' THEN '<p>'
-              WHEN kind = 'heading' THEN '<h>'
-              ELSE text END,
+         {_SPAN_TOK_SQL},
          ' ' ORDER BY pos,
          -- equal-pos tiebreak: the rendered token, mirroring Spark's
          -- array_sort falling through the (pos, tok) struct
-         CASE WHEN kind = 'media' THEN '<media:' || media_ref || '>'
-              WHEN kind = 'para' THEN '<p>'
-              WHEN kind = 'heading' THEN '<h>'
-              ELSE text END) AS train_text,
+         {_SPAN_TOK_SQL}) AS train_text,
        count(*) AS n_spans,
        CAST(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS BIGINT)
          AS n_media
@@ -1477,11 +1490,7 @@ def spans_pack_manifest(spark, sf_dir):
 
 
 def _spans_pack_sql() -> str:
-    tok = (
-        "CASE WHEN kind = 'media' THEN '<media:' || media_ref || '>' "
-        "WHEN kind = 'para' THEN '<p>' "
-        "WHEN kind = 'heading' THEN '<h>' ELSE text END"
-    )
+    tok = _SPAN_TOK_SQL
     lin = f"""(
   SELECT source_format || ':' || doc_id AS doc_id,
          string_agg({tok}, ' ' ORDER BY pos, {tok}) AS text
