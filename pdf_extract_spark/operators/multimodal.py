@@ -15,7 +15,7 @@ Decode kernels, by honesty tier:
     scans, dequant, batched matrix IDCT, 4:2:0/4:2:2 upsampling, JFIF
     YCbCr->RGB) and GIF first-frame (operators/gif.py — variable-width
     LSB LZW).
-  * STUB: formats needing PIL/ffmpeg (WebP/MP3/H.264),
+  * STUB: formats needing PIL/ffmpeg (lossy-WebP/MP3/H.264),
     which this container does not ship — ``decode_image_real`` raises
     NotImplementedError for them and ``decode_image_stub`` provides
     deterministic fake features so the Spark-side plumbing (schema, batch
@@ -238,11 +238,15 @@ def decode_image_real(payload: bytes) -> tuple[int, int, list[float]]:
         from .gif import decode_gif
 
         img = decode_gif(payload)
+    elif payload.startswith(b"RIFF") and payload[8:12] == b"WEBP":
+        from .webp import decode_webp
+
+        img = decode_webp(payload)  # VP8L only; lossy VP8 raises -> stub
     else:
         raise NotImplementedError(
-            "WebP/TIFF/... decode requires PIL/cv2 which are not installed; "
-            "PPM/BMP/PNG/baseline-JPEG/GIF decode natively, other formats "
-            "use decode_image_stub"
+            "TIFF/lossy-WebP/... decode requires PIL/cv2 which are not "
+            "installed; PPM/BMP/PNG/JPEG/GIF/lossless-WebP decode natively, "
+            "other formats use decode_image_stub"
         )
     return img.shape[1], img.shape[0], _thumb_feature(img)
 
@@ -310,6 +314,7 @@ def _decode_any(kind: str, data: bytes) -> tuple[int, int, list[float], str]:
                 else "png" if data.startswith(b"\x89PNG")
                 else "jpeg" if data.startswith(b"\xff\xd8")
                 else "gif" if data.startswith(b"GIF8")
+                else "webp" if data.startswith(b"RIFF")
                 else "bmp"
             )
             return w, h, feat, decoder

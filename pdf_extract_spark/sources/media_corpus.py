@@ -47,7 +47,88 @@ PNG_SPECS = [
 STUB_SPECS = [
     ("stub-fake-png", b"\x89PNG\r\n\x1a\nnot-actually-a-png-payload-0001"),
     ("stub-fake-jpeg", b"\xff\xd8\xffnot-actually-a-jpeg-payload-0002"),
+    # lossy WebP (VP8 chunk): only VP8L decodes natively; the full VP8
+    # intra codec stays in the tagged stub tier by design
+    ("stub-webp-lossy", b"RIFF\x28\x00\x00\x00WEBPVP8 \x1c\x00\x00\x00"
+                        b"fake-vp8-frame-payload-0003\x00"),
 ]
+
+# (name, w, h, kind) WebP lossless (VP8L) fixtures: every channel of the
+# pixel at (x, y) equals webp_gray(kind, x, y) — a closed form shared with
+# the golden generator — so the thumbnail expectation never runs the
+# decoder (and VP8L is lossless, so equality is exact, not approximate).
+# `kind` selects which decoder paths the encoder exercises.
+WEBP_SPECS = [
+    ("webp-literal-16x8", 16, 8, "literal"),      # normal prefix codes only
+    ("webp-cache-16x16", 16, 16, "cache"),        # color cache hits
+    ("webp-lz77-24x10", 24, 10, "lz77"),          # row copies + left runs,
+                                                  # mapped AND direct dists
+    ("webp-subgreen-12x9", 12, 9, "subgreen"),    # subtract-green transform
+    ("webp-predictor-16x16", 16, 16, "predictor"),  # all 14 predictor modes
+    ("webp-colortx-16x12", 16, 12, "colortx"),    # color transform deltas
+    ("webp-palette-17x6", 17, 6, "palette"),      # 8-color palette, bundled
+    ("webp-palette20-23x7", 23, 7, "palette20"),  # 20-color, unbundled
+    ("webp-meta-32x16", 32, 16, "meta"),          # 2 meta prefix groups
+    ("webp-combo-20x14", 20, 14, "combo"),        # subgreen + cache + lz77
+]
+
+
+def webp_gray(kind: str, x: int, y: int) -> int:
+    """Closed-form gray value of the WebP spec patterns (shared with the
+    golden generator)."""
+    if kind in ("lz77", "combo"):
+        # constant 6-pixel runs inside a row, rows repeat with period 3:
+        # guarantees left-run and whole-row LZ77 copies exist
+        return ((x // 6) * 50 + (y % 3) * 29) % 256
+    if kind in ("cache", "palette"):
+        return ((x + y) % 8) * 36  # 8 distinct levels
+    if kind == "palette20":
+        return ((x + 3 * y) % 20) * 12  # 20 distinct levels
+    return (x * 11 + y * 29) % 256
+
+
+def make_webp_fixture(name: str, w: int, h: int, kind: str) -> bytes:
+    """Encode one WEBP_SPECS row via the from-scratch VP8L encoder."""
+    import numpy as np
+
+    from .webp_enc import make_webp
+
+    v = np.array(
+        [[webp_gray(kind, x, y) for x in range(w)] for y in range(h)],
+        dtype=np.uint8,
+    )
+    px = np.repeat(v[:, :, None], 3, axis=2)
+    if kind == "literal":
+        return make_webp(px)
+    if kind == "cache":
+        return make_webp(px, cache_bits=4)
+    if kind == "lz77":
+        return make_webp(px, lz77=True)
+    if kind == "subgreen":
+        return make_webp(px, subtract_green=True)
+    if kind == "predictor":
+        modes = np.array([0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 7, 11],
+                         dtype=np.uint64)
+        return make_webp(px, predictor_bits=2, predictor_modes=modes)
+    if kind == "colortx":
+        # (red_to_blue << 16) | (green_to_blue << 8) | green_to_red,
+        # including negative (>= 0x80) multipliers
+        ctes = np.array([0x000000, 0x0A0510, 0xF0FB08, 0x804020],
+                        dtype=np.uint64)
+        return make_webp(px, color_bits=3, ctes=ctes)
+    if kind in ("palette", "palette20"):
+        grays = sorted({webp_gray(kind, x, y) for y in range(h) for x in range(w)})
+        palette = np.array(
+            [0xFF000000 | (g << 16) | (g << 8) | g for g in grays],
+            dtype=np.uint64,
+        )
+        return make_webp(px, palette=palette)
+    if kind == "meta":
+        meta = np.array([[0, 0, 1, 1], [0, 0, 1, 1]], dtype=np.uint64)
+        return make_webp(px, meta_bits=3, meta_index=meta)
+    if kind == "combo":
+        return make_webp(px, subtract_green=True, cache_bits=3, lz77=True)
+    raise ValueError(kind)
 
 
 def png_pixel(x: int, y: int) -> int:
@@ -1337,11 +1418,21 @@ def fuzz_media_rows() -> list[tuple[str, str, bytes]]:
     flac = make_flac(8000, 1, [0, 4096, -8192, 16384] * 4)
     wav = make_wav(8000, 1, [4096] * 8)
     jprog = make_jpeg_progressive([[0, 64, 128, 255], [255, 128, 64, 0]])
+    webp = make_webp_fixture("", 16, 8, "literal")
     bad_gif = bytearray(gif)
     bad_gif[-10] ^= 0xFF  # corrupt the LZW stream near the end
     bad_flac = bytearray(flac)
     bad_flac[-3] ^= 0x10  # breaks the last frame's CRC-16
+    bad_webp = bytearray(webp)
+    # set a high bit of the 14-bit width field (VP8L payload starts at
+    # container offset 20; width bit 10 = payload bit 18 = byte 2 bit 2):
+    # the declared image grows ~64x wider than the entropy stream encodes,
+    # so the decode deterministically hits end-of-stream rather than
+    # silently producing wrong pixels
+    bad_webp[22] |= 0x04
     return [
+        ("fuzz-webp-truncated", "image", webp[: len(webp) // 2]),
+        ("fuzz-webp-corrupt", "image", bytes(bad_webp)),
         ("fuzz-png-truncated", "image", png[: len(png) // 2]),
         ("fuzz-gif-truncated", "image", gif[:24]),
         ("fuzz-gif-corrupt", "image", bytes(bad_gif)),
@@ -1367,6 +1458,8 @@ def synthetic_media_rows() -> list[tuple[str, str, bytes]]:
         rows.append((name, "image", make_jpeg_progressive(grid, color, sub)))
     for name, w, h, bits in GIF_SPECS:
         rows.append((name, "image", make_gif(w, h, bits)))
+    for name, w, h, kind in WEBP_SPECS:
+        rows.append((name, "image", make_webp_fixture(name, w, h, kind)))
     for name, rate, nch, amps in WAV_SPECS:
         rows.append((name, "audio", make_wav(rate, nch, amps)))
     for name, rate, nch, ms, amps in FLAC_SPECS:

@@ -365,8 +365,14 @@ def test_real_image_decoders():
     # (ValueError), not an unimplemented format
     with _pytest.raises(ValueError):
         decode_image_real(b"\x89PNG\r\n\x1a\nxxxx")
-    # genuinely unimplemented formats still raise NotImplementedError
+    # lossless WebP decodes for real now; lossy VP8 stays unimplemented
     with _pytest.raises(NotImplementedError):
+        decode_image_real(
+            b"RIFF\x28\x00\x00\x00WEBPVP8 \x1c\x00\x00\x00"
+            b"fake-vp8-frame-payload-0003\x00"
+        )
+    # a WebP container cut off before any image chunk is a decode FAILURE
+    with _pytest.raises(ValueError):
         decode_image_real(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
 

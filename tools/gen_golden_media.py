@@ -35,6 +35,7 @@ from pdf_extract_spark.sources.media_corpus import (  # noqa: E402
     PPM_SPECS,
     STUB_SPECS,
     WAV_SPECS,
+    WEBP_SPECS,
     fuzz_media_rows,
     gif_gray,
     jpeg_pixel,
@@ -48,7 +49,9 @@ from pdf_extract_spark.sources.media_corpus import (  # noqa: E402
     make_png_raw,
     make_ppm,
     make_wav,
+    make_webp_fixture,
     png_pixel,
+    webp_gray,
 )
 
 OUT = Path(__file__).resolve().parent.parent / "dist" / "golden_media.parquet"
@@ -101,6 +104,13 @@ def golden_rows():
         xs, ys = thumb_indices(w), thumb_indices(h)
         feat = [gif_gray(bits, x, y) / 255.0 for y in ys for x in xs]
         rows.append((name, "image", make_gif(w, h, bits), w, h, feat, "gif"))
+    for name, w, h, kind in WEBP_SPECS:
+        # VP8L is lossless: the expectation is the closed-form gray
+        # pattern itself, exactly (channels equal => mean == value)
+        xs, ys = thumb_indices(w), thumb_indices(h)
+        feat = [webp_gray(kind, x, y) / 255.0 for y in ys for x in xs]
+        rows.append((name, "image", make_webp_fixture(name, w, h, kind),
+                     w, h, feat, "webp"))
     for name, rate, nch, amps in WAV_SPECS:
         feat = [abs(a) / 32768.0 for a in amps]
         rows.append((name, "audio", make_wav(rate, nch, amps), rate, nch, feat, "wav"))
