@@ -74,6 +74,8 @@ HEADLINE = [
     "doc_lm_perplexity",
     "doc_pack_sequences",
     "doc_quality_classifier",
+    "doc_dsir_weights",
+    "doc_dsir_select",
     "semantic_dedup",
     "doc_classifier_topk",
     "dedup_exact",

@@ -3274,6 +3274,92 @@ ORDER BY chunk_id, doc_id
 PACK_SEQUENCES_SQL = _pack_sql(512)
 
 
+def doc_dsir_weights(spark, sf_dir):
+    """DSIR importance log-weights (Xie et al. 2023): hashed unigram+
+    bigram bucket features, smoothed target-vs-raw bucket distributions
+    (target = src0 docs), integer-quantized millibit weights
+    (functions/dsir.py — exact BIGINT arithmetic after the leaf logs)."""
+    from .functions.dsir import dsir_weights
+
+    docs = load(spark, sf_dir, "documents")
+    return dsir_weights(docs, F.col("source") == "src0").orderBy("doc_id")
+
+
+def doc_dsir_select(spark, sf_dir):
+    """DSIR Gumbel-top-k resample: the 50 raw (non-src0) docs with the
+    largest  ln w + Gumbel  keys, Gumbel keys derived from md5(doc_id)
+    so the without-replacement sample is deterministic and
+    engine-portable."""
+    from .functions.dsir import dsir_resample
+
+    docs = load(spark, sf_dir, "documents")
+    return dsir_resample(docs, F.col("source") == "src0", 50).orderBy(
+        F.col("key_x1000").desc(), F.col("doc_id").asc()
+    )
+
+
+# the hashed-feature + quantized-weight core shared by both DSIR oracles:
+# unigram+bigram stream -> md5 bucket -> smoothed millibit log-ratio per
+# bucket -> per-doc BIGINT sum.  Buckets/smoothing mirror functions/dsir.py
+# (buckets=4096, add-one, floor(log2 * 1000) at the leaf).
+_DSIR_CORE_SQL = r"""
+WITH base AS (
+  SELECT doc_id, source = 'src0' AS y,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+  FROM documents
+), grams AS (
+  SELECT doc_id, y, unnest(ts) AS g FROM base
+  UNION ALL
+  SELECT doc_id, y,
+         unnest(list_transform(range(1, greatest(len(ts) - 1, 0) + 1),
+                               i -> ts[i] || ' ' || ts[i+1])) AS g
+  FROM base
+), feats AS (
+  SELECT doc_id, y, ('0x' || substr(md5(g), 1, 8))::BIGINT % 4096 AS b
+  FROM grams
+), hist AS (
+  SELECT b,
+         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+         CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS c_r
+  FROM feats GROUP BY b
+), tot AS (
+  SELECT CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_r
+  FROM feats
+), bw AS (
+  SELECT b,
+         CAST(floor(log2((c_t + 1)::DOUBLE / (n_t + 4096)) * 1000) AS BIGINT)
+       - CAST(floor(log2((c_r + 1)::DOUBLE / (n_r + 4096)) * 1000) AS BIGINT)
+           AS w_x1000
+  FROM hist CROSS JOIN tot
+), doc_w AS (
+  SELECT doc_id, any_value(y) AS y,
+         CAST(count(*) AS BIGINT) AS n_feats,
+         CAST(sum(w_x1000) AS BIGINT) AS weight_x1000
+  FROM feats JOIN bw USING (b)
+  GROUP BY doc_id
+)
+"""
+
+DSIR_WEIGHTS_SQL = _DSIR_CORE_SQL + r"""
+SELECT doc_id, n_feats, weight_x1000
+FROM doc_w
+ORDER BY doc_id
+"""
+
+DSIR_SELECT_SQL = _DSIR_CORE_SQL + r"""
+SELECT doc_id, weight_x1000,
+       CAST(floor(weight_x1000 * 0.6931471805599453) AS BIGINT)
+     + CAST(floor(-ln(-ln(
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 0.5)
+         / 4503599627370496.0)) * 1000) AS BIGINT) AS key_x1000
+FROM doc_w
+WHERE NOT y
+ORDER BY key_x1000 DESC, doc_id ASC
+LIMIT 50
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_urgent_revenue": q3_top_urgent_revenue,
@@ -3350,6 +3436,8 @@ QUERIES = {
     "doc_lm_perplexity": doc_lm_perplexity,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_quality_classifier": doc_quality_classifier,
+    "doc_dsir_weights": doc_dsir_weights,
+    "doc_dsir_select": doc_dsir_select,
     "semantic_dedup": semantic_dedup,
     "corpus_funnel_semantic": corpus_funnel_semantic,
     "doc_classifier_topk": doc_classifier_topk,
@@ -3438,6 +3526,8 @@ ORACLES = {
     "doc_lm_perplexity": LM_PPL_SQL,
     "doc_pack_sequences": PACK_SEQUENCES_SQL,
     "doc_quality_classifier": NB_CLASSIFY_SQL,
+    "doc_dsir_weights": DSIR_WEIGHTS_SQL,
+    "doc_dsir_select": DSIR_SELECT_SQL,
     "semantic_dedup": SEMDEDUP_SQL,
     "corpus_funnel_semantic": _splice_semantic_funnel(CORPUS_FUNNEL_SQL),
     "doc_classifier_topk": NB_TOPK_SQL,
