@@ -190,7 +190,14 @@ def nb_topk_filter(
          single window task."""
     spark = docs.sparkSession
     parts = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    scored = nb_score(docs, pos_label, text_col, score_docs)
+    # materialize the scored frame once: it feeds the histogram, the
+    # full-margin semi-join, AND the boundary quota pass — without the
+    # checkpoint the explode + weight-join + agg of nb_score runs three
+    # times.  The frame is narrow (doc_id + five longs), so at 100 TB
+    # this is a tiny fraction of one nb_score recompute.
+    scored = nb_score(docs, pos_label, text_col, score_docs).localCheckpoint(
+        eager=False
+    )
 
     hist = scored.groupBy("margin_x1000").agg(F.count(F.lit(1)).alias("cnt"))
     h = (
