@@ -78,6 +78,8 @@ HEADLINE = [
     "doc_dsir_select",
     "semantic_dedup",
     "doc_classifier_topk",
+    "bpe_merges",
+    "doc_bpe_tokens",
     "dedup_exact",
     "minhash_lsh_candidates",
     "dedup_clusters",

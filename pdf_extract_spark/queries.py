@@ -3360,6 +3360,58 @@ LIMIT 50
 """
 
 
+def bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (functions/bpe.py): word-
+    histogram merge loop, 12 merges with the (count DESC, left ASC,
+    right ASC) tie-break.  Training is inherently iterative, so query
+    CONSTRUCTION runs the 12-round loop with one argmax-row collect per
+    round (disclosed, bounded — same kind as the IVF trainer); every
+    counting job is histogram-sized.  Oracled against an independent
+    pure-Python BPE (tools/gen_golden_bpe.py, fingerprint-keyed)."""
+    from .functions.bpe import bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    mdf, _ = bpe_train(docs, 12)
+    return mdf.orderBy("rank")
+
+
+def doc_bpe_tokens(spark, sf_dir):
+    """Train-then-segment composition: the 12 learned merges applied to
+    the distinct-word table, joined back for per-doc BPE token counts
+    (functions/bpe.py:bpe_segment).  Same independent golden oracle."""
+    from .functions.bpe import bpe_segment, bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    _, merges = bpe_train(docs, 12)
+    return bpe_segment(docs, merges).orderBy("doc_id")
+
+
+_GOLDEN_BPE_MERGES_PARQUET = _golden("golden_bpe_merges.parquet")
+_GOLDEN_BPE_TOKENS_PARQUET = _golden("golden_bpe_tokens.parquet")
+
+# fingerprint expression shared with tools/gen_golden_bpe.py — the golden
+# slice is selected by the md5 of the ordered documents table, so running
+# against an unknown corpus fails loudly with 0 rows
+_BPE_FP_SQL = (
+    "SELECT md5(string_agg(doc_id || '|' || text, '' ORDER BY doc_id)) "
+    "FROM documents"
+)
+
+BPE_MERGES_SQL = f"""
+SELECT rank, "left", "right", pair_count
+FROM read_parquet('{_GOLDEN_BPE_MERGES_PARQUET}')
+WHERE corpus_fp = ({_BPE_FP_SQL})
+ORDER BY rank
+"""
+
+BPE_TOKENS_SQL = f"""
+SELECT doc_id, n_words, n_bpe_tokens
+FROM read_parquet('{_GOLDEN_BPE_TOKENS_PARQUET}')
+WHERE corpus_fp = ({_BPE_FP_SQL})
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_urgent_revenue": q3_top_urgent_revenue,
@@ -3438,6 +3490,8 @@ QUERIES = {
     "doc_quality_classifier": doc_quality_classifier,
     "doc_dsir_weights": doc_dsir_weights,
     "doc_dsir_select": doc_dsir_select,
+    "bpe_merges": bpe_merges,
+    "doc_bpe_tokens": doc_bpe_tokens,
     "semantic_dedup": semantic_dedup,
     "corpus_funnel_semantic": corpus_funnel_semantic,
     "doc_classifier_topk": doc_classifier_topk,
@@ -3528,6 +3582,8 @@ ORACLES = {
     "doc_quality_classifier": NB_CLASSIFY_SQL,
     "doc_dsir_weights": DSIR_WEIGHTS_SQL,
     "doc_dsir_select": DSIR_SELECT_SQL,
+    "bpe_merges": BPE_MERGES_SQL,
+    "doc_bpe_tokens": BPE_TOKENS_SQL,
     "semantic_dedup": SEMDEDUP_SQL,
     "corpus_funnel_semantic": _splice_semantic_funnel(CORPUS_FUNNEL_SQL),
     "doc_classifier_topk": NB_TOPK_SQL,

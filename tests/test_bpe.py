@@ -1,0 +1,101 @@
+"""BPE tokenizer training/segmentation (functions/bpe.py).
+
+The distributed trainer is additionally oracled end-to-end against the
+independent pure-Python golden (tools/gen_golden_bpe.py) via the
+`bpe_merges` / `doc_bpe_tokens` driver rows; these tests pin the
+algorithmic contract on hand-computable corpora plus the golden parity
+at sf0.001.
+"""
+
+import duckdb
+import pytest
+
+from pdf_extract_spark.functions.bpe import bpe_segment, bpe_train
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_sennrich_example(spark):
+    # the classic low/lower/newest/widest corpus: first merges must be
+    # (e,s), (es,t), then the (count DESC, left ASC) tie-break picks
+    # (l,o) over (o,w) at 7 and (e,w) over (n,e)/(w,est) at 6
+    docs = _docs(
+        spark,
+        [("d1", "low low low low low lower lower newest newest newest "
+                "newest newest newest widest widest widest")],
+    )
+    mdf, merges = bpe_train(docs, 6)
+    got = [(r["left"], r["right"], r["pair_count"]) for r in mdf.collect()]
+    assert got == [
+        ("e", "s", 9), ("es", "t", 9), ("l", "o", 7),
+        ("lo", "w", 7), ("e", "w", 6), ("ew", "est", 6),
+    ]
+    assert [(m[0], m[1]) for m in merges] == [(g[0], g[1]) for g in got]
+
+
+def test_left_greedy_overlap(spark):
+    # 'aaa' under merge (a,a) segments left-greedily to ['aa','a'] —
+    # the merged symbol is the concatenated string, never re-matched
+    docs = _docs(spark, [("d", "aaa aaa aaa")])
+    mdf, merges = bpe_train(docs, 1)
+    assert [(m[0], m[1]) for m in merges] == [("a", "a")]
+    # pair count: 2 overlapping (a,a) per word x 3 words
+    assert mdf.collect()[0]["pair_count"] == 6
+    seg = bpe_segment(docs, merges).collect()
+    assert seg[0]["n_bpe_tokens"] == 2 * 3  # ['aa','a'] per word
+
+
+def test_early_stop_and_empty(spark):
+    # all-unique pairs (every count 1 < min 2) -> zero merges; empty
+    # text docs survive segmentation with zero counts
+    docs = _docs(spark, [("d1", "ab cd"), ("d2", "")])
+    mdf, merges = bpe_train(docs, 5)
+    assert merges == [] and mdf.count() == 0
+    seg = {r["doc_id"]: r for r in bpe_segment(docs, merges).collect()}
+    assert seg["d1"]["n_words"] == 2 and seg["d1"]["n_bpe_tokens"] == 4
+    assert seg["d2"]["n_words"] == 0 and seg["d2"]["n_bpe_tokens"] == 0
+
+
+def test_partition_invariance(spark):
+    # merge sequence must not depend on where partition cuts fall
+    rows = [(f"d{i}", "spark shuffle spark sort shuffle merge " * (1 + i % 3))
+            for i in range(40)]
+    docs = _docs(spark, rows)
+    _, m1 = bpe_train(docs.repartition(1), 8)
+    _, m37 = bpe_train(docs.repartition(37), 8)
+    assert m1 == m37
+
+
+def test_golden_parity_sf0001(spark):
+    """Engine vs the independent pure-Python golden at sf0.001 — full
+    merge table AND per-doc token counts."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    con = duckdb.connect()
+    fp = con.execute(
+        "SELECT md5(string_agg(doc_id || '|' || text, '' ORDER BY doc_id)) "
+        f"FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    gm = con.execute(
+        "SELECT rank, \"left\", \"right\", pair_count FROM "
+        "'dist/golden_bpe_merges.parquet' WHERE corpus_fp = ? ORDER BY rank",
+        [fp],
+    ).fetchall()
+    if not gm:
+        pytest.skip("golden not generated for this corpus")
+    mdf, merges = bpe_train(docs, 12)
+    got = [(r["rank"], r["left"], r["right"], r["pair_count"])
+           for r in mdf.orderBy("rank").collect()]
+    assert got == gm
+    gt = dict(
+        con.execute(
+            "SELECT doc_id, n_bpe_tokens FROM 'dist/golden_bpe_tokens.parquet' "
+            "WHERE corpus_fp = ?",
+            [fp],
+        ).fetchall()
+    )
+    eng = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in bpe_segment(docs, merges).collect()}
+    assert eng == gt
