@@ -72,6 +72,7 @@ HEADLINE = [
     "doc_token_bpe",
     "doc_winnow_fingerprints",
     "doc_lm_perplexity",
+    "doc_ppl_buckets",
     "doc_pack_sequences",
     "doc_quality_classifier",
     "doc_dsir_weights",

@@ -34,7 +34,7 @@ summation order.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -102,4 +102,76 @@ def lm_perplexity(
             F.sum("bits_x1000").cast("long").alias("sum_bits_x1000"),
         )
         .withColumn("avg_bits_x1000", F.expr("sum_bits_x1000 DIV n_bigrams"))
+    )
+
+
+def ppl_buckets(
+    docs: DataFrame,
+    ref_filter: Column,
+    text_col: str = "text",
+    key_col: str = "source",
+    num_parts: int | None = None,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al., 2019): rank every
+    doc within its source by LM surprisal and cut the ranking into
+    exact thirds — 'head' is the most reference-like slice a pipeline
+    keeps outright, 'tail' the slice it drops or down-samples.
+
+    Returns (doc_id, source, avg_bits_x1000, ppl_rank, bucket) for every
+    doc with bigram evidence (docs with <2 tokens inherit
+    lm_perplexity's documented exclusion).  Bucket boundaries are
+    rank-based, not value-threshold-based — ``(3*(rank-1)) DIV count``
+    over the (avg_bits, doc_id) total order — so the split is exact
+    integer arithmetic, engine-portable, and always a true 1/3 cut even
+    when surprisal values tie.
+
+    Scale shape — the per-source ranking is the same skewed-stratum
+    hazard as source_quota_cap (one source can be >50% of a web
+    corpus), and unlike the quota it needs EVERY doc's rank, so the
+    bounded two-phase trick doesn't apply.  Instead this is the grouped
+    form of pack.py's distributed prefix sum: range-partition by
+    (source, avg_bits, doc_id); rank locally within (physical
+    partition, source) — fully parallel; per-(partition, source) counts
+    (a P x n_sources frame, not the corpus) get an exclusive per-source
+    prefix over pid plus per-source totals; broadcast both back and
+    add.  No corpus-sized window partition anywhere; the checkpoint
+    pins the sampled range boundaries so both branches read one
+    materialized partitioning (same rationale documented in pack.py)."""
+    spark = docs.sparkSession
+    parts = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ppl = lm_perplexity(docs, ref_filter, text_col).select(
+        "doc_id", "avg_bits_x1000"
+    )
+    d = (
+        docs.select("doc_id", key_col)
+        .join(ppl, "doc_id")
+        .repartitionByRange(parts, key_col, "avg_bits_x1000", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_local = Window.partitionBy("pid", key_col).orderBy("avg_bits_x1000", "doc_id")
+    local = d.withColumn("local_rn", F.row_number().over(w_local))
+    counts = d.groupBy("pid", key_col).agg(F.count(F.lit(1)).alias("pcnt"))
+    w_off = (
+        Window.partitionBy(key_col)
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "poffset", F.coalesce(F.sum("pcnt").over(w_off), F.lit(0)).cast("long")
+    )
+    totals = counts.groupBy(key_col).agg(F.sum("pcnt").cast("long").alias("scnt"))
+    return (
+        local.join(
+            F.broadcast(offsets.select("pid", key_col, "poffset")), ["pid", key_col]
+        )
+        .join(F.broadcast(totals), key_col)
+        .withColumn("ppl_rank", (F.col("local_rn") + F.col("poffset")).cast("long"))
+        .withColumn(
+            "bucket",
+            F.when(F.expr("(3 * (ppl_rank - 1)) DIV scnt") == 0, "head")
+            .when(F.expr("(3 * (ppl_rank - 1)) DIV scnt") == 1, "middle")
+            .otherwise("tail"),
+        )
+        .select("doc_id", key_col, "avg_bits_x1000", "ppl_rank", "bucket")
     )

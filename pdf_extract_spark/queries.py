@@ -3072,7 +3072,21 @@ def doc_lm_perplexity(spark, sf_dir):
     return lm_perplexity(docs, F.col("source") == "src0").orderBy("doc_id")
 
 
-LM_PPL_SQL = r"""
+def doc_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity split per source
+    (functions/lm.py:ppl_buckets): grouped two-phase prefix rank — no
+    corpus-sized window partition — then exact integer third-cuts of
+    the (avg_bits, doc_id) order."""
+    from .functions.lm import ppl_buckets
+
+    docs = load(spark, sf_dir, "documents")
+    return ppl_buckets(docs, F.col("source") == "src0").orderBy("doc_id")
+
+
+# shared bigram-LM scoring core (one source of truth for LM_PPL_SQL and
+# PPL_BUCKETS_SQL): add-one-smoothed bigram surprisal vs the src0 slice,
+# integer-quantized at the leaf exactly like functions/lm.py
+_LM_CORE_SQL = r"""
 WITH base AS (
   SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
   FROM documents
@@ -3099,13 +3113,36 @@ WITH base AS (
   LEFT JOIN bg_counts b USING (w1, w2)
   LEFT JOIN ctx_counts c USING (w1)
   CROSS JOIN vocab
+), doc_ppl AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(bits) AS BIGINT) AS sum_bits_x1000,
+         CAST(sum(bits) // count(*) AS BIGINT) AS avg_bits_x1000
+  FROM scored
+  GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(count(*) AS BIGINT) AS n_bigrams,
-       CAST(sum(bits) AS BIGINT) AS sum_bits_x1000,
-       CAST(sum(bits) // count(*) AS BIGINT) AS avg_bits_x1000
-FROM scored
-GROUP BY doc_id
+"""
+
+LM_PPL_SQL = _LM_CORE_SQL + r"""
+SELECT doc_id, n_bigrams, sum_bits_x1000, avg_bits_x1000
+FROM doc_ppl
+ORDER BY doc_id
+"""
+
+PPL_BUCKETS_SQL = _LM_CORE_SQL + r"""
+, ranked AS (
+  SELECT p.doc_id, d.source, p.avg_bits_x1000,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY p.avg_bits_x1000, p.doc_id) AS rnk,
+         count(*) OVER (PARTITION BY d.source) AS scnt
+  FROM doc_ppl p JOIN documents d USING (doc_id)
+)
+SELECT doc_id, source, avg_bits_x1000,
+       CAST(rnk AS BIGINT) AS ppl_rank,
+       CASE (3 * (rnk - 1)) // scnt
+         WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+       END AS bucket
+FROM ranked
 ORDER BY doc_id
 """
 
@@ -3486,6 +3523,7 @@ QUERIES = {
     "doc_token_bpe": doc_token_bpe,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
     "doc_lm_perplexity": doc_lm_perplexity,
+    "doc_ppl_buckets": doc_ppl_buckets,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_quality_classifier": doc_quality_classifier,
     "doc_dsir_weights": doc_dsir_weights,
@@ -3578,6 +3616,7 @@ ORACLES = {
     "ann_lsh_topk": ANN_LSH_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     "doc_lm_perplexity": LM_PPL_SQL,
+    "doc_ppl_buckets": PPL_BUCKETS_SQL,
     "doc_pack_sequences": PACK_SEQUENCES_SQL,
     "doc_quality_classifier": NB_CLASSIFY_SQL,
     "doc_dsir_weights": DSIR_WEIGHTS_SQL,

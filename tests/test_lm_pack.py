@@ -150,3 +150,62 @@ def test_pack_prefix_sum_is_two_phase(spark):
     # the corpus cumsum window carries pid in its partition spec
     assert any("local_end" in w and "pid" in w for w in wins), wins
     assert partitioned, wins
+
+
+# ---------------------------------------------------------------------------
+# ppl_buckets (CCNet head/middle/tail)
+# ---------------------------------------------------------------------------
+
+
+def test_ppl_buckets_thirds_and_order(spark):
+    """Buckets must cut each source's (avg_bits, doc_id) ranking into
+    exact integer thirds: with 6 scored docs in one source, ranks 1-2 =
+    head, 3-4 = middle, 5-6 = tail, and every head doc scores <= every
+    tail doc."""
+    from pdf_extract_spark.functions.lm import ppl_buckets
+
+    rows = [("r", "a b a b a b", "src0")] + [
+        (f"d{i}", " ".join(["a b"] * (i + 1)) + " zz" * i, "srcX")
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string, source string")
+    out = {
+        r["doc_id"]: r
+        for r in ppl_buckets(docs, F.col("source") == "src0").collect()
+    }
+    got = [(out[f"d{i}"]["ppl_rank"], out[f"d{i}"]["bucket"]) for i in range(6)]
+    by_rank = sorted(got)
+    assert [b for _, b in by_rank] == [
+        "head", "head", "middle", "middle", "tail", "tail",
+    ], got
+    heads = [out[k]["avg_bits_x1000"] for k in out if out[k]["bucket"] == "head"
+             and out[k]["doc_id"].startswith("d")]
+    tails = [out[k]["avg_bits_x1000"] for k in out if out[k]["bucket"] == "tail"]
+    assert max(heads) <= min(tails)
+
+
+def test_ppl_buckets_partition_invariant(spark):
+    """Rank and bucket assignment must not depend on partition cuts."""
+    from pdf_extract_spark.functions.lm import ppl_buckets
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ref = F.col("source") == "src0"
+    a = {(r["doc_id"], r["ppl_rank"], r["bucket"])
+         for r in ppl_buckets(docs.repartition(1), ref, num_parts=3).collect()}
+    b = {(r["doc_id"], r["ppl_rank"], r["bucket"])
+         for r in ppl_buckets(docs.repartition(17), ref, num_parts=11).collect()}
+    assert a == b
+
+
+def test_ppl_buckets_rank_is_grouped_two_phase(spark):
+    """Scale gate (the source_quota lesson): no corpus-sized window may
+    partition by source alone — every corpus-sized window must carry the
+    physical partition id; unpartitioned-or-source-only windows may only
+    run over the (P x n_sources)-row counts frame."""
+    from pdf_extract_spark.functions.lm import ppl_buckets
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    txt = plan_of(ppl_buckets(docs, F.col("source") == "src0", num_parts=4))
+    wins = re.findall(r"Window \[[^\n]*", txt)
+    corpus_wins = [w for w in wins if "local_rn" in w]
+    assert corpus_wins and all("pid" in w for w in corpus_wins), wins
