@@ -81,6 +81,8 @@ HEADLINE = [
     "doc_classifier_topk",
     "bpe_merges",
     "doc_bpe_tokens",
+    "media_dhash",
+    "media_dhash_near_dup",
     "dedup_exact",
     "minhash_lsh_candidates",
     "dedup_clusters",

@@ -217,6 +217,45 @@ def _thumb_feature(img) -> list[float]:
     return [float(gray[y, x]) for y in ys for x in xs]
 
 
+def decode_image_array(payload: bytes):
+    """Dispatch a payload to the native decoder for its magic bytes and
+    return the HxWx3 uint8 pixel array."""
+    if payload.startswith(b"P6"):
+        return _decode_ppm(payload)
+    if payload.startswith(b"BM"):
+        return _decode_bmp(payload)
+    if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        return _decode_png(payload)
+    if payload.startswith(b"\xff\xd8"):
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    if payload.startswith(b"GIF87a") or payload.startswith(b"GIF89a"):
+        from .gif import decode_gif
+
+        return decode_gif(payload)
+    if payload.startswith(b"RIFF") and payload[8:12] == b"WEBP":
+        from .webp import decode_webp
+
+        return decode_webp(payload)  # VP8L only; lossy VP8 raises -> stub
+    raise NotImplementedError(
+        "TIFF/lossy-WebP/... decode requires PIL/cv2 which are not "
+        "installed; PPM/BMP/PNG/JPEG/GIF/lossless-WebP decode natively, "
+        "other formats use decode_image_stub"
+    )
+
+
+def _decoder_tag(payload: bytes) -> str:
+    return (
+        "ppm" if payload.startswith(b"P6")
+        else "png" if payload.startswith(b"\x89PNG")
+        else "jpeg" if payload.startswith(b"\xff\xd8")
+        else "gif" if payload.startswith(b"GIF8")
+        else "webp" if payload.startswith(b"RIFF")
+        else "bmp"
+    )
+
+
 def decode_image_real(payload: bytes) -> tuple[int, int, list[float]]:
     """Real image decode/resize/feature kernel.
 
@@ -224,30 +263,7 @@ def decode_image_real(payload: bytes) -> tuple[int, int, list[float]]:
     is a 4x4 grayscale thumbnail, row-major, in [0,1].  Implemented for the
     dependency-free formats (P6 PPM, uncompressed 24-bit BMP); compressed
     formats raise NotImplementedError until PIL/cv2 is available."""
-    if payload.startswith(b"P6"):
-        img = _decode_ppm(payload)
-    elif payload.startswith(b"BM"):
-        img = _decode_bmp(payload)
-    elif payload.startswith(b"\x89PNG\r\n\x1a\n"):
-        img = _decode_png(payload)
-    elif payload.startswith(b"\xff\xd8"):
-        from .jpeg import decode_jpeg
-
-        img = decode_jpeg(payload)
-    elif payload.startswith(b"GIF87a") or payload.startswith(b"GIF89a"):
-        from .gif import decode_gif
-
-        img = decode_gif(payload)
-    elif payload.startswith(b"RIFF") and payload[8:12] == b"WEBP":
-        from .webp import decode_webp
-
-        img = decode_webp(payload)  # VP8L only; lossy VP8 raises -> stub
-    else:
-        raise NotImplementedError(
-            "TIFF/lossy-WebP/... decode requires PIL/cv2 which are not "
-            "installed; PPM/BMP/PNG/JPEG/GIF/lossless-WebP decode natively, "
-            "other formats use decode_image_stub"
-        )
+    img = decode_image_array(payload)
     return img.shape[1], img.shape[0], _thumb_feature(img)
 
 
@@ -309,15 +325,7 @@ def _decode_any(kind: str, data: bytes) -> tuple[int, int, list[float], str]:
             return decode_audio_real(data)
         if kind == "image":
             w, h, feat = decode_image_real(data)
-            decoder = (
-                "ppm" if data.startswith(b"P6")
-                else "png" if data.startswith(b"\x89PNG")
-                else "jpeg" if data.startswith(b"\xff\xd8")
-                else "gif" if data.startswith(b"GIF8")
-                else "webp" if data.startswith(b"RIFF")
-                else "bmp"
-            )
-            return w, h, feat, decoder
+            return w, h, feat, _decoder_tag(data)
     except NotImplementedError:
         pass
     except Exception:
@@ -364,6 +372,121 @@ def extract_media_features(media: DataFrame, num_partitions: int | None = None) 
         media.repartition(num_partitions, F.xxhash64("media_id"))
         .select("media_id", "media_kind", "payload")
         .mapInPandas(_feature_batches, FEATURE_SCHEMA)
+    )
+
+
+def image_dhash(img) -> int:
+    """64-bit difference hash of a decoded image: 9x8 nearest-neighbor
+    grayscale resample (same index convention as `_thumb_feature`:
+    ``(i*n) DIV k`` capped), bit = strict left-to-right brightness
+    increase, row-major MSB-first, wrapped to signed int64.
+
+    The fixtures' channel-equal pixels make the float64 channel mean
+    exactly the integer gray value, so the strict `>` comparisons are
+    engine-exact and the independent spec-math golden
+    (tools/gen_golden_dhash.py) can reproduce every bit."""
+    import numpy as np
+
+    h, w = img.shape[0], img.shape[1]
+    ys = np.minimum((np.arange(8) * h) // 8, h - 1)
+    xs = np.minimum((np.arange(9) * w) // 9, w - 1)
+    g = img.mean(axis=2)[np.ix_(ys, xs)]
+    val = 0
+    for bit in (g[:, 1:] > g[:, :-1]).flatten():
+        val = (val << 1) | int(bit)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+DHASH_SCHEMA = (
+    "media_id string, width long, height long, dhash long, decoder string"
+)
+
+
+def _dhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = {"media_id": [], "width": [], "height": [], "dhash": [],
+                "decoder": []}
+        for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+            data = bytes(payload) if payload is not None else b""
+            try:
+                img = decode_image_array(data)
+                w, h = img.shape[1], img.shape[0]
+                decoder = _decoder_tag(data)
+                dh = image_dhash(img)
+            except Exception:
+                # malformed / stub-tier payload: tagged, never a task failure
+                w = h = 0
+                dh = None
+                decoder = "stub"
+            rows["media_id"].append(media_id)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["dhash"].append(dh)
+            rows["decoder"].append(decoder)
+        # Int64 from the PYTHON list directly: pd.DataFrame would coerce
+        # an int+None column to float64 first, silently rounding 64-bit
+        # hashes to 53-bit mantissas
+        rows["dhash"] = pd.array(rows["dhash"], dtype="Int64")
+        yield pd.DataFrame(rows)
+
+
+def extract_media_dhash(media: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Image rows -> (media_id, width, height, dhash, decoder).  Same
+    hash-spread salting as the feature path; stub-tier payloads emit a
+    NULL dhash with decoder='stub' so downstream dedup can exclude them
+    without a separate failure channel."""
+    spark = media.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return (
+        media.filter(F.col("media_kind") == "image")
+        .repartition(num_partitions, F.xxhash64("media_id"))
+        .select("media_id", "payload")
+        .mapInPandas(_dhash_batches, DHASH_SCHEMA)
+    )
+
+
+def dhash_near_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate image pairs by dhash Hamming distance, blocked on
+    16-bit bands (4 bands; <= 3 differing bits guarantees at least one
+    identical band — the same pigeonhole blocking as simhash text dedup,
+    operators/dedup.py).  NULL-dhash (stub) rows never pair.
+
+    Scale shape: band equi-join on (band, 16-bit key) — no cross join;
+    at 10^9 images a band bucket holds only hash-colliding candidates,
+    and the exact bit_count filter runs post-join on the candidate set."""
+    h = hashes.filter(F.col("dhash").isNotNull())
+    banded = h.select(
+        "media_id",
+        "dhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("dhash"), 16 * i).bitwiseAND(
+                        F.lit(0xFFFF)
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.bit_count(
+                F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 

@@ -3057,6 +3057,91 @@ def media_features(spark, sf_dir):
     )
 
 
+def media_dhash(spark, sf_dir):
+    """Perceptual image hashing over the oracled media corpus: every
+    image decoded by the native decoders (PPM/BMP/PNG/JPEG incl.
+    progressive/GIF/lossless-WebP) to a 64-bit difference hash
+    (operators/multimodal.py:image_dhash); stub-tier and malformed
+    payloads emit NULL with decoder='stub'.  Oracled against
+    dist/golden_dhash.parquet — hashes derived from the corpus pixel
+    SPECS by closed-form math (tools/gen_golden_dhash.py), never from
+    the decoders, so every golden bit re-verifies the decode path."""
+    from .operators.multimodal import extract_media_dhash
+    from .sources.media_corpus import dhash_plant_rows, synthetic_media_rows
+
+    synth = spark.createDataFrame(
+        synthetic_media_rows() + dhash_plant_rows(),
+        "media_id string, media_kind string, payload binary",
+    )
+    # dhash serialized to its decimal string: the column is nullable (stub
+    # rows), and a nullable int64 turns float64 in pandas canonicalization
+    # on BOTH engines — the exact hash-mismatch class round 4 diagnosed.
+    return (
+        extract_media_dhash(synth, num_partitions=4)
+        .withColumn("dhash", F.col("dhash").cast("string"))
+        .orderBy("media_id")
+    )
+
+
+def media_dhash_near_dup(spark, sf_dir):
+    """Near-duplicate image pairs by dhash Hamming distance <= 3 over
+    the media corpus plus the deterministic planted perturbations
+    (media_corpus.dhash_plant_rows: the png_pixel pattern with 0/1/2
+    flipped resample cells, guaranteeing true positives at hamming
+    0/1/2).  Banded equi-join (4 x 16-bit bands) — the image-side twin
+    of simhash text dedup; the oracle reimplements band blocking +
+    bit_count in DuckDB over the spec-math golden hashes."""
+    from .operators.multimodal import dhash_near_pairs, extract_media_dhash
+    from .sources.media_corpus import dhash_plant_rows, synthetic_media_rows
+
+    synth = spark.createDataFrame(
+        synthetic_media_rows() + dhash_plant_rows(),
+        "media_id string, media_kind string, payload binary",
+    )
+    return dhash_near_pairs(
+        extract_media_dhash(synth, num_partitions=4), max_hamming=3
+    ).orderBy("media_a", "media_b")
+
+
+_GOLDEN_DHASH_PARQUET = _golden("golden_dhash.parquet")
+
+MEDIA_DHASH_SQL = f"""
+SELECT media_id, width, height,
+       CAST(dhash AS VARCHAR) AS dhash, decoder
+FROM read_parquet('{_GOLDEN_DHASH_PARQUET}')
+ORDER BY media_id
+"""
+
+# Band blocking + Hamming re-verified in DuckDB: two's-complement widen to
+# HUGEINT for the logical 16-bit band extraction (DuckDB >> on BIGINT is
+# arithmetic), xor/bit_count on the signed hashes matches Spark exactly.
+# The hashes themselves come from the spec-math golden (incl. the planted
+# near-dup rows), so this oracle independently re-verifies the JOIN logic
+# while the golden re-verifies the decode+hash kernel.
+MEDIA_DHASH_PAIRS_SQL = f"""
+WITH h AS (
+  SELECT media_id, dhash
+  FROM read_parquet('{_GOLDEN_DHASH_PARQUET}') WHERE dhash IS NOT NULL
+), u AS (
+  SELECT media_id, dhash,
+         CASE WHEN dhash < 0
+              THEN dhash::HUGEINT + 18446744073709551616::HUGEINT
+              ELSE dhash::HUGEINT END AS uh
+  FROM h
+), bands AS (
+  SELECT media_id, dhash, d, ((uh // d) % 65536)::BIGINT AS key
+  FROM u, unnest([1::HUGEINT, 65536::HUGEINT,
+                  4294967296::HUGEINT, 281474976710656::HUGEINT]) AS t(d)
+)
+SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+FROM bands a JOIN bands b
+  ON a.d = b.d AND a.key = b.key AND a.media_id < b.media_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+ORDER BY media_a, media_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # LM perplexity scoring + sequence packing (training-pipeline operators)
 # ---------------------------------------------------------------------------
@@ -3508,6 +3593,8 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "media_features": media_features,
+    "media_dhash": media_dhash,
+    "media_dhash_near_dup": media_dhash_near_dup,
     "ann_recall": ann_recall,
     "html_main_content": html_main_content,
     "unified_spans": unified_spans,
@@ -3604,6 +3691,8 @@ ORACLES = {
     "doc_metadata": DOC_METADATA_SQL,
     "extract_paged_spans": EXTRACT_PAGED_SQL,
     "media_features": MEDIA_FEATURES_SQL,
+    "media_dhash": MEDIA_DHASH_SQL,
+    "media_dhash_near_dup": MEDIA_DHASH_PAIRS_SQL,
     "ann_recall": ANN_RECALL_SQL,
     "html_main_content": HTML_MAIN_SQL,
     "unified_spans": UNIFIED_SPANS_SQL,

@@ -1483,3 +1483,32 @@ def synthetic_media_rows() -> list[tuple[str, str, bytes]]:
                  make_gif_lzw(19, 13, 4, interlace=True)))
     rows.extend(fuzz_media_rows())
     return rows
+
+
+def dhash_plant_pixel(tag: str, x: int, y: int) -> int:
+    """Closed-form gray of the planted near-duplicate images (shared with
+    tools/gen_golden_dhash.py): the png_pixel pattern with 0, 1, or 2
+    single-cell brightness flips at dhash resample cells, giving known
+    small Hamming distances against the unperturbed pattern."""
+    flips = {"nd0": 0, "nd1": 1, "nd2": 2}[tag]
+    for i in range(flips):
+        if (x, y) == (1, 1 + 2 * i):
+            return 255
+    return png_pixel(x, y)
+
+
+def dhash_plant_rows() -> list[tuple[str, str, bytes]]:
+    """Three 11x7 grayscale PNGs that are near-duplicates of the
+    png_pixel pattern — deterministic positives for dhash_near_pairs."""
+    import numpy as np
+
+    rows = []
+    for tag in ("nd0", "nd1", "nd2"):
+        px = np.array(
+            [[[dhash_plant_pixel(tag, x, y)] for x in range(11)]
+             for y in range(7)],
+            dtype=np.uint8,
+        )
+        rows.append((f"png-gray-11x7-{tag}", "image",
+                     make_png_raw(px, color_type=0)))
+    return rows
