@@ -79,10 +79,15 @@ HEADLINE = [
     "doc_dsir_select",
     "semantic_dedup",
     "doc_classifier_topk",
+    # bpe_merges covers the BPE family in the bench; doc_bpe_tokens shares
+    # the same 12-round training loop at construction (it would re-train
+    # per timed invocation, doubling the loop cost without new signal) and
+    # stays correctness-gated via its oracle row instead
     "bpe_merges",
-    "doc_bpe_tokens",
     "media_dhash",
     "media_dhash_near_dup",
+    "media_audio_fp",
+    "media_audio_near_dup",
     "dedup_exact",
     "minhash_lsh_candidates",
     "dedup_clusters",

@@ -446,23 +446,26 @@ def extract_media_dhash(media: DataFrame, num_partitions: int | None = None) -> 
     )
 
 
-def dhash_near_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-duplicate image pairs by dhash Hamming distance, blocked on
-    16-bit bands (4 bands; <= 3 differing bits guarantees at least one
-    identical band — the same pigeonhole blocking as simhash text dedup,
-    operators/dedup.py).  NULL-dhash (stub) rows never pair.
+def banded_hamming_pairs(
+    hashes: DataFrame, hash_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate (media_a, media_b, hamming) pairs over a 64-bit
+    signature column, blocked on 16-bit bands (4 bands; <= 3 differing
+    bits guarantees at least one identical band — the same pigeonhole
+    blocking as simhash text dedup, operators/dedup.py).  NULL-signature
+    (stub) rows never pair.
 
     Scale shape: band equi-join on (band, 16-bit key) — no cross join;
-    at 10^9 images a band bucket holds only hash-colliding candidates,
+    at 10^9 assets a band bucket holds only hash-colliding candidates,
     and the exact bit_count filter runs post-join on the candidate set."""
-    h = hashes.filter(F.col("dhash").isNotNull())
+    h = hashes.filter(F.col(hash_col).isNotNull())
     banded = h.select(
         "media_id",
-        "dhash",
+        hash_col,
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("dhash"), 16 * i).bitwiseAND(
+                    F.shiftrightunsigned(F.col(hash_col), 16 * i).bitwiseAND(
                         F.lit(0xFFFF)
                     )
                     for i in range(4)
@@ -482,11 +485,74 @@ def dhash_near_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
             F.col("a.media_id").alias("media_a"),
             F.col("b.media_id").alias("media_b"),
             F.bit_count(
-                F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))
+                F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
             ).alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def dhash_near_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate image pairs by dhash Hamming distance (see
+    banded_hamming_pairs for the blocking design)."""
+    return banded_hamming_pairs(hashes, "dhash", max_hamming)
+
+
+def audio_fingerprint(feature: list) -> int:
+    """64-bit audio signature from the 16 per-window RMS values: each
+    window quantized to a 4-bit level (floor(rms*16) capped at 15),
+    packed MSB-first, wrapped to signed int64.  For the corpus's
+    constant-amplitude windows rms*16 = |amp|/2048 is exact in float64
+    (divisions by powers of two), so the spec-math golden reproduces
+    every nibble."""
+    val = 0
+    for r in feature:
+        val = (val << 4) | min(int(r * 16), 15)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+AUDIO_FP_SCHEMA = (
+    "media_id string, sample_rate long, n_channels long, "
+    "audio_fp long, decoder string"
+)
+
+
+def _audio_fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = {"media_id": [], "sample_rate": [], "n_channels": [],
+                "audio_fp": [], "decoder": []}
+        for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+            data = bytes(payload) if payload is not None else b""
+            try:
+                rate, nch, feat, decoder = decode_audio_real(data)
+                fp = audio_fingerprint(feat)
+            except Exception:
+                rate = nch = 0
+                fp = None
+                decoder = "stub"
+            rows["media_id"].append(media_id)
+            rows["sample_rate"].append(rate)
+            rows["n_channels"].append(nch)
+            rows["audio_fp"].append(fp)
+            rows["decoder"].append(decoder)
+        # Int64 from the Python list directly (same float64-coercion trap
+        # as the dhash path)
+        rows["audio_fp"] = pd.array(rows["audio_fp"], dtype="Int64")
+        yield pd.DataFrame(rows)
+
+
+def extract_audio_fp(media: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Audio rows -> (media_id, sample_rate, n_channels, audio_fp,
+    decoder); stub-tier payloads emit NULL with decoder='stub'."""
+    spark = media.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return (
+        media.filter(F.col("media_kind") == "audio")
+        .repartition(num_partitions, F.xxhash64("media_id"))
+        .select("media_id", "payload")
+        .mapInPandas(_audio_fp_batches, AUDIO_FP_SCHEMA)
     )
 
 

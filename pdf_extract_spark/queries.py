@@ -3142,6 +3142,79 @@ ORDER BY media_a, media_b
 """
 
 
+def media_audio_fp(spark, sf_dir):
+    """Audio fingerprinting over the oracled media corpus: WAV/FLAC
+    decoded natively, 16 per-window RMS levels quantized to 4 bits each
+    and packed into a 64-bit signature
+    (operators/multimodal.py:audio_fingerprint); malformed payloads emit
+    NULL with decoder='stub'.  Oracled against
+    dist/golden_audiofp.parquet — signatures derived from the corpus
+    amplitude SPECS in pure integer math (tools/gen_golden_audiofp.py),
+    never from the decoders, so every nibble re-verifies the WAV/FLAC
+    decode + RMS path."""
+    from .operators.multimodal import extract_audio_fp
+    from .sources.media_corpus import audio_plant_rows, synthetic_media_rows
+
+    synth = spark.createDataFrame(
+        synthetic_media_rows() + audio_plant_rows(),
+        "media_id string, media_kind string, payload binary",
+    )
+    return (
+        extract_audio_fp(synth, num_partitions=4)
+        .withColumn("audio_fp", F.col("audio_fp").cast("string"))
+        .orderBy("media_id")
+    )
+
+
+def media_audio_near_dup(spark, sf_dir):
+    """Near-duplicate audio pairs by signature Hamming distance <= 3
+    (banded_hamming_pairs — the shared 4x16-bit blocking); the planted
+    single-window RMS nudges guarantee true positives at hamming 0/1/2."""
+    from .operators.multimodal import banded_hamming_pairs, extract_audio_fp
+    from .sources.media_corpus import audio_plant_rows, synthetic_media_rows
+
+    synth = spark.createDataFrame(
+        synthetic_media_rows() + audio_plant_rows(),
+        "media_id string, media_kind string, payload binary",
+    )
+    return banded_hamming_pairs(
+        extract_audio_fp(synth, num_partitions=4), "audio_fp", max_hamming=3
+    ).orderBy("media_a", "media_b")
+
+
+_GOLDEN_AUDIOFP_PARQUET = _golden("golden_audiofp.parquet")
+
+MEDIA_AUDIO_FP_SQL = f"""
+SELECT media_id, sample_rate, n_channels,
+       CAST(audio_fp AS VARCHAR) AS audio_fp, decoder
+FROM read_parquet('{_GOLDEN_AUDIOFP_PARQUET}')
+ORDER BY media_id
+"""
+
+MEDIA_AUDIO_PAIRS_SQL = f"""
+WITH h AS (
+  SELECT media_id, audio_fp
+  FROM read_parquet('{_GOLDEN_AUDIOFP_PARQUET}') WHERE audio_fp IS NOT NULL
+), u AS (
+  SELECT media_id, audio_fp,
+         CASE WHEN audio_fp < 0
+              THEN audio_fp::HUGEINT + 18446744073709551616::HUGEINT
+              ELSE audio_fp::HUGEINT END AS uh
+  FROM h
+), bands AS (
+  SELECT media_id, audio_fp, d, ((uh // d) % 65536)::BIGINT AS key
+  FROM u, unnest([1::HUGEINT, 65536::HUGEINT,
+                  4294967296::HUGEINT, 281474976710656::HUGEINT]) AS t(d)
+)
+SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+       CAST(bit_count(xor(a.audio_fp, b.audio_fp)) AS INTEGER) AS hamming
+FROM bands a JOIN bands b
+  ON a.d = b.d AND a.key = b.key AND a.media_id < b.media_id
+WHERE bit_count(xor(a.audio_fp, b.audio_fp)) <= 3
+ORDER BY media_a, media_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # LM perplexity scoring + sequence packing (training-pipeline operators)
 # ---------------------------------------------------------------------------
@@ -3595,6 +3668,8 @@ QUERIES = {
     "media_features": media_features,
     "media_dhash": media_dhash,
     "media_dhash_near_dup": media_dhash_near_dup,
+    "media_audio_fp": media_audio_fp,
+    "media_audio_near_dup": media_audio_near_dup,
     "ann_recall": ann_recall,
     "html_main_content": html_main_content,
     "unified_spans": unified_spans,
@@ -3693,6 +3768,8 @@ ORACLES = {
     "media_features": MEDIA_FEATURES_SQL,
     "media_dhash": MEDIA_DHASH_SQL,
     "media_dhash_near_dup": MEDIA_DHASH_PAIRS_SQL,
+    "media_audio_fp": MEDIA_AUDIO_FP_SQL,
+    "media_audio_near_dup": MEDIA_AUDIO_PAIRS_SQL,
     "ann_recall": ANN_RECALL_SQL,
     "html_main_content": HTML_MAIN_SQL,
     "unified_spans": UNIFIED_SPANS_SQL,

@@ -1512,3 +1512,30 @@ def dhash_plant_rows() -> list[tuple[str, str, bytes]]:
         rows.append((f"png-gray-11x7-{tag}", "image",
                      make_png_raw(px, color_type=0)))
     return rows
+
+
+# planted near-duplicate WAVs: the wav-steps-mono amplitudes with 0, 1,
+# and 2 single-window nudges of 0 -> 2048 (quantized RMS nibble 0000 ->
+# 0001, exactly ONE signature bit per nudge)
+AUDIO_PLANT_SPECS = [
+    ("wav-steps-mono-nd0", ()),
+    ("wav-steps-mono-nd1", (0,)),
+    ("wav-steps-mono-nd2", (0, 4)),
+]
+
+
+def audio_plant_amps(nudges: tuple) -> list[int]:
+    amps = list(WAV_SPECS[0][3])
+    for i in nudges:
+        assert amps[i] == 0
+        amps[i] = 2048
+    return amps
+
+
+def audio_plant_rows() -> list[tuple[str, str, bytes]]:
+    """Deterministic positives for audio fingerprint near-dup pairing."""
+    rate, nch = WAV_SPECS[0][1], WAV_SPECS[0][2]
+    return [
+        (name, "audio", make_wav(rate, nch, audio_plant_amps(nudges)))
+        for name, nudges in AUDIO_PLANT_SPECS
+    ]

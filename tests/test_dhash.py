@@ -96,3 +96,44 @@ def test_hamming_beyond_band_guarantee_excluded(spark):
     )
     # -1 vs 0: hamming 64, but all four bands of 0 vs 0xFFFF never equal
     assert dhash_near_pairs(extract_media_dhash(df)).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprint (the dhash twin over WAV/FLAC)
+# ---------------------------------------------------------------------------
+
+
+def test_audio_fp_kernel_and_cross_format(spark):
+    """Same content encoded as WAV and as FLAC must fingerprint
+    IDENTICALLY (the decode path normalizes both to per-window RMS), and
+    the planted single-window nudges sit at hamming 1 and 2."""
+    from pdf_extract_spark.operators.multimodal import (
+        banded_hamming_pairs,
+        extract_audio_fp,
+    )
+    from pdf_extract_spark.sources.media_corpus import (
+        audio_plant_rows,
+        synthetic_media_rows,
+    )
+
+    rows = [r for r in synthetic_media_rows() if r[1] == "audio"]
+    rows += audio_plant_rows()
+    df = spark.createDataFrame(
+        rows, "media_id string, media_kind string, payload binary"
+    )
+    got = {r["media_id"]: r["audio_fp"]
+           for r in extract_audio_fp(df, num_partitions=2).collect()}
+    assert got["wav-steps-mono"] == got["flac-steps-mono"]
+    assert got["wav-steps-stereo"] == got["flac-steps-midside"]
+    base = got["wav-steps-mono"]
+    assert got["wav-steps-mono-nd0"] == base
+    assert bin(got["wav-steps-mono-nd1"] ^ base).count("1") == 1
+    assert bin(got["wav-steps-mono-nd2"] ^ base).count("1") == 2
+    # fuzz audio lands in the stub tier with NULL fp
+    assert got["fuzz-wav-truncated"] is None
+    pairs = {(r["media_a"], r["media_b"]): r["hamming"]
+             for r in banded_hamming_pairs(
+                 extract_audio_fp(df, num_partitions=2), "audio_fp"
+             ).collect()}
+    assert pairs[("flac-steps-mono", "wav-steps-mono")] == 0
+    assert pairs[("wav-steps-mono", "wav-steps-mono-nd1")] == 1
