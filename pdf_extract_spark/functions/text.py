@@ -775,3 +775,34 @@ def chunk_sliding(
             F.array_join(chunk, " ").alias("chunk_text"),
         )
     )
+
+
+def blocklist_flags(
+    docs: DataFrame,
+    terms: "list[str]",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style blocklist filter: per-doc hit count against a term list
+    (single words match on word boundaries, multi-word phrases match
+    literally) and the keep verdict `n_blocked == 0`.
+
+    Scale shape: the list compiles to ONE case-insensitive alternation
+    regex evaluated scan-side (codegen `regexp_count`) — no broadcast
+    table, no shuffle, no UDF; the blocklist is pattern state, exactly
+    how C4 ran its badwords filter.  The regex subset (\\b, literal
+    alternation) is Java/RE2-common so the DuckDB oracle evaluates the
+    identical pattern.  Terms are regex-escaped; word-vs-phrase
+    boundary handling is per-alternative."""
+    parts = []
+    for t in sorted(terms):
+        esc = "".join("\\" + ch if not ch.isalnum() and ch != " " else ch
+                      for ch in t.lower())
+        esc = esc.replace(" ", "[ ]")
+        parts.append(rf"\b{esc}\b")
+    pattern = "(?i)(" + "|".join(parts) + ")"
+    n = F.regexp_count(F.col(text_col), F.lit(pattern)).cast("long")
+    return docs.select(
+        "doc_id",
+        n.alias("n_blocked"),
+        (n == 0).alias("keep"),
+    )

@@ -3142,6 +3142,34 @@ ORDER BY media_a, media_b
 """
 
 
+_BLOCKLIST_TERMS = ["slow", "broken pipeline", "leak", "spill risk"]
+
+
+def doc_blocklist(spark, sf_dir):
+    """C4-style badwords blocklist (functions/text.py:blocklist_flags):
+    one scan-side case-insensitive alternation regex — no shuffle, no
+    broadcast table; the probe list mixes present single words, absent
+    words, and multi-word phrases so both boundary modes are value-
+    checked."""
+    from .functions.text import blocklist_flags
+
+    docs = load(spark, sf_dir, "documents")
+    return blocklist_flags(docs, _BLOCKLIST_TERMS).orderBy("doc_id")
+
+
+BLOCKLIST_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '(?i)(\bbroken[ ]pipeline\b|\bleak\b|\bslow\b|\bspill[ ]risk\b)'))
+         AS BIGINT) AS n_blocked,
+       len(regexp_extract_all(text,
+         '(?i)(\bbroken[ ]pipeline\b|\bleak\b|\bslow\b|\bspill[ ]risk\b)')) = 0
+         AS keep
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def media_audio_fp(spark, sf_dir):
     """Audio fingerprinting over the oracled media corpus: WAV/FLAC
     decoded natively, 16 per-window RMS levels quantized to 4 bits each
@@ -3670,6 +3698,7 @@ QUERIES = {
     "media_dhash_near_dup": media_dhash_near_dup,
     "media_audio_fp": media_audio_fp,
     "media_audio_near_dup": media_audio_near_dup,
+    "doc_blocklist": doc_blocklist,
     "ann_recall": ann_recall,
     "html_main_content": html_main_content,
     "unified_spans": unified_spans,
@@ -3770,6 +3799,7 @@ ORACLES = {
     "media_dhash_near_dup": MEDIA_DHASH_PAIRS_SQL,
     "media_audio_fp": MEDIA_AUDIO_FP_SQL,
     "media_audio_near_dup": MEDIA_AUDIO_PAIRS_SQL,
+    "doc_blocklist": BLOCKLIST_SQL,
     "ann_recall": ANN_RECALL_SQL,
     "html_main_content": HTML_MAIN_SQL,
     "unified_spans": UNIFIED_SPANS_SQL,

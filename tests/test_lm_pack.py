@@ -209,3 +209,39 @@ def test_ppl_buckets_rank_is_grouped_two_phase(spark):
     wins = re.findall(r"Window \[[^\n]*", txt)
     corpus_wins = [w for w in wins if "local_rn" in w]
     assert corpus_wins and all("pid" in w for w in corpus_wins), wins
+
+
+# ---------------------------------------------------------------------------
+# blocklist_flags (C4 badwords filter)
+# ---------------------------------------------------------------------------
+
+
+def test_blocklist_boundaries_phrases_case(spark):
+    from pdf_extract_spark.functions.text import blocklist_flags
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "a SLOW query"),            # case-insensitive word hit
+            ("d2", "slower queries"),          # substring must NOT match
+            ("d3", "the broken pipeline smokes a broken pipeline"),  # phrase x2
+            ("d4", "broken. pipeline"),        # interrupted phrase: no hit
+            ("d5", "clean text"),
+            ("d6", "slow, slow and slow"),     # punctuation-adjacent words
+        ],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: (r["n_blocked"], r["keep"])
+           for r in blocklist_flags(docs, ["slow", "broken pipeline"]).collect()}
+    assert got == {
+        "d1": (1, False), "d2": (0, True), "d3": (2, False),
+        "d4": (0, True), "d5": (0, True), "d6": (3, False),
+    }
+
+
+def test_blocklist_is_scan_side_jvm_only(spark):
+    from pdf_extract_spark.functions.text import blocklist_flags
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = blocklist_flags(docs, ["slow"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
