@@ -68,6 +68,7 @@ HEADLINE = [
     "doc_decontaminate",
     "doc_decontaminate_bloom",
     "doc_pii_redact",
+    "doc_blocklist",
     "doc_url_dedup",
     "doc_token_bpe",
     "doc_winnow_fingerprints",
