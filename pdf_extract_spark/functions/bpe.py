@@ -72,10 +72,13 @@ def word_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _adjacent_pairs(syms: Column) -> Column:
     """array<struct<left,right>> of adjacent symbol pairs (overlapping,
-    one per position — the Sennrich counting convention)."""
-    return F.expr(
-        "transform(slice(syms, 1, greatest(size(syms) - 1, 0)),"
-        " (s, i) -> struct(s AS left, element_at(syms, i + 2) AS right))"
+    one per position — the Sennrich counting convention).  Built from
+    the passed Column (no hardcoded column name)."""
+    return F.transform(
+        F.slice(syms, F.lit(1), F.greatest(F.size(syms) - 1, F.lit(0))),
+        lambda s, i: F.struct(
+            s.alias("left"), F.get(syms, i + 1).alias("right")
+        ),
     )
 
 

@@ -142,30 +142,40 @@ def ppl_buckets(
     ppl = lm_perplexity(docs, ref_filter, text_col).select(
         "doc_id", "avg_bits_x1000"
     )
+    # rank over an internal NEVER-NULL grouping key: window PARTITION BY
+    # treats NULL sources as one group (matching the SQL oracle), but a
+    # null-unsafe equi-join on the raw key would silently drop them — the
+    # joins below therefore run on __gk (null flag + coalesced string,
+    # collision-free by construction) and the raw key rides along
+    gk = F.struct(
+        F.col(key_col).isNull().alias("n"),
+        F.coalesce(F.col(key_col).cast("string"), F.lit("")).alias("k"),
+    )
     d = (
         docs.select("doc_id", key_col)
         .join(ppl, "doc_id")
-        .repartitionByRange(parts, key_col, "avg_bits_x1000", "doc_id")
+        .withColumn("__gk", gk)
+        .repartitionByRange(parts, "__gk", "avg_bits_x1000", "doc_id")
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    w_local = Window.partitionBy("pid", key_col).orderBy("avg_bits_x1000", "doc_id")
+    w_local = Window.partitionBy("pid", "__gk").orderBy("avg_bits_x1000", "doc_id")
     local = d.withColumn("local_rn", F.row_number().over(w_local))
-    counts = d.groupBy("pid", key_col).agg(F.count(F.lit(1)).alias("pcnt"))
+    counts = d.groupBy("pid", "__gk").agg(F.count(F.lit(1)).alias("pcnt"))
     w_off = (
-        Window.partitionBy(key_col)
+        Window.partitionBy("__gk")
         .orderBy("pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = counts.withColumn(
         "poffset", F.coalesce(F.sum("pcnt").over(w_off), F.lit(0)).cast("long")
     )
-    totals = counts.groupBy(key_col).agg(F.sum("pcnt").cast("long").alias("scnt"))
+    totals = counts.groupBy("__gk").agg(F.sum("pcnt").cast("long").alias("scnt"))
     return (
         local.join(
-            F.broadcast(offsets.select("pid", key_col, "poffset")), ["pid", key_col]
+            F.broadcast(offsets.select("pid", "__gk", "poffset")), ["pid", "__gk"]
         )
-        .join(F.broadcast(totals), key_col)
+        .join(F.broadcast(totals), "__gk")
         .withColumn("ppl_rank", (F.col("local_rn") + F.col("poffset")).cast("long"))
         .withColumn(
             "bucket",

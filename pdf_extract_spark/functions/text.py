@@ -789,16 +789,33 @@ def blocklist_flags(
     Scale shape: the list compiles to ONE case-insensitive alternation
     regex evaluated scan-side (codegen `regexp_count`) — no broadcast
     table, no shuffle, no UDF; the blocklist is pattern state, exactly
-    how C4 ran its badwords filter.  The regex subset (\\b, literal
-    alternation) is Java/RE2-common so the DuckDB oracle evaluates the
-    identical pattern.  Terms are regex-escaped; word-vs-phrase
-    boundary handling is per-alternative."""
+    how C4 ran its badwords filter.  The emitted regex subset (\\b,
+    literal alternation, no lookaround) is Java/RE2-common FOR ASCII
+    TERMS — (?i) case folding differs between the engines outside
+    ASCII, so non-ASCII terms belong in a per-language variant, not
+    here.  Terms are regex-escaped ('_' stays literal: escaping it is
+    invalid in RE2); a \\b anchor is added only where the term edge is
+    a word character, so punctuation-edged terms ('c++') remain
+    matchable instead of being killed by an unsatisfiable boundary."""
+    def _word(ch: str) -> bool:
+        return ch.isalnum() or ch == "_"
+
     parts = []
-    for t in sorted(terms):
-        esc = "".join("\\" + ch if not ch.isalnum() and ch != " " else ch
-                      for ch in t.lower())
+    for t in sorted({t.lower() for t in terms if t}):
+        esc = "".join("\\" + ch if not _word(ch) and ch != " " else ch
+                      for ch in t)
         esc = esc.replace(" ", "[ ]")
-        parts.append(rf"\b{esc}\b")
+        lead = r"\b" if _word(t[0]) else ""
+        tail = r"\b" if _word(t[-1]) else ""
+        parts.append(f"{lead}{esc}{tail}")
+    if not parts:
+        # empty blocklist blocks nothing (an empty alternation would
+        # instead match at every position)
+        return docs.select(
+            "doc_id",
+            F.lit(0).cast("long").alias("n_blocked"),
+            F.lit(True).alias("keep"),
+        )
     pattern = "(?i)(" + "|".join(parts) + ")"
     n = F.regexp_count(F.col(text_col), F.lit(pattern)).cast("long")
     return docs.select(

@@ -458,6 +458,12 @@ def banded_hamming_pairs(
     Scale shape: band equi-join on (band, 16-bit key) — no cross join;
     at 10^9 assets a band bucket holds only hash-colliding candidates,
     and the exact bit_count filter runs post-join on the candidate set."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4x16-bit band blocking is only COMPLETE for max_hamming <= 3 "
+            "(4 differing bits can land one per band, leaving no equal "
+            f"band); got {max_hamming}"
+        )
     h = hashes.filter(F.col(hash_col).isNotNull())
     banded = h.select(
         "media_id",

@@ -137,3 +137,11 @@ def test_audio_fp_kernel_and_cross_format(spark):
              ).collect()}
     assert pairs[("flac-steps-mono", "wav-steps-mono")] == 0
     assert pairs[("wav-steps-mono", "wav-steps-mono-nd1")] == 1
+
+
+def test_banding_rejects_unguaranteed_hamming(spark):
+    from pdf_extract_spark.operators.multimodal import banded_hamming_pairs
+
+    df = spark.createDataFrame([("a", 0)], "media_id string, dhash long")
+    with pytest.raises(ValueError):
+        banded_hamming_pairs(df, "dhash", max_hamming=4)

@@ -245,3 +245,38 @@ def test_blocklist_is_scan_side_jvm_only(spark):
     plan = blocklist_flags(docs, ["slow"])._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_ppl_buckets_null_source_kept(spark):
+    """Docs with a NULL source form their own bucket group (window
+    semantics) instead of being dropped by null-unsafe joins — the
+    review-found divergence vs the SQL oracle."""
+    from pdf_extract_spark.functions.lm import ppl_buckets
+
+    rows = [("r", "a b a b", "src0"), ("x1", "a b c", None),
+            ("x2", "a b c d", None), ("x3", "q z q z", None)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string, source string")
+    out = ppl_buckets(docs, F.col("source") == "src0").collect()
+    nulls = [r for r in out if r["source"] is None]
+    assert {r["doc_id"] for r in nulls} == {"x1", "x2", "x3"}
+    assert sorted(r["ppl_rank"] for r in nulls) == [1, 2, 3]
+    assert {r["bucket"] for r in nulls} == {"head", "middle", "tail"}
+
+
+def test_blocklist_punctuation_edges_and_empty(spark):
+    from pdf_extract_spark.functions.text import blocklist_flags
+
+    docs = spark.createDataFrame(
+        [("d1", "we use c++ here"), ("d2", "clean"), ("d3", "data_leak now")],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r["n_blocked"]
+           for r in blocklist_flags(docs, ["c++", "data_leak"]).collect()}
+    assert got == {"d1": 1, "d2": 0, "d3": 1}
+    # empty list (and empty-string terms) block nothing
+    empty = {r["doc_id"]: (r["n_blocked"], r["keep"])
+             for r in blocklist_flags(docs, []).collect()}
+    assert all(v == (0, True) for v in empty.values())
+    empty2 = {r["doc_id"]: r["keep"]
+              for r in blocklist_flags(docs, [""]).collect()}
+    assert all(empty2.values())

@@ -48,12 +48,14 @@ FINGERPRINT_SQL = (
 NUM_MERGES = 12  # pinned by queries.py:bpe_merges
 
 # Java \s and RE2 \s are the ASCII class; spell it out so Python's
-# unicode-aware \s can never diverge on exotic whitespace
+# unicode-aware \s can never diverge on exotic whitespace.  Likewise the
+# engine's F.trim strips ONLY the space character, so mirror with
+# strip(' ') rather than Python's unicode-whitespace strip().
 _WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def words_of(text: str) -> list[str]:
-    return [w for w in _WS.split(text.strip().lower()) if w]
+    return [w for w in _WS.split(text.strip(" ").lower()) if w]
 
 
 def train(word_counts: Counter, num_merges: int):
