@@ -3142,28 +3142,31 @@ ORDER BY media_a, media_b
 """
 
 
-_BLOCKLIST_TERMS = ["slow", "broken pipeline", "leak", "spill risk"]
+_BLOCKLIST_TERMS = ["slow", "broken pipeline", "leak", "spill risk", "c++"]
 
 
 def doc_blocklist(spark, sf_dir):
     """C4-style badwords blocklist (functions/text.py:blocklist_flags):
     one scan-side case-insensitive alternation regex — no shuffle, no
     broadcast table; the probe list mixes present single words, absent
-    words, and multi-word phrases so both boundary modes are value-
-    checked."""
+    words, multi-word phrases, and a punctuation-edged term ('c++', no
+    trailing boundary) so every pattern-construction mode is value-
+    checked against the identical RE2 pattern in DuckDB."""
     from .functions.text import blocklist_flags
 
     docs = load(spark, sf_dir, "documents")
     return blocklist_flags(docs, _BLOCKLIST_TERMS).orderBy("doc_id")
 
 
-BLOCKLIST_SQL = r"""
+_BLOCKLIST_RE = (
+    r"(?i)(\bbroken[ ]pipeline\b|\bc\+\+|\bleak\b|\bslow\b|\bspill[ ]risk\b)"
+)
+
+BLOCKLIST_SQL = rf"""
 SELECT doc_id,
-       CAST(len(regexp_extract_all(text,
-         '(?i)(\bbroken[ ]pipeline\b|\bleak\b|\bslow\b|\bspill[ ]risk\b)'))
+       CAST(len(regexp_extract_all(text, '{_BLOCKLIST_RE}'))
          AS BIGINT) AS n_blocked,
-       len(regexp_extract_all(text,
-         '(?i)(\bbroken[ ]pipeline\b|\bleak\b|\bslow\b|\bspill[ ]risk\b)')) = 0
+       len(regexp_extract_all(text, '{_BLOCKLIST_RE}')) = 0
          AS keep
 FROM documents
 ORDER BY doc_id
