@@ -427,22 +427,36 @@ def _dhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # an int+None column to float64 first, silently rounding 64-bit
         # hashes to 53-bit mantissas
         rows["dhash"] = pd.array(rows["dhash"], dtype="Int64")
-        yield pd.DataFrame(rows)
+        out = pd.DataFrame(rows)
+        for c in pdf.columns:
+            if c not in ("media_id", "payload"):
+                out[c] = list(pdf[c])  # passthrough (e.g. stream ts)
+        yield out
 
 
-def extract_media_dhash(media: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """Image rows -> (media_id, width, height, dhash, decoder).  Same
-    hash-spread salting as the feature path; stub-tier payloads emit a
-    NULL dhash with decoder='stub' so downstream dedup can exclude them
-    without a separate failure channel."""
+def extract_media_dhash(
+    media: DataFrame,
+    num_partitions: int | None = None,
+    passthrough: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """Image rows -> (media_id, width, height, dhash, decoder
+    [, passthrough...]).  Same hash-spread salting as the feature path;
+    stub-tier payloads emit a NULL dhash with decoder='stub' so
+    downstream dedup can exclude them without a separate failure
+    channel.  `passthrough` names input columns to carry through the
+    Arrow stage unchanged — the streaming dedup uses it for the event
+    time (a post-hoc join back would be a stream-stream join)."""
     spark = media.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    extra = "".join(
+        f", {c} {dict(media.dtypes)[c]}" for c in passthrough
+    )
     return (
         media.filter(F.col("media_kind") == "image")
         .repartition(num_partitions, F.xxhash64("media_id"))
-        .select("media_id", "payload")
-        .mapInPandas(_dhash_batches, DHASH_SCHEMA)
+        .select("media_id", "payload", *passthrough)
+        .mapInPandas(_dhash_batches, DHASH_SCHEMA + extra)
     )
 
 

@@ -50,3 +50,43 @@ def dedup_stream(
         .dropDuplicatesWithinWatermark(["__dedup_fp"])
         .drop("__dedup_fp")
     )
+
+
+def dedup_media_stream(
+    media_stream: DataFrame,
+    ts_col: str = "ts",
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """(media_id, media_kind, payload, ts) image stream -> per-asset
+    dhash rows minus in-window PERCEPTUAL duplicates: the first arrival
+    per 64-bit difference hash wins, so exact re-deliveries AND
+    re-encodes of the same pixels (a PNG of a previously seen image —
+    dhash is pixel-derived, hamming 0) are dropped at ingest.  The
+    dhash kernel is a mapInPandas stage and streams as-is.
+
+    Stub-tier rows (undecodable payloads, dhash NULL) are never
+    collapsed with each other: their dedup key falls back to the
+    media_id, so every stub passes through exactly once and stays
+    visible to the downstream quarantine.  Same bounded-state /
+    watermark-eviction design as the text dedup_stream above; the batch
+    dhash_near_pairs pass remains the total (and near-match) guarantee."""
+    from ..operators.multimodal import extract_media_dhash
+
+    ev = media_stream
+    if dict(ev.dtypes).get(ts_col) == "timestamp_ntz":
+        ev = ev.withColumn(ts_col, F.col(ts_col).cast("timestamp_ltz"))
+    # the event time rides THROUGH the Arrow stage (passthrough) — joining
+    # it back afterwards would be a stream-stream join
+    hashed = extract_media_dhash(ev, passthrough=(ts_col,))
+    return (
+        hashed.withColumn(
+            "__dedup_k",
+            F.coalesce(
+                F.col("dhash").cast("string"),
+                F.concat(F.lit("stub:"), F.col("media_id")),
+            ),
+        )
+        .withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(["__dedup_k"])
+        .drop("__dedup_k")
+    )

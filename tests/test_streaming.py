@@ -597,3 +597,60 @@ def test_streaming_windowed_hll_matches_batch_sketch(spark, tmp_path):
     assert joined
     for r in joined:
         assert abs(r.approx_distinct - r.exact) <= max(3, 0.25 * r.exact)
+
+
+def test_streaming_media_dedup_perceptual(spark, tmp_path):
+    """streaming/dedup.py:dedup_media_stream — exact re-deliveries AND a
+    re-encode of the same pixels (dhash hamming 0) are dropped at
+    ingest; stub rows pass through exactly once each (never collapsed
+    on the NULL hash)."""
+    from datetime import datetime
+
+    from pdf_extract_spark.sources.media_corpus import (
+        dhash_plant_rows,
+        make_bmp,
+        synthetic_media_rows,
+    )
+    from pdf_extract_spark.streaming.dedup import dedup_media_stream
+
+    base = {r[0]: r for r in synthetic_media_rows()}
+    plants = {r[0]: r for r in dhash_plant_rows()}
+    t0 = datetime(2026, 8, 17, 12, 0, 0)
+    rows = [
+        # original + exact duplicate re-delivery + pixel-identical
+        # re-encode (nd0 is the SAME pattern re-encoded; dhash equal)
+        ("png-gray-11x7", "image", base["png-gray-11x7"][2], t0),
+        ("png-gray-11x7-dup", "image", base["png-gray-11x7"][2], t0),
+        ("png-gray-11x7-nd0", "image", plants["png-gray-11x7-nd0"][2], t0),
+        # a genuinely different image survives
+        ("bmp-solid-10x6", "image", make_bmp(10, 6, 128), t0),
+        # two distinct undecodable stubs: both must pass through
+        ("stub-a", "image", b"\xff\xd8garbage-a", t0),
+        ("stub-b", "image", b"\xff\xd8garbage-b", t0),
+    ]
+    src = str(tmp_path / "media_in")
+    out = str(tmp_path / "media_out")
+    ckpt = str(tmp_path / "media_ckpt")
+    schema = "media_id string, media_kind string, payload binary, ts timestamp"
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        dedup_media_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    assert not q.isActive or q.awaitTermination(60)
+    got = {r["media_id"]: r for r in spark.read.parquet(out).collect()}
+    # exactly one of the three perceptually-identical arrivals survives
+    trio = {"png-gray-11x7", "png-gray-11x7-dup", "png-gray-11x7-nd0"}
+    assert len(trio & set(got)) == 1
+    assert "bmp-solid-10x6" in got
+    assert {"stub-a", "stub-b"} <= set(got)
+    assert got["stub-a"]["dhash"] is None and got["stub-a"]["decoder"] == "stub"
+    # the event time rode through the Arrow stage
+    assert got["bmp-solid-10x6"]["ts"] is not None
