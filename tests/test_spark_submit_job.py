@@ -54,3 +54,45 @@ def test_spark_submit_pyfiles_and_resume(tmp_path):
         f"SELECT count(DISTINCT run_id) FROM '{out}/run_metrics/*.parquet'"
     ).fetchone()[0]
     assert rm == 2
+
+
+@pytest.mark.slow
+def test_spark_submit_media_job(tmp_path):
+    """jobs/media_job.py end-to-end over the synthetic oracled corpus:
+    hashes + fingerprints + both near-dup pair sets + metrics, via
+    --py-files packaging."""
+    from tests.conftest import ensure_pyfiles_zip
+
+    zip_path = ensure_pyfiles_zip()
+    out = str(tmp_path / "media_out")
+    cmd = [
+        "spark-submit", "--master", "local[4]",
+        "--py-files", zip_path,
+        os.path.join(REPO, "jobs", "media_job.py"),
+        "--input", "synthetic", "--output", out, "--run-id", "t1",
+    ]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=420,
+                       cwd=REPO)
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    import duckdb
+
+    con = duckdb.connect()
+    m = dict(con.execute(
+        f"SELECT stage, n_rows FROM '{out}/metrics/*.parquet'"
+    ).fetchall())
+    assert m["image_hashes"] == 41 and m["audio_fps"] == 10
+    stubs = dict(con.execute(
+        f"SELECT stage, n_stub FROM '{out}/metrics/*.parquet'"
+    ).fetchall())
+    assert stubs["image_hashes"] == 9 and stubs["audio_fps"] == 3
+    # the planted near-dups surface in the written pair sets
+    img = con.execute(
+        f"SELECT count(*) FROM '{out}/image_pairs/*.parquet' "
+        "WHERE media_a = 'png-gray-11x7' AND media_b LIKE 'png-gray-11x7-nd%'"
+    ).fetchone()[0]
+    aud = con.execute(
+        f"SELECT count(*) FROM '{out}/audio_pairs/*.parquet' "
+        "WHERE media_b LIKE 'wav-steps-mono-nd%'"
+    ).fetchone()[0]
+    assert img == 3 and aud >= 3
