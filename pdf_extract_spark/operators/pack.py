@@ -45,12 +45,17 @@ def pack_sequences(
     text_col: str = "text",
     num_parts: int | None = None,
     checkpoint_dir: str | None = None,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Shard map for the concatenated token stream chunked every
     ``seq_len`` tokens.
 
     Token accounting: ``token_count(text) + 1`` per doc (the +1 is the
     EOS separator), stream position is 0-based, docs ordered by doc_id.
+    Pass ``count_col`` to pack by a PRECOMPUTED per-doc token count
+    instead (e.g. bpe_segment's n_bpe_tokens — the tokenizer-aware
+    packing a real pretraining run uses); the +1 EOS convention is
+    applied identically.
 
     Returns one row per (chunk, doc) overlap:
       chunk_id   — stream_position DIV seq_len
@@ -62,10 +67,14 @@ def pack_sequences(
     """
     spark = docs.sparkSession
     parts = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_tok = (
+        F.col(count_col) if count_col is not None
+        else token_count(F.col(text_col))
+    )
     d = (
         docs.select(
             "doc_id",
-            (token_count(F.col(text_col)) + F.lit(1)).cast("long").alias("n_tok"),
+            (n_tok + F.lit(1)).cast("long").alias("n_tok"),
         )
         .repartitionByRange(parts, "doc_id")
         .withColumn("pid", F.spark_partition_id())

@@ -3465,15 +3465,21 @@ def doc_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, 512).orderBy("chunk_id", "doc_id")
 
 
-def _pack_sql(seq_len: int, source: str = "documents") -> str:
+def _pack_sql(seq_len: int, source: str = "documents",
+              t_cte: str | None = None) -> str:
     """The pack shard-map oracle, parameterized so the same prefix-sum
-    SQL verifies both the raw-documents query and compositions over a
-    derived (doc_id, text) relation."""
-    return rf"""
-WITH t AS (
+    SQL verifies the raw-documents query, compositions over a derived
+    (doc_id, text) relation, AND packing over precomputed token counts
+    (`t_cte` overrides the whitespace-count CTE body — it must yield
+    (doc_id, n_tok) with the +1 EOS already applied)."""
+    t_body = t_cte or rf"""
   SELECT doc_id,
          CAST(len(regexp_split_to_array(trim(text), '\s+')) + 1 AS BIGINT) AS n_tok
   FROM {source}
+"""
+    return rf"""
+WITH t AS (
+{t_body}
 ), c AS (
   SELECT doc_id, n_tok,
          CAST(sum(n_tok) OVER (ORDER BY doc_id
@@ -3498,6 +3504,28 @@ ORDER BY chunk_id, doc_id
 
 
 PACK_SEQUENCES_SQL = _pack_sql(512)
+
+
+def doc_pack_bpe(spark, sf_dir):
+    """Tokenizer-aware packing — the real pretraining flow composed
+    end-to-end: train 12 BPE merges, segment every doc to its BPE token
+    count (both at histogram scale), then cut the concatenated BPE
+    token stream into seq_len=512 chunks with the two-phase distributed
+    prefix sum.  The oracle composes the SAME prefix-sum SQL over the
+    independent BPE golden's token counts."""
+    from .functions.bpe import bpe_segment, bpe_train
+    from .operators.pack import pack_sequences
+
+    docs = load(spark, sf_dir, "documents")
+    _, merges = bpe_train(docs, 12)
+    counts = bpe_segment(docs, merges)
+    return pack_sequences(
+        counts, 512, count_col="n_bpe_tokens"
+    ).orderBy("chunk_id", "doc_id")
+
+
+# PACK_BPE_SQL is assembled after the BPE golden constants are defined
+# (module bottom) — see the doc_pack_bpe docstring for its shape.
 
 
 def doc_dsir_weights(spark, sf_dir):
@@ -3637,6 +3665,17 @@ WHERE corpus_fp = ({_BPE_FP_SQL})
 ORDER BY doc_id
 """
 
+# tokenizer-aware packing: the SAME prefix-sum SQL as PACK_SEQUENCES_SQL
+# composed over the independent BPE golden's per-doc token counts
+PACK_BPE_SQL = _pack_sql(
+    512,
+    t_cte=rf"""
+  SELECT doc_id, CAST(n_bpe_tokens + 1 AS BIGINT) AS n_tok
+  FROM read_parquet('{_GOLDEN_BPE_TOKENS_PARQUET}')
+  WHERE corpus_fp = ({_BPE_FP_SQL})
+""",
+)
+
 
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
@@ -3724,6 +3763,7 @@ QUERIES = {
     "doc_dsir_select": doc_dsir_select,
     "bpe_merges": bpe_merges,
     "doc_bpe_tokens": doc_bpe_tokens,
+    "doc_pack_bpe": doc_pack_bpe,
     "semantic_dedup": semantic_dedup,
     "corpus_funnel_semantic": corpus_funnel_semantic,
     "doc_classifier_topk": doc_classifier_topk,
@@ -3822,6 +3862,7 @@ ORACLES = {
     "doc_dsir_select": DSIR_SELECT_SQL,
     "bpe_merges": BPE_MERGES_SQL,
     "doc_bpe_tokens": BPE_TOKENS_SQL,
+    "doc_pack_bpe": PACK_BPE_SQL,
     "semantic_dedup": SEMDEDUP_SQL,
     "corpus_funnel_semantic": _splice_semantic_funnel(CORPUS_FUNNEL_SQL),
     "doc_classifier_topk": NB_TOPK_SQL,

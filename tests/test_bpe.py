@@ -99,3 +99,23 @@ def test_golden_parity_sf0001(spark):
     eng = {r["doc_id"]: r["n_bpe_tokens"]
            for r in bpe_segment(docs, merges).collect()}
     assert eng == gt
+
+
+def test_pack_bpe_composition(spark):
+    """Tokenizer-aware packing: chunks of the BPE token stream sum to
+    exactly seq_len (except the final one) and cover every token."""
+    from pdf_extract_spark.functions.bpe import bpe_segment, bpe_train
+    from pdf_extract_spark.operators.pack import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    _, merges = bpe_train(docs, 6)
+    counts = bpe_segment(docs, merges)
+    total = counts.groupBy().sum("n_bpe_tokens").collect()[0][0] + counts.count()
+    out = pack_sequences(counts, 128, count_col="n_bpe_tokens").collect()
+    by_chunk = {}
+    for r in out:
+        by_chunk.setdefault(r["chunk_id"], 0)
+        by_chunk[r["chunk_id"]] += r["n_toks"]
+    last = max(by_chunk)
+    assert all(v == 128 for c, v in by_chunk.items() if c != last)
+    assert sum(by_chunk.values()) == total
