@@ -3173,6 +3173,79 @@ ORDER BY doc_id
 """
 
 
+def warc_records_meta(spark, sf_dir):
+    """WARC (ISO 28500) ingest — the container web-scale corpora ship in
+    (sources/warc.py): record framing, HTTP response-head peel, and the
+    parsed-prefix-plus-tagged-tail truncation contract, over the full
+    fixture archive and a mid-block-cut copy.  Oracled against byte
+    arithmetic over the record SPEC (tools/gen_golden_warc.py — never
+    the parser)."""
+    from .sources.warc import warc_fixture_archives, warc_records
+
+    arcs = spark.createDataFrame(
+        warc_fixture_archives(), "warc_id string, payload binary"
+    )
+    return (
+        warc_records(arcs, num_partitions=4)
+        .drop("body")
+        .orderBy("warc_id", "rec_index")
+    )
+
+
+def warc_html_spans(spark, sf_dir):
+    """The crawl-to-spans composition: WARC archive -> HTTP responses ->
+    text/html bodies -> boilerplate strip -> interleaved spans.  The
+    extracted spans must equal the html_main golden EXACTLY — i.e. the
+    container round-trip (HTTP head peel included) is byte-faithful."""
+    from .html_main import extract_main_content
+    from .sources.warc import warc_fixture_archives, warc_records
+
+    arcs = spark.createDataFrame(
+        [r for r in warc_fixture_archives() if r[0] == "warc-full"],
+        "warc_id string, payload binary",
+    )
+    html = (
+        warc_records(arcs, num_partitions=4)
+        .filter(
+            (F.col("record_type") == "response")
+            & F.col("content_type").startswith("text/html")
+        )
+        .select(
+            F.regexp_extract("target_uri", r"([^/]+)$", 1).alias("doc_id"),
+            F.col("body").cast("string").alias("html"),
+        )
+    )
+    out = extract_main_content(html, num_partitions=4)
+    return (
+        out.select("doc_id", F.posexplode("spans").alias("pos", "s"))
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.offset").cast("long").alias("offset"),
+        )
+        .orderBy("doc_id", "pos")
+    )
+
+
+_GOLDEN_WARC_PARQUET = _golden("golden_warc.parquet")
+
+WARC_RECORDS_SQL = f"""
+SELECT warc_id, rec_index, record_type, target_uri, record_id,
+       content_type, http_status, byte_len, body_sha256, error
+FROM read_parquet('{_GOLDEN_WARC_PARQUET}')
+ORDER BY warc_id, rec_index
+"""
+
+WARC_HTML_SPANS_SQL = f"""
+SELECT doc_id, pos, kind, text, media_ref, "offset" AS offset
+FROM read_parquet('{_GOLDEN_HTML_MAIN_PARQUET}')
+ORDER BY doc_id, pos
+"""
+
+
 def media_audio_fp(spark, sf_dir):
     """Audio fingerprinting over the oracled media corpus: WAV/FLAC
     decoded natively, 16 per-window RMS levels quantized to 4 bits each
@@ -3741,6 +3814,8 @@ QUERIES = {
     "media_audio_fp": media_audio_fp,
     "media_audio_near_dup": media_audio_near_dup,
     "doc_blocklist": doc_blocklist,
+    "warc_records_meta": warc_records_meta,
+    "warc_html_spans": warc_html_spans,
     "ann_recall": ann_recall,
     "html_main_content": html_main_content,
     "unified_spans": unified_spans,
@@ -3843,6 +3918,8 @@ ORACLES = {
     "media_audio_fp": MEDIA_AUDIO_FP_SQL,
     "media_audio_near_dup": MEDIA_AUDIO_PAIRS_SQL,
     "doc_blocklist": BLOCKLIST_SQL,
+    "warc_records_meta": WARC_RECORDS_SQL,
+    "warc_html_spans": WARC_HTML_SPANS_SQL,
     "ann_recall": ANN_RECALL_SQL,
     "html_main_content": HTML_MAIN_SQL,
     "unified_spans": UNIFIED_SPANS_SQL,

@@ -1,0 +1,74 @@
+"""WARC ingest (sources/warc.py): framing round-trip, truncation
+degradation classes, the single/whole-archive encoding identity the
+golden generator's extent arithmetic relies on, and the Spark stage."""
+
+from pdf_extract_spark.sources.warc import (
+    make_warc,
+    parse_warc,
+    warc_fixture_archives,
+    warc_fixture_spec,
+    warc_records,
+)
+
+
+def test_roundtrip_and_http_peel():
+    spec = [
+        ("warcinfo", "", "application/warc-fields", b"k: v\r\n"),
+        ("response", "https://x.test/a", "text/html", b"<html>hi</html>"),
+        ("request", "https://x.test/a", "application/http; msgtype=request",
+         b"GET /a HTTP/1.1\r\n\r\n"),
+    ]
+    rows = parse_warc(make_warc(spec))
+    assert [r["record_type"] for r in rows] == ["warcinfo", "response", "request"]
+    resp = rows[1]
+    assert resp["body"] == b"<html>hi</html>"          # HTTP head peeled
+    assert resp["http_status"] == 200
+    assert resp["content_type"] == "text/html"          # from the HTTP head
+    assert resp["target_uri"] == "https://x.test/a"
+    assert rows[0]["body"] == b"k: v\r\n"                # non-response verbatim
+    assert all(not r["error"] for r in rows)
+
+
+def test_concat_identity():
+    """Whole-archive encoding == concatenation of single-record encodings
+    with position-baked indices (the golden's extent arithmetic)."""
+    spec = warc_fixture_spec()
+    whole = make_warc(spec)
+    parts = b"".join(make_warc([r], start_index=i) for i, r in enumerate(spec))
+    assert whole == parts
+
+
+def test_truncation_classes():
+    spec = [("response", "https://x.test/a", "text/html", b"0123456789" * 10)]
+    full = make_warc(spec)
+    # cut inside the block -> truncated block, nothing kept before it
+    rows = parse_warc(full[: len(full) - 30])
+    assert [r["error"] for r in rows] == ["truncated block"]
+    # cut inside the WARC header -> bad record header
+    rows = parse_warc(full[:20])
+    assert [r["error"] for r in rows] == ["bad record header"]
+    # garbage header with terminator but no Content-Length
+    rows = parse_warc(b"WARC/1.1\r\nWARC-Type: response\r\n\r\n")
+    assert [r["error"] for r in rows] == ["missing content-length"]
+    # two records, second truncated: first survives
+    two = make_warc(spec + [("response", "https://x.test/b", "text/html",
+                             b"zz" * 40)])
+    rows = parse_warc(two[: len(two) - 10])
+    assert [r["error"] for r in rows] == ["", "truncated block"]
+    assert rows[0]["target_uri"] == "https://x.test/a"
+
+
+def test_spark_stage_matches_kernel(spark):
+    arcs = warc_fixture_archives()
+    df = spark.createDataFrame(arcs, "warc_id string, payload binary")
+    got = {(r["warc_id"], r["rec_index"]): r
+           for r in warc_records(df, num_partitions=3).collect()}
+    import hashlib
+
+    for wid, payload in arcs:
+        for r in parse_warc(payload):
+            g = got[(wid, r["rec_index"])]
+            assert g["record_type"] == r["record_type"]
+            assert g["body_sha256"] == hashlib.sha256(r["body"]).hexdigest()
+            assert bytes(g["body"] or b"") == r["body"]
+    assert len(got) == sum(len(parse_warc(p)) for _, p in arcs)
