@@ -89,6 +89,8 @@ HEADLINE = [
     "media_dhash_near_dup",
     "media_audio_fp",
     "media_audio_near_dup",
+    "warc_records_meta",
+    "warc_html_spans",
     "dedup_exact",
     "minhash_lsh_candidates",
     "dedup_clusters",
