@@ -8,8 +8,11 @@ Usage (local sandbox):
         --output /tmp/out --run-id run1
 
 On a cluster the same invocation runs against Iceberg tables; --input may
-be a parquet raw_docs table, a directory of PDFs (binaryFile source), or
-'synthetic:N' for the deterministic benchmark corpus.
+be a parquet raw_docs table, a directory of PDFs (binaryFile source),
+'synthetic:N' for the deterministic benchmark corpus, or
+'warc:<parquet|synthetic>' to ingest crawl containers (WARC archives ->
+HTTP text/html bodies -> boilerplate strip) through the SAME
+documents_spans / lineage / metrics / resume contract as the PDF path.
 
 The job is checkpoint-resumable: lineage rows from previous runs at
 --output/lineage are anti-joined away before extraction.
@@ -57,7 +60,39 @@ def main(argv=None) -> None:
     spark = SparkSession.builder.appName("pdf_extract_spark.extract").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if args.input.startswith("synthetic:"):
+    from pyspark.sql import functions as _F
+
+    warc_mode = args.input.startswith("warc:")
+    if warc_mode:
+        # warc:synthetic (the oracled fixture archives) or
+        # warc:<parquet of (warc_id, payload)> — crawl containers in,
+        # the SAME documents_spans/lineage/metrics contract out
+        from pdf_extract_spark.sources.warc import (
+            warc_fixture_archives,
+            warc_records,
+        )
+
+        src = args.input.split(":", 1)[1]
+        if src == "synthetic":
+            arcs = spark.createDataFrame(
+                warc_fixture_archives(), "warc_id string, payload binary"
+            )
+        else:
+            arcs = spark.read.parquet(src)
+        raw = (
+            warc_records(arcs, num_partitions=args.num_partitions)
+            .filter(
+                (_F.col("record_type") == "response")
+                & _F.col("content_type").startswith("text/html")
+            )
+            .select(
+                _F.concat_ws(
+                    "#", "warc_id", _F.col("rec_index").cast("string")
+                ).alias("doc_id"),
+                _F.col("body").cast("string").alias("html"),
+            )
+        )
+    elif args.input.startswith("synthetic:"):
         raw = synthetic_corpus_df(spark, int(args.input.split(":", 1)[1]))
     elif args.input.endswith(".parquet") or "parquet" in args.input:
         raw = spark.read.parquet(args.input)
@@ -77,8 +112,19 @@ def main(argv=None) -> None:
 
     # free metrics via observe(): no extra pass over the data
     obs = Observation("extract")
+    if warc_mode:
+        from pdf_extract_spark.html_main import extract_main_content
+
+        stage = (
+            extract_main_content(raw, num_partitions=args.num_partitions)
+            .withColumn("pages", F.lit(1).cast("long"))
+            .withColumn("decode_failures", F.lit(0).cast("long"))
+            .withColumn("error", F.lit(None).cast("string"))
+        )
+    else:
+        stage = extract_documents(raw, num_partitions=args.num_partitions)
     extracted = (
-        extract_documents(raw, num_partitions=args.num_partitions)
+        stage
         .observe(
             obs,
             F.count(F.lit(1)).alias("docs"),

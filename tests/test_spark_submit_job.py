@@ -96,3 +96,37 @@ def test_spark_submit_media_job(tmp_path):
         "WHERE media_b LIKE 'wav-steps-mono-nd%'"
     ).fetchone()[0]
     assert img == 3 and aud >= 3
+
+
+@pytest.mark.slow
+def test_spark_submit_warc_input_mode(tmp_path):
+    """extract_job --input warc:synthetic: crawl containers through the
+    SAME documents_spans/lineage/metrics contract; resume is a no-op
+    second run."""
+    from tests.conftest import ensure_pyfiles_zip
+
+    ensure_pyfiles_zip()
+    out = str(tmp_path / "warc_out")
+    r = _submit(["--input", "warc:synthetic", "--output", out,
+                 "--run-id", "w1"])
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    import duckdb
+
+    con = duckdb.connect()
+    # 12 html responses in warc-full + 7 in the truncated copy
+    n = con.execute(
+        f"SELECT count(DISTINCT doc_id) FROM '{out}/documents_spans/**/*.parquet'"
+    ).fetchone()[0]
+    assert n == 19
+    ln = con.execute(
+        f"SELECT count(*), min(status) FROM '{out}/lineage/*.parquet'"
+    ).fetchone()
+    assert ln == (19, "ok")
+    # resume: nothing new to do, lineage unchanged
+    r2 = _submit(["--input", "warc:synthetic", "--output", out,
+                  "--run-id", "w2", "--resume"])
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert con.execute(
+        f"SELECT count(*) FROM '{out}/lineage/*.parquet'"
+    ).fetchone()[0] == 19
