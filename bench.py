@@ -55,6 +55,8 @@ HEADLINE = [
     "events_hourly_rollup",
     "events_asof_orders",
     "lineitem_rollup",
+    "lineitem_cube",
+    "orders_pivot_priority",
     "doc_stats",
     "doc_quality_filter",
     "doc_sample_stratified",

@@ -2373,6 +2373,76 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def lineitem_cube(spark, sf_dir):
+    """CUBE over (returnflag, linestatus) with grouping_id — completes
+    the grouping-sets family beside ROLLUP; subtotal rows distinguish
+    real NULLs from aggregation NULLs via the gid."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+         AS gid,
+       count(*) AS n,
+       round(sum(l_quantity), 2) AS qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
+def orders_pivot_priority(spark, sf_dir):
+    """PIVOT: per-order-year counts by priority fanned into columns —
+    the reshaping every reporting layer runs.  Pivot values are pinned
+    (deterministic column set regardless of partition scan order)."""
+    orders = load(spark, sf_dir, "orders")
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    out = (
+        orders.select(
+            F.year("o_orderdate").cast("long").alias("o_year"), "o_orderpriority"
+        )
+        .groupBy("o_year")
+        .pivot("o_orderpriority", pris)
+        .count()
+    )
+    renames = {p: f"p{p[0]}" for p in pris}
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    cols = [F.col(f"p{i}") for i in range(1, 6)]
+    return out.select(
+        "o_year", *[F.coalesce(c, F.lit(0)).cast("long").alias(f"p{i + 1}")
+                    for i, c in enumerate(cols)]
+    ).orderBy("o_year")
+
+
+PIVOT_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+            AS BIGINT) AS p1,
+       CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+            AS BIGINT) AS p2,
+       CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)
+            AS BIGINT) AS p3,
+       CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0
+            END) AS BIGINT) AS p4,
+       CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+            AS BIGINT) AS p5
+FROM orders
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
 def custkeys_without_urgent_orders(spark, sf_dir):
     """Set op (EXCEPT): customers having no 1-URGENT order."""
     customer = load(spark, sf_dir, "customer").select(
@@ -3825,6 +3895,8 @@ QUERIES = {
     "render_svg": render_svg,
     "events_asof_orders": events_asof_orders,
     "lineitem_rollup": lineitem_rollup,
+    "lineitem_cube": lineitem_cube,
+    "orders_pivot_priority": orders_pivot_priority,
     "custkeys_without_urgent_orders": custkeys_without_urgent_orders,
     "events_in_price_band": events_in_price_band,
     "embedding_near_dup": embedding_near_dup,
@@ -3903,6 +3975,8 @@ ORACLES = {
     "ann_cosine_topk": ANN_SQL,
     "events_asof_orders": ASOF_SQL,
     "lineitem_rollup": ROLLUP_SQL,
+    "lineitem_cube": CUBE_SQL,
+    "orders_pivot_priority": PIVOT_SQL,
     "custkeys_without_urgent_orders": EXCEPT_SQL,
     "events_in_price_band": RANGE_JOIN_SQL,
     "embedding_near_dup": NEAR_DUP_SQL,
