@@ -74,6 +74,7 @@ HEADLINE = [
     "doc_url_dedup",
     "doc_token_bpe",
     "doc_winnow_fingerprints",
+    "doc_shuffle_shards",
     "doc_lm_perplexity",
     "doc_ppl_buckets",
     "doc_pack_sequences",

@@ -123,3 +123,67 @@ def pack_sequences(
             .alias("n_toks"),
         )
     )
+
+
+def shuffle_shards(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Deterministic global corpus shuffle + balanced shard assignment —
+    the step between corpus construction and the trainer's data loader:
+    every doc gets a pseudorandom but reproducible position (md5 order,
+    id tiebreak), and positions are cut into `n_shards` shards whose
+    sizes differ by at most one.
+
+    Returns (doc_id, shuffle_rank, shard, pos_in_shard), rank 0-based.
+    shard = rank * n_shards DIV total; pos_in_shard = rank - shard_start
+    where shard_start = (shard * total + n_shards - 1) DIV n_shards (the
+    non-negative ceil form — negative integer division rounds
+    differently in Spark and DuckDB, so it never appears) — all exact
+    integer arithmetic, engine-portable, partition-count-invariant.
+
+    Scale shape: the global rank is the same two-phase distributed
+    prefix COUNT as pack_sequences (range-partition on the md5 key,
+    local row_number per physical partition, single-task exclusive
+    prefix over the P partition totals) — a naive
+    row_number().over(Window.orderBy(md5)) would funnel the corpus
+    through one task."""
+    spark = docs.sparkSession
+    parts = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    key = F.md5(F.col(id_col).cast("string"))
+    d = (
+        docs.select(F.col(id_col), key.alias("__k"))
+        .repartitionByRange(parts, "__k", id_col)
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_local = Window.partitionBy("pid").orderBy("__k", id_col)
+    local = d.withColumn("local_rn", F.row_number().over(w_local))
+    totals = d.groupBy("pid").agg(F.count(F.lit(1)).alias("ptotal"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "poffset", F.coalesce(F.sum("ptotal").over(w_off), F.lit(0)).cast("long")
+    )
+    grand = totals.agg(F.sum("ptotal").cast("long").alias("total"))
+    n = int(n_shards)
+    return (
+        local.join(F.broadcast(offsets.select("pid", "poffset")), "pid")
+        .crossJoin(F.broadcast(grand))
+        .withColumn(
+            "shuffle_rank",
+            (F.col("local_rn") + F.col("poffset") - 1).cast("long"),
+        )
+        .withColumn("shard", F.expr(f"(shuffle_rank * {n}) DIV total"))
+        .withColumn(
+            "pos_in_shard",
+            F.expr(f"shuffle_rank - ((shard * total + {n - 1}) DIV {n})"),
+        )
+        .select(
+            id_col,
+            "shuffle_rank",
+            F.col("shard").cast("long").alias("shard"),
+            F.col("pos_in_shard").cast("long").alias("pos_in_shard"),
+        )
+    )

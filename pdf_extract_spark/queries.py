@@ -3671,6 +3671,35 @@ def doc_pack_bpe(spark, sf_dir):
 # (module bottom) — see the doc_pack_bpe docstring for its shape.
 
 
+def doc_shuffle_shards(spark, sf_dir):
+    """Deterministic global corpus shuffle + balanced 16-way shard
+    assignment (operators/pack.py:shuffle_shards) — the trainer-facing
+    last mile.  Two-phase distributed prefix rank over the md5 order; no
+    corpus-sized window partition."""
+    from .operators.pack import shuffle_shards
+
+    docs = load(spark, sf_dir, "documents")
+    return shuffle_shards(docs, 16).orderBy("doc_id")
+
+
+SHUFFLE_SHARDS_SQL = """
+WITH r AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                 doc_id) - 1 AS BIGINT) AS shuffle_rank,
+         CAST(count(*) OVER () AS BIGINT) AS total
+  FROM documents
+)
+SELECT doc_id, shuffle_rank,
+       CAST((shuffle_rank * 16) // total AS BIGINT) AS shard,
+       CAST(shuffle_rank
+            - (((shuffle_rank * 16) // total) * total + 15) // 16
+            AS BIGINT) AS pos_in_shard
+FROM r
+ORDER BY doc_id
+"""
+
+
 def doc_dsir_weights(spark, sf_dir):
     """DSIR importance log-weights (Xie et al. 2023): hashed unigram+
     bigram bucket features, smoothed target-vs-raw bucket distributions
@@ -3911,6 +3940,7 @@ QUERIES = {
     "bpe_merges": bpe_merges,
     "doc_bpe_tokens": doc_bpe_tokens,
     "doc_pack_bpe": doc_pack_bpe,
+    "doc_shuffle_shards": doc_shuffle_shards,
     "semantic_dedup": semantic_dedup,
     "corpus_funnel_semantic": corpus_funnel_semantic,
     "doc_classifier_topk": doc_classifier_topk,
@@ -4014,6 +4044,7 @@ ORACLES = {
     "bpe_merges": BPE_MERGES_SQL,
     "doc_bpe_tokens": BPE_TOKENS_SQL,
     "doc_pack_bpe": PACK_BPE_SQL,
+    "doc_shuffle_shards": SHUFFLE_SHARDS_SQL,
     "semantic_dedup": SEMDEDUP_SQL,
     "corpus_funnel_semantic": _splice_semantic_funnel(CORPUS_FUNNEL_SQL),
     "doc_classifier_topk": NB_TOPK_SQL,

@@ -280,3 +280,50 @@ def test_blocklist_punctuation_edges_and_empty(spark):
     empty2 = {r["doc_id"]: r["keep"]
               for r in blocklist_flags(docs, [""]).collect()}
     assert all(empty2.values())
+
+
+# ---------------------------------------------------------------------------
+# shuffle_shards (deterministic global shuffle + balanced sharding)
+# ---------------------------------------------------------------------------
+
+
+def test_shuffle_shards_invariants(spark):
+    from pdf_extract_spark.operators.pack import shuffle_shards
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = shuffle_shards(docs, 7, num_parts=5).collect()
+    n = len(out)
+    ranks = sorted(r["shuffle_rank"] for r in out)
+    assert ranks == list(range(n))            # a permutation, 0-based
+    sizes = {}
+    for r in out:
+        sizes[r["shard"]] = sizes.get(r["shard"], 0) + 1
+    assert set(sizes) == set(range(7))
+    assert max(sizes.values()) - min(sizes.values()) <= 1   # balanced
+    # pos_in_shard is 0..size-1 within each shard, ordered by rank
+    by_shard = {}
+    for r in sorted(out, key=lambda r: r["shuffle_rank"]):
+        by_shard.setdefault(r["shard"], []).append(r["pos_in_shard"])
+    for s, poss in by_shard.items():
+        assert poss == list(range(len(poss)))
+
+
+def test_shuffle_shards_partition_invariant(spark):
+    from pdf_extract_spark.operators.pack import shuffle_shards
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = {(r["doc_id"], r["shuffle_rank"], r["shard"], r["pos_in_shard"])
+         for r in shuffle_shards(docs.repartition(1), 16, num_parts=3).collect()}
+    b = {(r["doc_id"], r["shuffle_rank"], r["shard"], r["pos_in_shard"])
+         for r in shuffle_shards(docs.repartition(23), 16, num_parts=11).collect()}
+    assert a == b
+
+
+def test_shuffle_shards_rank_is_two_phase(spark):
+    from pdf_extract_spark.operators.pack import shuffle_shards
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    txt = plan_of(shuffle_shards(docs, 8, num_parts=4))
+    wins = re.findall(r"Window \[[^\n]*", txt)
+    corpus_wins = [w for w in wins if "local_rn" in w]
+    assert corpus_wins and all("pid" in w for w in corpus_wins), wins
