@@ -40,6 +40,7 @@ HEADLINE = [
     "q22_global_sales_opportunity",
     "events_value_percentiles",
     "events_distinct_users_hll",
+    "events_value_quantile_sketch",
     "corpus_term_cm_freq",
     "nation_balance_full_outer",
     "custkeys_urgent_and_returned",

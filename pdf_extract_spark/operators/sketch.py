@@ -259,3 +259,123 @@ SELECT probe, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est_count
 FROM probe_cells LEFT JOIN cells USING (r, c)
 GROUP BY probe
 """
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probes_x100: "Sequence[int]",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Engine-portable quantile sketch: a fixed-width histogram over the
+    column's [min, max] range, quantiles answered from bucket cumulative
+    counts — the third mergeable sketch beside HLL and count-min (bucket
+    count tables union/sum across runs or engines with the same range).
+
+    Per probe q (in percent x100, e.g. 9900 = p99) returns
+      (q_x100, bucket, cum_count, est_x1000)
+    where bucket is the smallest histogram cell whose cumulative count
+    reaches ceil(q/10000 * total) and est_x1000 quantizes the cell's
+    upper edge.  All counters are exact BIGINTs; the only float ops are
+    the shared bucket-index expression and the final edge quantization,
+    both evaluated identically (IEEE double, same expression shape) by
+    the DuckDB oracle.
+
+    Scale shape: one min/max agg (broadcast single row), one
+    groupBy(bucket) count with map-side combine — the histogram is
+    `buckets` rows regardless of input size; the probe answer is a
+    broadcast join against the cumulated histogram (a `buckets`-row
+    window, never the corpus).  Accuracy is (max-min)/buckets — the
+    documented fixed-width trade vs t-digest-style variable cells."""
+    b = int(buckets)
+    mm = df.agg(
+        F.min(value_col).cast("double").alias("lo"),
+        F.max(value_col).cast("double").alias("hi"),
+    )
+    cells = (
+        df.select(F.col(value_col).cast("double").alias("v"))
+        .crossJoin(F.broadcast(mm))
+        .select(
+            F.when(
+                F.col("hi") > F.col("lo"),
+                F.least(
+                    F.floor((F.col("v") - F.col("lo")) * b / (F.col("hi") - F.col("lo"))),
+                    F.lit(b - 1),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.withColumn("cum", F.sum("cnt").over(w).cast("long")).crossJoin(
+        F.broadcast(cells.agg(F.sum("cnt").cast("long").alias("total")))
+    )
+    probes = df.sparkSession.createDataFrame(
+        [(int(q),) for q in probes_x100], "q_x100 long"
+    )
+    hits = (
+        probes.crossJoin(cum)
+        .filter(F.col("cum") * 10000 >= F.col("q_x100") * F.col("total"))
+        .groupBy("q_x100")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    return (
+        hits.join(cum.select("bucket", "cum"), "bucket")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "q_x100",
+            "bucket",
+            F.col("cum").alias("cum_count"),
+            F.floor(
+                (F.col("lo")
+                 + (F.col("bucket") + 1) * (F.col("hi") - F.col("lo")) / b)
+                * 1000
+            )
+            .cast("long")
+            .alias("est_x1000"),
+        )
+        .orderBy("q_x100")
+    )
+
+
+def histogram_quantiles_oracle_sql(
+    table: str, value_col: str, probes_x100: "Sequence[int]",
+    buckets: int = 1024,
+) -> str:
+    """Term-for-term DuckDB reimplementation (same expression shapes)."""
+    b = int(buckets)
+    probes = ", ".join(f"({int(q)})" for q in probes_x100)
+    return f"""
+WITH mm AS (
+  SELECT CAST(min({value_col}) AS DOUBLE) AS lo,
+         CAST(max({value_col}) AS DOUBLE) AS hi
+  FROM {table}
+), cells AS (
+  SELECT CASE WHEN hi > lo THEN CAST(least(
+           floor((CAST({value_col} AS DOUBLE) - lo) * {b} / (hi - lo)),
+           {b - 1}) AS BIGINT) ELSE 0 END AS bucket,
+         count(*) AS cnt
+  FROM {table}, mm GROUP BY 1
+), cum AS (
+  SELECT bucket, CAST(sum(cnt) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum,
+         CAST((SELECT sum(cnt) FROM cells) AS BIGINT) AS total
+  FROM cells
+), probes(q_x100) AS (VALUES {probes}), hits AS (
+  SELECT q_x100, min(bucket) AS bucket
+  FROM probes, cum WHERE cum * 10000 >= q_x100 * total GROUP BY 1
+)
+SELECT CAST(h.q_x100 AS BIGINT) AS q_x100, h.bucket,
+       c.cum AS cum_count,
+       CAST(floor((mm.lo + (h.bucket + 1) * (mm.hi - mm.lo) / {b}) * 1000)
+            AS BIGINT) AS est_x1000
+FROM hits h JOIN cum c USING (bucket), mm
+ORDER BY q_x100
+"""

@@ -843,6 +843,29 @@ def _events_hll_sql() -> str:
     )
 
 
+_Q_PROBES = [5000, 9000, 9900, 9999]
+
+
+def events_value_quantile_sketch(spark, sf_dir):
+    """Portable bucketed quantile sketch (operators/sketch.py:
+    histogram_quantiles) — the third mergeable sketch beside HLL and
+    count-min: exact BIGINT bucket counters, quantiles answered from the
+    1024-cell cumulative histogram, the whole sketch re-derived
+    term-for-term by the DuckDB oracle (vs Spark's black-box
+    approx_percentile)."""
+    from .operators.sketch import histogram_quantiles
+
+    return histogram_quantiles(
+        load(spark, sf_dir, "events"), "value", _Q_PROBES
+    ).orderBy("q_x100")
+
+
+def _events_quantile_sql() -> str:
+    from .operators.sketch import histogram_quantiles_oracle_sql
+
+    return histogram_quantiles_oracle_sql("events", "value", _Q_PROBES)
+
+
 _CM_PROBES = ["spark", "window", "merge", "zzz_absent_term"]
 
 
@@ -3925,6 +3948,7 @@ QUERIES = {
     "events_asof_orders": events_asof_orders,
     "lineitem_rollup": lineitem_rollup,
     "lineitem_cube": lineitem_cube,
+    "events_value_quantile_sketch": events_value_quantile_sketch,
     "orders_pivot_priority": orders_pivot_priority,
     "custkeys_without_urgent_orders": custkeys_without_urgent_orders,
     "events_in_price_band": events_in_price_band,
@@ -4006,6 +4030,7 @@ ORACLES = {
     "events_asof_orders": ASOF_SQL,
     "lineitem_rollup": ROLLUP_SQL,
     "lineitem_cube": CUBE_SQL,
+    "events_value_quantile_sketch": _events_quantile_sql(),
     "orders_pivot_priority": PIVOT_SQL,
     "custkeys_without_urgent_orders": EXCEPT_SQL,
     "events_in_price_band": RANGE_JOIN_SQL,

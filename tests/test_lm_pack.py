@@ -327,3 +327,23 @@ def test_shuffle_shards_rank_is_two_phase(spark):
     wins = re.findall(r"Window \[[^\n]*", txt)
     corpus_wins = [w for w in wins if "local_rn" in w]
     assert corpus_wins and all("pid" in w for w in corpus_wins), wins
+
+
+def test_quantile_sketch_accuracy_and_bounds(spark):
+    """Sketch estimates are within one bucket width of the exact
+    quantile, and cum counts satisfy the rank definition."""
+    from pdf_extract_spark.operators.sketch import histogram_quantiles
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = {r["q_x100"]: r
+           for r in histogram_quantiles(ev, "value", [5000, 9900]).collect()}
+    import math
+
+    vals = sorted(r["value"] for r in ev.select("value").collect())
+    n = len(vals)
+    width = (vals[-1] - vals[0]) / 1024
+    for q in (5000, 9900):
+        exact = vals[math.ceil(q / 10000 * n) - 1]
+        est = got[q]["est_x1000"] / 1000.0
+        assert abs(est - exact) <= width + 1e-9, (q, est, exact, width)
+        assert got[q]["cum_count"] * 10000 >= q * n
