@@ -201,6 +201,52 @@ def main() -> None:
     warm = synthetic_corpus_df(spark, 64)
     extract_documents(warm, num_partitions=cpus).count()
 
+    # Throughput metrics run FIRST (right after warm-up): extraction is
+    # the north-star number, and measuring it after 75 queries' worth of
+    # session state (checkpoint blocks, codegen cache churn, GC debt)
+    # taxed it ~25% in the r5 wave-3 record even with per-query
+    # unpersist hygiene.  Order disclosed in BASELINE.md.
+    # extraction throughput: deterministic mixed corpus (5% multi-page
+    # docs for skew), generated executor-side, scaled by sf.  min-of-3
+    # with EVERY sample recorded: the host suffers intermittent multi-x
+    # CPU steal, and per-sample spread (plus the spin control) is the
+    # evidence that separates a real regression from a stolen window.
+    n_target = extraction_replicas(sf) * 16
+    raw = synthetic_corpus_df(spark, n_target, pct_large=0.05).cache()
+    n_docs = raw.count()  # materialize input outside the timed region
+    extract_samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = extract_documents(raw, num_partitions=cpus * 2)
+        agg = out.groupBy().sum("n_spans", "decode_failures").collect()[0]
+        extract_samples.append(round(time.perf_counter() - t0, 3))
+    dt = min(extract_samples)
+    timings["extract_pdf_spans"] = dt
+    docs_per_sec = round(n_docs / dt, 1)
+    spans_per_sec = round((agg[0] or 0) / dt, 1)
+    raw.unpersist()
+
+    # HTML boilerplate-strip throughput (the north rule's HTML half):
+    # deterministic executor-side corpus, same scale rule as the PDF bench
+    from pdf_extract_spark.html_main import extract_main_content
+    from pdf_extract_spark.sources.raw_docs import synthetic_html_corpus_df
+
+    html_raw = synthetic_html_corpus_df(spark, n_target).cache()
+    n_html = html_raw.count()
+    html_samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        hagg = (
+            extract_main_content(html_raw, num_partitions=cpus * 2)
+            .groupBy().sum("n_spans").collect()[0]
+        )
+        html_samples.append(round(time.perf_counter() - t0, 3))
+    hdt = min(html_samples)
+    timings["extract_html_main"] = hdt
+    html_docs_per_sec = round(n_html / hdt, 1)
+    html_spans_per_sec = round((hagg[0] or 0) / hdt, 1)
+    html_raw.unpersist()
+
     # headline relational/dedup/similarity queries — each timed TWICE and
     # reported as the min: the sandbox VM suffers intermittent CPU steal
     # (observed 2-10x swings between consecutive minutes), and min-of-2
@@ -249,46 +295,6 @@ def main() -> None:
         timings_forced[name] = round(best, 3)
         _unpersist_all(spark)
 
-    # extraction throughput: deterministic mixed corpus (5% multi-page
-    # docs for skew), generated executor-side, scaled by sf.  min-of-3
-    # with EVERY sample recorded: the host suffers intermittent multi-x
-    # CPU steal, and per-sample spread (plus the spin control) is the
-    # evidence that separates a real regression from a stolen window.
-    n_target = extraction_replicas(sf) * 16
-    raw = synthetic_corpus_df(spark, n_target, pct_large=0.05).cache()
-    n_docs = raw.count()  # materialize input outside the timed region
-    extract_samples = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = extract_documents(raw, num_partitions=cpus * 2)
-        agg = out.groupBy().sum("n_spans", "decode_failures").collect()[0]
-        extract_samples.append(round(time.perf_counter() - t0, 3))
-    dt = min(extract_samples)
-    timings["extract_pdf_spans"] = dt
-    docs_per_sec = round(n_docs / dt, 1)
-    spans_per_sec = round((agg[0] or 0) / dt, 1)
-    raw.unpersist()
-
-    # HTML boilerplate-strip throughput (the north rule's HTML half):
-    # deterministic executor-side corpus, same scale rule as the PDF bench
-    from pdf_extract_spark.html_main import extract_main_content
-    from pdf_extract_spark.sources.raw_docs import synthetic_html_corpus_df
-
-    html_raw = synthetic_html_corpus_df(spark, n_target).cache()
-    n_html = html_raw.count()
-    html_samples = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        hagg = (
-            extract_main_content(html_raw, num_partitions=cpus * 2)
-            .groupBy().sum("n_spans").collect()[0]
-        )
-        html_samples.append(round(time.perf_counter() - t0, 3))
-    hdt = min(html_samples)
-    timings["extract_html_main"] = hdt
-    html_docs_per_sec = round(n_html / hdt, 1)
-    html_spans_per_sec = round((hagg[0] or 0) / hdt, 1)
-    html_raw.unpersist()
 
     # composed corpus pipeline (quality -> exact -> near-dup CC ->
     # decontaminate), timed end-to-end as a MACRO metric: it re-runs work
