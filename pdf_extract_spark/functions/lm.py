@@ -185,3 +185,69 @@ def ppl_buckets(
         )
         .select("doc_id", key_col, "avg_bits_x1000", "ppl_rank", "bucket")
     )
+
+
+def _trigram_frame(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, w1, w2, w3) — one row per adjacent token triple."""
+    return (
+        docs.select("doc_id", _ltoks(F.col(text_col)).alias("ts"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(ts, 1, greatest(size(ts) - 2, 0)),"
+                    " (w, i) -> struct(w AS w1, element_at(ts, i + 2) AS w2,"
+                    " element_at(ts, i + 3) AS w3))"
+                )
+            ).alias("tg"),
+        )
+        .select("doc_id", "tg.w1", "tg.w2", "tg.w3")
+    )
+
+
+def lm_trigram_perplexity(
+    docs: DataFrame, ref_filter: Column, text_col: str = "text"
+) -> DataFrame:
+    """Trigram extension of lm_perplexity: mean trigram surprisal under
+    an add-one-smoothed trigram LM trained on the reference slice,
+    context = the (w1, w2) bigram.  Returns (doc_id, n_trigrams,
+    sum_bits_x1000, avg_bits_x1000); docs with <3 tokens are excluded
+    (the documented <2-token contract, one order higher).
+
+    Same scale shape as the bigram module: the doc-trigram ⋈ LM-trigram
+    join hash-partitions on (w1, w2, w3) — finer keys than the bigram's,
+    so hot-phrase skew is milder; the context table is bigram-sized and
+    stays AQE-decided, never force-broadcast.  Same integer-quantization
+    contract: floor(bits * 1000) at the leaf, BIGINT sums."""
+    ref_tg = _trigram_frame(docs.filter(ref_filter), text_col)
+    tg_counts = ref_tg.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c_tg"))
+    ctx_counts = ref_tg.groupBy("w1", "w2").agg(F.count("*").alias("c_ctx"))
+    vocab = (
+        docs.filter(ref_filter)
+        .select(F.explode(_ltoks(F.col(text_col))).alias("t"))
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    scored = (
+        _trigram_frame(docs, text_col)
+        .join(tg_counts, ["w1", "w2", "w3"], "left")
+        .join(ctx_counts, ["w1", "w2"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "bits_x1000",
+            F.floor(
+                -F.log2(
+                    (F.coalesce(F.col("c_tg"), F.lit(0)) + 1).cast("double")
+                    / (F.coalesce(F.col("c_ctx"), F.lit(0)) + F.col("v"))
+                )
+                * 1000
+            ).cast("long"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_trigrams"),
+            F.sum("bits_x1000").cast("long").alias("sum_bits_x1000"),
+        )
+        .withColumn("avg_bits_x1000", F.expr("sum_bits_x1000 DIV n_trigrams"))
+    )

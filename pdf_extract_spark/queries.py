@@ -3484,6 +3484,58 @@ FROM doc_ppl
 ORDER BY doc_id
 """
 
+def doc_lm_trigram(spark, sf_dir):
+    """Trigram-LM surprisal per doc (functions/lm.py:
+    lm_trigram_perplexity) — the n-gram-order generalization of the
+    CCNet scorer; docs with <3 tokens excluded (one order above the
+    bigram contract)."""
+    from .functions.lm import lm_trigram_perplexity
+
+    docs = load(spark, sf_dir, "documents")
+    return lm_trigram_perplexity(docs, F.col("source") == "src0").orderBy("doc_id")
+
+
+LM_TRIGRAM_SQL = r"""
+WITH base AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+  FROM documents
+), tgl AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, greatest(len(ts) - 2, 0) + 1),
+                i -> struct_pack(w1 := ts[i], w2 := ts[i+1],
+                                 w3 := ts[i+2]))) AS t
+  FROM base
+), tgf AS (
+  SELECT doc_id, source, t.w1 AS w1, t.w2 AS w2, t.w3 AS w3 FROM tgl
+), tg_counts AS (
+  SELECT w1, w2, w3, count(*) AS c_tg FROM tgf WHERE source = 'src0'
+  GROUP BY 1, 2, 3
+), ctx_counts AS (
+  SELECT w1, w2, count(*) AS c_ctx FROM tgf WHERE source = 'src0'
+  GROUP BY 1, 2
+), vocab AS (
+  SELECT count(DISTINCT t) AS v
+  FROM (SELECT unnest(ts) AS t FROM base WHERE source = 'src0')
+), scored AS (
+  SELECT d.doc_id,
+         CAST(floor(-log2(CAST(coalesce(g.c_tg, 0) + 1 AS DOUBLE)
+                          / (coalesce(c.c_ctx, 0) + vocab.v)) * 1000)
+              AS BIGINT) AS bits
+  FROM tgf d
+  LEFT JOIN tg_counts g USING (w1, w2, w3)
+  LEFT JOIN ctx_counts c USING (w1, w2)
+  CROSS JOIN vocab
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(sum(bits) AS BIGINT) AS sum_bits_x1000,
+       CAST(sum(bits) // count(*) AS BIGINT) AS avg_bits_x1000
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 PPL_BUCKETS_SQL = _LM_CORE_SQL + r"""
 , ranked AS (
   SELECT p.doc_id, d.source, p.avg_bits_x1000,
@@ -3957,6 +4009,7 @@ QUERIES = {
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
     "doc_lm_perplexity": doc_lm_perplexity,
     "doc_ppl_buckets": doc_ppl_buckets,
+    "doc_lm_trigram": doc_lm_trigram,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_quality_classifier": doc_quality_classifier,
     "doc_dsir_weights": doc_dsir_weights,
@@ -4062,6 +4115,7 @@ ORACLES = {
     "ann_ivf_topk": ANN_IVF_SQL,
     "doc_lm_perplexity": LM_PPL_SQL,
     "doc_ppl_buckets": PPL_BUCKETS_SQL,
+    "doc_lm_trigram": LM_TRIGRAM_SQL,
     "doc_pack_sequences": PACK_SEQUENCES_SQL,
     "doc_quality_classifier": NB_CLASSIFY_SQL,
     "doc_dsir_weights": DSIR_WEIGHTS_SQL,

@@ -347,3 +347,26 @@ def test_quantile_sketch_accuracy_and_bounds(spark):
         est = got[q]["est_x1000"] / 1000.0
         assert abs(est - exact) <= width + 1e-9, (q, est, exact, width)
         assert got[q]["cum_count"] * 10000 >= q * n
+
+
+def test_lm_trigram_hand_computed(spark):
+    """Reference 'a b c a b c': trigrams abc(2 via overlap? no — a b c,
+    b c a, c a b, a b c = abc x2, bca, cab), contexts ab x2, bc, ca;
+    vocab {a,b,c}.  An in-domain doc scores P(c|ab)=(2+1)/(2+3)=3/5."""
+    import math
+
+    from pdf_extract_spark.functions.lm import lm_trigram_perplexity
+
+    docs = spark.createDataFrame(
+        [("r", "a b c a b c", "src0"), ("d", "a b c", "srcX"),
+         ("s", "z z", "srcX")],
+        "doc_id string, text string, source string",
+    )
+    out = {r["doc_id"]: r for r in
+           lm_trigram_perplexity(docs, F.col("source") == "src0").collect()}
+    exp = math.floor(-math.log2(3 / 5) * 1000)
+    assert out["d"]["n_trigrams"] == 1
+    assert out["d"]["sum_bits_x1000"] == exp
+    assert "s" not in out  # <3 tokens excluded
+    # the reference doc itself scores its own 4 trigrams
+    assert out["r"]["n_trigrams"] == 4
