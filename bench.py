@@ -77,6 +77,7 @@ HEADLINE = [
     "doc_winnow_fingerprints",
     "doc_shuffle_shards",
     "doc_lm_perplexity",
+    "doc_lm_trigram",
     "doc_ppl_buckets",
     "doc_pack_sequences",
     "doc_quality_classifier",
