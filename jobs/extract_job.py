@@ -79,11 +79,13 @@ def main(argv=None) -> None:
             )
         else:
             arcs = spark.read.parquet(src)
+        recs = warc_records(arcs, num_partitions=args.num_partitions)
         raw = (
-            warc_records(arcs, num_partitions=args.num_partitions)
-            .filter(
+            recs.filter(
                 (_F.col("record_type") == "response")
-                & _F.col("content_type").startswith("text/html")
+                # media types are case-insensitive (RFC 9110) and parse_warc
+                # preserves the server's casing verbatim
+                & _F.lower(_F.col("content_type")).startswith("text/html")
             )
             .select(
                 _F.concat_ws(
@@ -91,6 +93,16 @@ def main(argv=None) -> None:
                 ).alias("doc_id"),
                 _F.col("body").cast("string").alias("html"),
             )
+        )
+        # parser error rows (truncated/corrupt archives) must reach the
+        # metrics/lineage tables — the PDF path surfaces decode failures,
+        # and this mode promises the same contract
+        warc_errors = recs.filter(_F.col("error") != "").select(
+            _F.concat_ws(
+                "#", "warc_id",
+                _F.concat(_F.lit("err"), _F.col("rec_index").cast("string")),
+            ).alias("doc_id"),
+            _F.col("error"),
         )
     elif args.input.startswith("synthetic:"):
         raw = synthetic_corpus_df(spark, int(args.input.split(":", 1)[1]))
@@ -115,12 +127,24 @@ def main(argv=None) -> None:
     if warc_mode:
         from pdf_extract_spark.html_main import extract_main_content
 
-        stage = (
+        ok = (
             extract_main_content(raw, num_partitions=args.num_partitions)
             .withColumn("pages", F.lit(1).cast("long"))
             .withColumn("decode_failures", F.lit(0).cast("long"))
             .withColumn("error", F.lit(None).cast("string"))
         )
+        errs = warc_errors.select(
+            "doc_id",
+            F.lit(0).cast("long").alias("n_spans"),
+            F.expr(
+                "CAST(array() AS array<struct<kind:string, text:string,"
+                " media_ref:string, offset:int>>)"
+            ).alias("spans"),
+            F.lit(0).cast("long").alias("pages"),
+            F.lit(1).cast("long").alias("decode_failures"),
+            F.concat(F.lit("warc: "), F.col("error")).alias("error"),
+        )
+        stage = ok.unionByName(errs)
     else:
         stage = extract_documents(raw, num_partitions=args.num_partitions)
     extracted = (

@@ -288,13 +288,18 @@ def histogram_quantiles(
     window, never the corpus).  Accuracy is (max-min)/buckets — the
     documented fixed-width trade vs t-digest-style variable cells."""
     b = int(buckets)
-    mm = df.agg(
-        F.min(value_col).cast("double").alias("lo"),
-        F.max(value_col).cast("double").alias("hi"),
+    # NULLs are excluded like approx_percentile's: least(NULL, b-1) would
+    # otherwise silently file every NULL as a maximum-value observation
+    # AND count it in total, biasing every quantile upward
+    vals = df.select(F.col(value_col).cast("double").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    mm = vals.agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
     )
     cells = (
-        df.select(F.col(value_col).cast("double").alias("v"))
-        .crossJoin(F.broadcast(mm))
+        vals.crossJoin(F.broadcast(mm))
         .select(
             F.when(
                 F.col("hi") > F.col("lo"),
@@ -309,6 +314,10 @@ def histogram_quantiles(
         )
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # the histogram is <= `buckets` rows but feeds FOUR consumers
+        # (cum, total, probe filter, final join) — materialize once so
+        # the corpus scan+agg never reruns
+        .localCheckpoint(eager=False)
     )
     from pyspark.sql import Window
 
@@ -352,16 +361,17 @@ def histogram_quantiles_oracle_sql(
     b = int(buckets)
     probes = ", ".join(f"({int(q)})" for q in probes_x100)
     return f"""
-WITH mm AS (
-  SELECT CAST(min({value_col}) AS DOUBLE) AS lo,
-         CAST(max({value_col}) AS DOUBLE) AS hi
-  FROM {table}
+WITH vals AS (
+  SELECT CAST({value_col} AS DOUBLE) AS v FROM {table}
+  WHERE {value_col} IS NOT NULL
+), mm AS (
+  SELECT min(v) AS lo, max(v) AS hi FROM vals
 ), cells AS (
   SELECT CASE WHEN hi > lo THEN CAST(least(
-           floor((CAST({value_col} AS DOUBLE) - lo) * {b} / (hi - lo)),
+           floor((v - lo) * {b} / (hi - lo)),
            {b - 1}) AS BIGINT) ELSE 0 END AS bucket,
          count(*) AS cnt
-  FROM {table}, mm GROUP BY 1
+  FROM vals, mm GROUP BY 1
 ), cum AS (
   SELECT bucket, CAST(sum(cnt) OVER (ORDER BY bucket
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)

@@ -3301,7 +3301,9 @@ def warc_html_spans(spark, sf_dir):
         warc_records(arcs, num_partitions=4)
         .filter(
             (F.col("record_type") == "response")
-            & F.col("content_type").startswith("text/html")
+            # media types are case-insensitive (RFC 9110); parse_warc
+            # preserves server casing verbatim
+            & F.lower(F.col("content_type")).startswith("text/html")
         )
         .select(
             F.regexp_extract("target_uri", r"([^/]+)$", 1).alias("doc_id"),

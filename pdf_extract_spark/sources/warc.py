@@ -103,6 +103,10 @@ def parse_warc(payload: bytes) -> "list[dict]":
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
+            length = -1
+        if length < 0:
+            # absent OR negative: a negative length would move the scan
+            # position backwards and loop forever on a corrupt record
             rows.append({"rec_index": idx, "record_type": "", "target_uri": "",
                          "record_id": "", "content_type": "",
                          "http_status": 0, "body": b"",

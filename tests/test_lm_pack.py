@@ -370,3 +370,17 @@ def test_lm_trigram_hand_computed(spark):
     assert "s" not in out  # <3 tokens excluded
     # the reference doc itself scores its own 4 trigrams
     assert out["r"]["n_trigrams"] == 4
+
+
+def test_quantile_sketch_excludes_nulls(spark):
+    """NULL values are excluded (approx_percentile semantics) — they
+    must not be filed as maximum-value observations (review repro:
+    {1,2,3,NULL,NULL} reported median 3.0)."""
+    from pdf_extract_spark.operators.sketch import histogram_quantiles
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (None,), (None,)], "value double"
+    )
+    got = {r["q_x100"]: r for r in
+           histogram_quantiles(df, "value", [5000]).collect()}
+    assert abs(got[5000]["est_x1000"] / 1000.0 - 2.0) <= (3.0 - 1.0) / 1024 + 1e-9

@@ -114,19 +114,28 @@ def test_spark_submit_warc_input_mode(tmp_path):
     import duckdb
 
     con = duckdb.connect()
-    # 12 html responses in warc-full + 7 in the truncated copy
+    # 12 html responses in warc-full + 7 in the truncated copy + the
+    # truncated archive's error row (empty spans, like failed PDFs)
     n = con.execute(
         f"SELECT count(DISTINCT doc_id) FROM '{out}/documents_spans/**/*.parquet'"
     ).fetchone()[0]
-    assert n == 19
-    ln = con.execute(
-        f"SELECT count(*), min(status) FROM '{out}/lineage/*.parquet'"
-    ).fetchone()
-    assert ln == (19, "ok")
-    # resume: nothing new to do, lineage unchanged
+    assert n == 20
+    # 19 extracted docs + 1 failed row for the truncated archive's tail
+    # (the parser error reaches lineage/metrics like PDF decode failures)
+    ln = dict(con.execute(
+        f"SELECT status, count(*) FROM '{out}/lineage/*.parquet' GROUP BY 1"
+    ).fetchall())
+    assert ln == {"ok": 19, "failed": 1}
+    df = con.execute(
+        f"SELECT sum(decode_failures) FROM '{out}/metrics/*.parquet'"
+    ).fetchone()[0]
+    assert df == 1
+    # resume: ok docs are NOT redone; the failed row is retried (the
+    # PDF path's failure-retry semantic) and fails again
     r2 = _submit(["--input", "warc:synthetic", "--output", out,
                   "--run-id", "w2", "--resume"])
     assert r2.returncode == 0, r2.stderr[-3000:]
-    assert con.execute(
-        f"SELECT count(*) FROM '{out}/lineage/*.parquet'"
-    ).fetchone()[0] == 19
+    ln2 = dict(con.execute(
+        f"SELECT status, count(*) FROM '{out}/lineage/*.parquet' GROUP BY 1"
+    ).fetchall())
+    assert ln2 == {"ok": 19, "failed": 2}

@@ -72,3 +72,31 @@ def test_spark_stage_matches_kernel(spark):
             assert g["body_sha256"] == hashlib.sha256(r["body"]).hexdigest()
             assert bytes(g["body"] or b"") == r["body"]
     assert len(got) == sum(len(parse_warc(p)) for _, p in arcs)
+
+
+def test_negative_content_length_terminates():
+    """A corrupt negative Content-Length must yield one error row, not
+    an infinite re-parse of the same header (review-found hang)."""
+    rows = parse_warc(b"WARC/1.1\r\nContent-Length: -33\r\n\r\n")
+    assert [r["error"] for r in rows] == ["missing content-length"]
+
+
+def test_mixed_case_content_type(spark):
+    """RFC 9110: media types are case-insensitive — an uppercase
+    Content-Type must still reach the HTML extraction path."""
+    from pyspark.sql import functions as F
+
+    spec = [("response", "https://x.test/a", "Text/HTML; Charset=UTF-8",
+             b"<html><body><p>hello</p></body></html>")]
+    df = spark.createDataFrame(
+        [("w", make_warc(spec))], "warc_id string, payload binary"
+    )
+    kept = (
+        warc_records(df)
+        .filter(
+            (F.col("record_type") == "response")
+            & F.lower(F.col("content_type")).startswith("text/html")
+        )
+        .count()
+    )
+    assert kept == 1

@@ -43,10 +43,10 @@ def expected_rows():
         rid = hashlib.md5(f"{idx}|{wtype}|{uri}".encode()).hexdigest()
         status = 200 if wtype == "response" else 0
         # response blocks wrap the body in an HTTP head; the parser must
-        # return the BODY alone with the HTTP Content-Type
-        out_ctype = ctype if wtype == "response" else ctype
+        # return the BODY alone, and the expected Content-Type is the
+        # value make_warc embeds in the HTTP head (== the spec's ctype)
         return (
-            warc_id, idx, wtype, uri, f"<urn:uuid:{rid}>", out_ctype,
+            warc_id, idx, wtype, uri, f"<urn:uuid:{rid}>", ctype,
             status, len(body), hashlib.sha256(body).hexdigest(), "",
         )
 
