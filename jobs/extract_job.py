@@ -94,6 +94,30 @@ def main(argv=None) -> None:
                 _F.col("body").cast("string").alias("html"),
             )
         )
+        # non-HTML responses and request/warcinfo/metadata records are not
+        # extracted, but the record-level accounting must stay auditable —
+        # the PDF path surfaces EVERY input doc, and this mode promises the
+        # same metrics/lineage contract — so they land as zero-span,
+        # zero-failure rows tagged with what was skipped and why
+        warc_skipped = recs.filter(
+            (_F.col("error") == "")
+            & ~(
+                (_F.col("record_type") == "response")
+                & _F.lower(_F.col("content_type")).startswith("text/html")
+            )
+        ).select(
+            _F.concat_ws(
+                "#", "warc_id",
+                _F.concat(_F.lit("skip"), _F.col("rec_index").cast("string")),
+            ).alias("doc_id"),
+            _F.concat(
+                _F.lit("warc: skipped "),
+                _F.col("record_type"),
+                _F.lit(" ("),
+                _F.col("content_type"),
+                _F.lit(")"),
+            ).alias("skip_reason"),
+        )
         # parser error rows (truncated/corrupt archives) must reach the
         # metrics/lineage tables — the PDF path surfaces decode failures,
         # and this mode promises the same contract
@@ -118,6 +142,16 @@ def main(argv=None) -> None:
         except Exception:
             done = None
         raw = resume_filter(raw, done)
+        if warc_mode and done is not None:
+            # skipped records are deterministic (a request record never
+            # becomes extractable) — resume treats them as done, unlike
+            # failures which are retried
+            warc_skipped = warc_skipped.join(
+                done.filter(_F.col("status") == "skipped")
+                .select("doc_id").distinct(),
+                "doc_id",
+                "left_anti",
+            )
 
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
@@ -144,7 +178,18 @@ def main(argv=None) -> None:
             F.lit(1).cast("long").alias("decode_failures"),
             F.concat(F.lit("warc: "), F.col("error")).alias("error"),
         )
-        stage = ok.unionByName(errs)
+        skipped = warc_skipped.select(
+            "doc_id",
+            F.lit(0).cast("long").alias("n_spans"),
+            F.expr(
+                "CAST(array() AS array<struct<kind:string, text:string,"
+                " media_ref:string, offset:int>>)"
+            ).alias("spans"),
+            F.lit(0).cast("long").alias("pages"),
+            F.lit(0).cast("long").alias("decode_failures"),
+            F.col("skip_reason").alias("error"),
+        )
+        stage = ok.unionByName(errs).unionByName(skipped)
     else:
         stage = extract_documents(raw, num_partitions=args.num_partitions)
     extracted = (
@@ -154,6 +199,13 @@ def main(argv=None) -> None:
             F.count(F.lit(1)).alias("docs"),
             F.sum("n_spans").alias("spans"),
             F.sum("decode_failures").alias("failures"),
+            # record-level audit: WARC records not extracted (non-HTML
+            # responses, request/warcinfo/metadata) — 0 outside warc mode
+            F.sum(
+                F.when(
+                    F.col("error").startswith("warc: skipped"), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("skipped_records"),
         )
         .cache()
     )
@@ -184,7 +236,9 @@ def main(argv=None) -> None:
         m = obs.get
         print(
             f"run={args.run_id} docs={m.get('docs', 0)} "
-            f"spans={m.get('spans') or 0} decode_failures={m.get('failures') or 0}"
+            f"spans={m.get('spans') or 0} "
+            f"decode_failures={m.get('failures') or 0} "
+            f"skipped_records={m.get('skipped_records') or 0}"
         )
     finally:
         extracted.unpersist()

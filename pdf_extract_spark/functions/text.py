@@ -801,7 +801,10 @@ def blocklist_flags(
         return ch.isalnum() or ch == "_"
 
     parts = []
-    for t in sorted({t.lower() for t in terms if t}):
+    # strip BEFORE the truthiness guard: a whitespace-only term like ' '
+    # would otherwise survive and compile to the alternation branch '[ ]',
+    # marking every document containing a space as blocked
+    for t in sorted({t.strip().lower() for t in terms if t and t.strip()}):
         esc = "".join("\\" + ch if not _word(ch) and ch != " " else ch
                       for ch in t)
         esc = esc.replace(" ", "[ ]")

@@ -387,7 +387,14 @@ def lineage_rows(extracted: DataFrame, run_id: str) -> DataFrame:
         F.lit(run_id).alias("run_id"),
         F.spark_partition_id().alias("partition_id"),
         F.col("doc_id"),
-        F.when(F.col("error").isNull(), F.lit("ok")).otherwise(F.lit("failed")).alias("status"),
+        # three terminal states: ok, skipped (records the job declines to
+        # extract — e.g. WARC non-HTML/request records — deterministic, so
+        # resume must NOT retry them like failures), failed (decode errors,
+        # retried on --resume)
+        F.when(F.col("error").isNull(), F.lit("ok"))
+        .when(F.col("error").startswith("warc: skipped"), F.lit("skipped"))
+        .otherwise(F.lit("failed"))
+        .alias("status"),
         F.current_timestamp().alias("finished_at"),
     )
 

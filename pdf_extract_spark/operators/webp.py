@@ -41,6 +41,10 @@ import numpy as np
 CODE_LENGTH_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 
 # Transform types (§3.6)
+# decode-size cap for untrusted payloads (16M pixels ~ 64 MiB decoded);
+# crawl-scale fixtures are tiny, and anything larger belongs in the stub tier
+_MAX_PIXELS = 1 << 24
+
 _PREDICTOR_TRANSFORM = 0
 _COLOR_TRANSFORM = 1
 _SUBTRACT_GREEN = 2
@@ -442,6 +446,13 @@ def decode_vp8l(data: bytes) -> np.ndarray:
     br.read(8)  # signature
     w = br.read(14) + 1
     h = br.read(14) + 1
+    # the 14-bit header fields admit up to 16383x16383 = 268M pixels from a
+    # tiny payload (0-bit single-symbol prefix codes consume no stream bits
+    # per pixel), which would spin the per-pixel Python loop for hours on
+    # untrusted crawl bytes; cap decoded size so a crafted header lands in
+    # the tagged stub/quarantine tier instead of stalling an executor task
+    if w * h > _MAX_PIXELS:
+        raise ValueError(f"VP8L dimensions {w}x{h} exceed decode cap")
     br.read(1)  # alpha hint
     if br.read(3) != 0:
         raise ValueError("unsupported VP8L version")

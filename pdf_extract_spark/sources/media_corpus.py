@@ -857,6 +857,57 @@ JPEG_PROG_SPECS = [
                            [240, 208, 176, 144], [112, 80, 48, 16]], True, True),
 ]
 
+# (name, grid, ac) progressive fixtures WITH AC coefficients, in the
+# oracled corpus: block (0,0) carries first-scan magnitudes of Huffman
+# size 5 and 6 (|v| >> 1 >= 16 — the (run,size) tier above 4 bits), and
+# the 298 empty blocks before (0,299) force an EOBn symbol with 8
+# extension bits (run >= 256) in both the first and refinement AC scans.
+# Coefficient values are chosen so every pre-round IDCT pixel of the AC
+# blocks sits >= 0.05 from a rounding tie (asserted by the golden
+# generator), keeping the decoder's einsum and the spec's double-sum
+# bit-identical after rounding.
+JPEG_PROG_AC_SPECS = [
+    ("jpeg-prog-aceob-1x300", [[128] * 300],
+     {(0, 0): [(1, 71), (7, -34)], (0, 299): [(2, 33), (10, 1)]}),
+]
+
+
+def jpeg_prog_ac_pixel(grid: list[list[int]],
+                       ac: dict[tuple[int, int], list[tuple[int, int]]],
+                       x: int, y: int) -> int:
+    """Closed-form pixel of a progressive-with-AC fixture: T.81 A.3.3
+    inverse DCT straight from the spec formula over the coefficient SPEC
+    (quant all-ones) — shared with the golden generators, never derived
+    from the decoder."""
+    import math
+
+    r, c = y // 8, x // 8
+    coefs = {0: (grid[r][c] - 128) * 8, **dict(ac.get((r, c), []))}
+    bx, by = x % 8, y % 8
+    s = 0.0
+    # zigzag index -> (row, col): public T.81 Figure A.6 scan order
+    zz = _jpeg_zigzag()
+    for k, val in coefs.items():
+        u, v = zz[k]
+        cu = math.sqrt(0.5) if u == 0 else 1.0
+        cv = math.sqrt(0.5) if v == 0 else 1.0
+        s += (cu * cv * val
+              * math.cos((2 * by + 1) * u * math.pi / 16)
+              * math.cos((2 * bx + 1) * v * math.pi / 16))
+    return int(min(255, max(0, round(s / 4.0 + 128.0))))
+
+
+def _jpeg_zigzag() -> list[tuple[int, int]]:
+    """T.81 zigzag scan order, generated procedurally (diagonal walk)."""
+    order = []
+    for d in range(15):
+        rng = range(d + 1) if d % 2 else range(d, -1, -1)
+        for r in rng:
+            c = d - r
+            if r < 8 and c < 8:
+                order.append((r, c))
+    return order
+
 
 # (name, w, h, palette_bits) GIFs: palette entry i is gray
 # i * 255 // (2^bits - 1); pixel index at (x, y) = (x + y) % 2^bits
@@ -1405,6 +1456,97 @@ def make_wav(rate: int, n_channels: int, amplitudes: list[int],
     return buf.getvalue()
 
 
+def _vp8l_fuzz(which: str) -> bytes:
+    """Hand-written VP8L bitstreams exercising each decoder rejection path
+    with a DETERMINISTIC failure (bit-exact per RFC 9649 §3, written with
+    the encoder's LSB-first packer): these are crafted to raise, never to
+    silently decode to wrong pixels, so the stub-tier expectation is exact.
+
+      hugedims     - 14-bit header fields at max (16384x16384 = 268M px):
+                     must hit the decode-size cap BEFORE any pixel loop
+                     (a single-symbol code stream would otherwise spin the
+                     per-pixel loop for hours on 12 payload bytes)
+      duptransform - the same transform type listed twice (§3.6 allows
+                     each at most once)
+      badlengths   - normal prefix code whose 19-symbol code-length code
+                     is all zero lengths (empty code)
+      overlongref  - LZ77 backward reference whose distance (~786k) far
+                     exceeds the pixels decoded so far in a 2x2 image
+    """
+    from .webp_enc import _LsbWriter
+
+    bw = _LsbWriter()
+    bw.put(0x2F, 8)  # signature
+    if which == "hugedims":
+        bw.put(0x3FFF, 14)  # w-1
+        bw.put(0x3FFF, 14)  # h-1
+        bw.put(0, 1)  # alpha
+        bw.put(0, 3)  # version
+        bw.put(0, 1)  # no transforms
+    else:
+        bw.put(1, 14)  # w=2
+        bw.put(1, 14)  # h=2
+        bw.put(0, 1)
+        bw.put(0, 3)
+        if which == "duptransform":
+            bw.put(1, 1)
+            bw.put(2, 2)  # SUBTRACT_GREEN
+            bw.put(1, 1)
+            bw.put(2, 2)  # SUBTRACT_GREEN again -> duplicate
+        elif which == "badlengths":
+            bw.put(0, 1)  # no transforms
+            bw.put(0, 1)  # no color cache
+            bw.put(0, 1)  # no meta prefix codes
+            bw.put(0, 1)  # green code: normal (code-length-coded)
+            bw.put(0, 4)  # num_codes = 4
+            for _ in range(4):
+                bw.put(0, 3)  # all code-length lengths zero -> empty code
+        elif which == "overlongref":
+            bw.put(0, 1)  # no transforms
+            bw.put(0, 1)  # no color cache
+            bw.put(0, 1)  # no meta prefix codes
+            # green code (alphabet 280): normal code assigning 1-bit codes
+            # to symbols 0 (literal) and 257 (LZ77 length code 1)
+            bw.put(0, 1)  # normal
+            bw.put(0, 4)  # num_codes = 4 -> order positions 17,18,0,1
+            bw.put(0, 3)  # len(17) = 0
+            bw.put(1, 3)  # len(18) = 1
+            bw.put(0, 3)  # len(0)  = 0
+            bw.put(1, 3)  # len(1)  = 1
+            bw.put(1, 1)  # use max_symbol
+            bw.put(0, 3)  # length_nbits = 2
+            bw.put(2, 2)  # max_symbol = 4 code-length reads
+            # cl code: sym 1 -> bit 0, sym 18 -> bit 1 (canonical 1-bit)
+            bw.put(0, 1)  # lengths[0] = 1
+            bw.put(1, 1)  # code 18: zero-run
+            bw.put(127, 7)  # run 11+127=138 -> sym 139
+            bw.put(1, 1)  # code 18 again
+            bw.put(107, 7)  # run 11+107=118 -> sym 257
+            bw.put(0, 1)  # lengths[257] = 1
+            # r/b/a codes: simple single-symbol (1-bit-coded symbol 0)
+            for _ in range(3):
+                bw.put(1, 1)  # simple
+                bw.put(0, 1)  # one symbol
+                bw.put(0, 1)  # 1-bit first symbol
+                bw.put(0, 1)  # symbol 0
+            # distance code (alphabet 40): simple single symbol 39
+            bw.put(1, 1)  # simple
+            bw.put(0, 1)  # one symbol
+            bw.put(1, 1)  # 8-bit first symbol
+            bw.put(39, 8)
+            # pixel stream: green symbol 257 (bit 1) -> LZ77 length 2,
+            # distance code 39 -> 3<<18 + extra -> dist ~786k >> pos 0
+            bw.put(1, 1)
+            bw.put(0, 18)  # distance extra bits
+        else:
+            raise ValueError(which)
+    payload = bw.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
 def fuzz_media_rows() -> list[tuple[str, str, bytes]]:
     """Deterministically MALFORMED real-encoder outputs — truncations and
     fixed single-byte corruptions of valid PNG/GIF/FLAC/WAV/progressive-
@@ -1433,6 +1575,10 @@ def fuzz_media_rows() -> list[tuple[str, str, bytes]]:
     return [
         ("fuzz-webp-truncated", "image", webp[: len(webp) // 2]),
         ("fuzz-webp-corrupt", "image", bytes(bad_webp)),
+        ("fuzz-webp-hugedims", "image", _vp8l_fuzz("hugedims")),
+        ("fuzz-webp-duptransform", "image", _vp8l_fuzz("duptransform")),
+        ("fuzz-webp-badlengths", "image", _vp8l_fuzz("badlengths")),
+        ("fuzz-webp-overlongref", "image", _vp8l_fuzz("overlongref")),
         ("fuzz-png-truncated", "image", png[: len(png) // 2]),
         ("fuzz-gif-truncated", "image", gif[:24]),
         ("fuzz-gif-corrupt", "image", bytes(bad_gif)),
@@ -1456,6 +1602,8 @@ def synthetic_media_rows() -> list[tuple[str, str, bytes]]:
         rows.append((name, "image", make_jpeg(grid, color, sub)))
     for name, grid, color, sub in JPEG_PROG_SPECS:
         rows.append((name, "image", make_jpeg_progressive(grid, color, sub)))
+    for name, grid, ac in JPEG_PROG_AC_SPECS:
+        rows.append((name, "image", make_jpeg_progressive(grid, ac=ac)))
     for name, w, h, bits in GIF_SPECS:
         rows.append((name, "image", make_gif(w, h, bits)))
     for name, w, h, kind in WEBP_SPECS:

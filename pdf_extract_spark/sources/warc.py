@@ -33,6 +33,16 @@ from pyspark.sql import functions as F
 _CRLF = b"\r\n"
 
 
+def _hdecode(raw: bytes) -> str:
+    """Header-value bytes -> str: UTF-8 first (what real crawls and
+    make_warc emit), latin-1 as the total fallback so a corrupt value
+    degrades to readable bytes instead of raising mid-parse."""
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("latin-1")
+
+
 def make_warc(records: "list[tuple[str, str, str, bytes]]",
               start_index: int = 0) -> bytes:
     """Deterministic WARC/1.1 bytes from (warc_type, target_uri,
@@ -97,9 +107,11 @@ def parse_warc(payload: bytes) -> "list[dict]":
         headers: dict[str, str] = {}
         for line in payload[pos:end_head].split(_CRLF)[1:]:
             k, _, v = line.partition(b":")
-            headers[k.strip().decode("latin-1").lower()] = (
-                v.strip().decode("latin-1")
-            )
+            # header values are UTF-8 on real crawls (and from make_warc);
+            # latin-1 only as a never-fails fallback for corrupt bytes —
+            # decoding UTF-8 values as latin-1 mojibake'd non-ASCII
+            # WARC-Target-URIs (and the doc_ids derived from them)
+            headers[k.strip().decode("latin-1").lower()] = _hdecode(v.strip())
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:

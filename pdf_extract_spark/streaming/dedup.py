@@ -30,6 +30,23 @@ from pyspark.sql import functions as F
 from ..functions.text import fingerprint
 
 
+def _require_ltz_event_time(df: DataFrame, ts_col: str) -> None:
+    """Watermarks compare instants; a timestamp_ntz column has no
+    timezone, and the previous implicit ntz->ltz cast reinterpreted the
+    naive value in spark.sql.session.timeZone — silently shifting the
+    watermark cutoff (and which late rows drop) across deployments.
+    Require the caller to convert explicitly with the timezone THEY
+    know the data carries, e.g.
+    ``to_utc_timestamp(ts, 'UTC')`` / ``convert_timezone``."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        raise TypeError(
+            f"event-time column {ts_col!r} is timestamp_ntz; convert it to "
+            "timestamp (ltz) with an explicit timezone before streaming "
+            "dedup — an implicit cast would shift the watermark cutoff "
+            "with spark.sql.session.timeZone"
+        )
+
+
 def dedup_stream(
     docs_stream: DataFrame,
     text_col: str = "text",
@@ -42,8 +59,7 @@ def dedup_stream(
     column dropped before return, so downstream sinks never see schema
     drift and a pre-existing ``fingerprint`` column is left untouched."""
     ev = docs_stream
-    if dict(ev.dtypes).get(ts_col) == "timestamp_ntz":
-        ev = ev.withColumn(ts_col, F.col(ts_col).cast("timestamp_ltz"))
+    _require_ltz_event_time(ev, ts_col)
     return (
         ev.withColumn("__dedup_fp", fingerprint(F.col(text_col)))
         .withWatermark(ts_col, delay)
@@ -73,8 +89,7 @@ def dedup_media_stream(
     from ..operators.multimodal import extract_media_dhash
 
     ev = media_stream
-    if dict(ev.dtypes).get(ts_col) == "timestamp_ntz":
-        ev = ev.withColumn(ts_col, F.col(ts_col).cast("timestamp_ltz"))
+    _require_ltz_event_time(ev, ts_col)
     # the event time rides THROUGH the Arrow stage (passthrough) — joining
     # it back afterwards would be a stream-stream join
     hashed = extract_media_dhash(ev, passthrough=(ts_col,))

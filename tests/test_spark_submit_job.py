@@ -115,27 +115,37 @@ def test_spark_submit_warc_input_mode(tmp_path):
 
     con = duckdb.connect()
     # 12 html responses in warc-full + 7 in the truncated copy + the
-    # truncated archive's error row (empty spans, like failed PDFs)
+    # truncated archive's error row (empty spans, like failed PDFs) + 4
+    # skipped-record audit rows (warcinfo x2 archives, request, non-HTML
+    # response — record-level accounting, zero spans, zero failures)
     n = con.execute(
         f"SELECT count(DISTINCT doc_id) FROM '{out}/documents_spans/**/*.parquet'"
     ).fetchone()[0]
-    assert n == 20
-    # 19 extracted docs + 1 failed row for the truncated archive's tail
-    # (the parser error reaches lineage/metrics like PDF decode failures)
+    assert n == 24
+    # 19 extracted + 1 failed (truncated tail) + 4 skipped (non-HTML /
+    # request / warcinfo records surface in lineage but are neither ok
+    # nor retryable failures)
     ln = dict(con.execute(
         f"SELECT status, count(*) FROM '{out}/lineage/*.parquet' GROUP BY 1"
     ).fetchall())
-    assert ln == {"ok": 19, "failed": 1}
+    assert ln == {"ok": 19, "failed": 1, "skipped": 4}
     df = con.execute(
         f"SELECT sum(decode_failures) FROM '{out}/metrics/*.parquet'"
     ).fetchone()[0]
     assert df == 1
-    # resume: ok docs are NOT redone; the failed row is retried (the
-    # PDF path's failure-retry semantic) and fails again
+    # skipped rows carry no decode failure and no spans
+    sk = con.execute(
+        f"SELECT count(*) FROM '{out}/metrics/*.parquet' "
+        "WHERE doc_id LIKE '%#skip%' AND spans = 0 AND decode_failures = 0"
+    ).fetchone()[0]
+    assert sk == 4
+    # resume: ok docs are NOT redone; skipped records are deterministic
+    # and NOT re-emitted; the failed row is retried (the PDF path's
+    # failure-retry semantic) and fails again
     r2 = _submit(["--input", "warc:synthetic", "--output", out,
                   "--run-id", "w2", "--resume"])
     assert r2.returncode == 0, r2.stderr[-3000:]
     ln2 = dict(con.execute(
         f"SELECT status, count(*) FROM '{out}/lineage/*.parquet' GROUP BY 1"
     ).fetchall())
-    assert ln2 == {"ok": 19, "failed": 2}
+    assert ln2 == {"ok": 19, "failed": 2, "skipped": 4}

@@ -29,6 +29,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pdf_extract_spark.sources.media_corpus import (  # noqa: E402
     BMP_SPECS,
     GIF_SPECS,
+    JPEG_PROG_AC_SPECS,
     JPEG_PROG_SPECS,
     JPEG_SPECS,
     PNG_SPECS,
@@ -39,6 +40,7 @@ from pdf_extract_spark.sources.media_corpus import (  # noqa: E402
     fuzz_media_rows,
     gif_gray,
     jpeg_pixel,
+    jpeg_prog_ac_pixel,
     png_pixel,
     webp_gray,
 )
@@ -76,6 +78,13 @@ def golden_rows():
     for name, grid, color, sub in JPEG_PROG_SPECS:
         w, h = len(grid[0]) * 8, len(grid) * 8
         real(name, w, h, lambda x, y, g=grid: jpeg_pixel(g, x, y), "jpeg")
+    for name, grid, ac in JPEG_PROG_AC_SPECS:
+        # AC-bearing fixture: pixels from the spec IDCT closed form
+        # (tie-safety of the AC blocks is asserted by gen_golden_media)
+        w, h = len(grid[0]) * 8, len(grid) * 8
+        real(name, w, h,
+             lambda x, y, g=grid, a=ac: jpeg_prog_ac_pixel(g, a, x, y),
+             "jpeg")
     for name, w, h, bits in GIF_SPECS:
         real(name, w, h, lambda x, y, b=bits: gif_gray(b, x, y), "gif")
     for name, w, h, kind in WEBP_SPECS:

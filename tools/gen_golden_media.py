@@ -29,6 +29,7 @@ from pdf_extract_spark.sources.media_corpus import (  # noqa: E402
     BMP_SPECS,
     FLAC_SPECS,
     GIF_SPECS,
+    JPEG_PROG_AC_SPECS,
     JPEG_PROG_SPECS,
     JPEG_SPECS,
     PNG_SPECS,
@@ -39,6 +40,7 @@ from pdf_extract_spark.sources.media_corpus import (  # noqa: E402
     fuzz_media_rows,
     gif_gray,
     jpeg_pixel,
+    jpeg_prog_ac_pixel,
     make_bmp,
     make_gif,
     make_gif_lzw,
@@ -65,6 +67,31 @@ def stub_expect(payload: bytes):
     """The documented deterministic-fake spec (multimodal.decode_image_stub)."""
     d = hashlib.sha256(payload).digest()
     return 1 + d[0] % 64, 1 + d[1] % 64, [d[2 + i] / 255.0 for i in range(16)]
+
+
+def _assert_tie_safe(grid, ac, min_dist: float = 0.05) -> None:
+    """Every pre-round IDCT pixel of the AC-bearing blocks must sit at
+    least `min_dist` from a half-integer; DC-only blocks are exact."""
+    import math
+
+    from pdf_extract_spark.sources.media_corpus import _jpeg_zigzag
+
+    zz = _jpeg_zigzag()
+    for (r, c), coefs in ac.items():
+        full = {0: (grid[r][c] - 128) * 8, **dict(coefs)}
+        for by in range(8):
+            for bx in range(8):
+                s = 0.0
+                for k, val in full.items():
+                    u, v = zz[k]
+                    cu = math.sqrt(0.5) if u == 0 else 1.0
+                    cv = math.sqrt(0.5) if v == 0 else 1.0
+                    s += (cu * cv * val
+                          * math.cos((2 * by + 1) * u * math.pi / 16)
+                          * math.cos((2 * bx + 1) * v * math.pi / 16))
+                pre = s / 4.0 + 128.0
+                frac = abs((pre - math.floor(pre)) - 0.5)
+                assert frac >= min_dist, (r, c, bx, by, pre)
 
 
 def golden_rows():
@@ -98,6 +125,21 @@ def golden_rows():
         feat = [jpeg_pixel(grid, x, y) / 255.0 for y in ys for x in xs]
         rows.append(
             (name, "image", make_jpeg_progressive(grid, color, sub), w, h, feat, "jpeg")
+        )
+    for name, grid, ac in JPEG_PROG_AC_SPECS:
+        # progressive WITH AC coefficients (first-scan sizes >= 5, EOBn
+        # extension bits > 7): expected pixels from the spec IDCT formula
+        # (jpeg_prog_ac_pixel — spec math, never the decoder); the spec
+        # guarantees every AC-block pre-round pixel is tie-safe, asserted
+        # here so the exact-integer golden can never straddle a rounding
+        # tie between the decoder's einsum and the spec double-sum
+        _assert_tie_safe(grid, ac)
+        w, h = len(grid[0]) * 8, len(grid) * 8
+        xs, ys = thumb_indices(w), thumb_indices(h)
+        feat = [jpeg_prog_ac_pixel(grid, ac, x, y) / 255.0
+                for y in ys for x in xs]
+        rows.append(
+            (name, "image", make_jpeg_progressive(grid, ac=ac), w, h, feat, "jpeg")
         )
     for name, w, h, bits in GIF_SPECS:
         # closed-form: palette gray of index (x+y) % 2^bits
