@@ -215,6 +215,14 @@ def main() -> None:
     n_target = extraction_replicas(sf) * 16
     raw = synthetic_corpus_df(spark, n_target, pct_large=0.05).cache()
     n_docs = raw.count()  # materialize input outside the timed region
+    # one UNTIMED full-size warmup pass: moving this stage before the query
+    # loop (r5) stripped the JVM/Arrow/python-worker warmup those queries
+    # used to provide, and the clean-window number fell 1,517->1,194 docs/s
+    # with no kernel change — the 64-doc warmup above touches the code path
+    # but not the full-parallelism task set, codegen, or Arrow batch sizes
+    extract_documents(raw, num_partitions=cpus * 2).groupBy().sum(
+        "n_spans", "decode_failures"
+    ).collect()
     extract_samples = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -234,6 +242,10 @@ def main() -> None:
 
     html_raw = synthetic_html_corpus_df(spark, n_target).cache()
     n_html = html_raw.count()
+    # same untimed full-size warmup rationale as the PDF stage above
+    extract_main_content(html_raw, num_partitions=cpus * 2).groupBy().sum(
+        "n_spans"
+    ).collect()
     html_samples = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -311,33 +323,76 @@ def main() -> None:
     # the macro metric leaves no cached partitions behind
     spark.catalog.clearCache()
 
+    # BPE training at 100 merges — the production-vocab viability probe
+    # for the incremental pair-count loop (a MACRO metric like the corpus
+    # pipeline: the 12-merge bpe_merges entry already times the operator,
+    # this measures how per-round cost scales with round count)
+    from pdf_extract_spark.functions.bpe import bpe_train
+    from pdf_extract_spark.queries import load as _load
+
+    _bpe_docs = _load(spark, sf_dir, "documents")
+    t0 = time.perf_counter()
+    _bpe_df, _bpe_rules = bpe_train(_bpe_docs, 100)
+    _bpe_df.count()
+    bpe100_sec = round(time.perf_counter() - t0, 3)
+    bpe100_rounds = len(_bpe_rules)
+    _unpersist_all(spark)
+
     total = round(sum(timings.values()), 3)
+    spin_end = _spin_control()
+    spin_par_end = _spin_control_parallel(cpus)
+    full = {
+        "metric": "headline_queries_plus_extraction_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_forced": timings_forced,
+        "queries_forced_fallback": forced_fallbacks,
+        "sf": sf,
+        "extract_docs": n_docs,
+        "extract_docs_per_sec": docs_per_sec,
+        "extract_spans_per_sec": spans_per_sec,
+        "html_docs": n_html,
+        "html_docs_per_sec": html_docs_per_sec,
+        "html_spans_per_sec": html_spans_per_sec,
+        "extract_samples_sec": extract_samples,
+        "html_samples_sec": html_samples,
+        "corpus_pipeline_sec": corpus_pipeline_sec,
+        "corpus_funnel": funnel,
+        "bpe_train_100_sec": bpe100_sec,
+        "bpe_train_100_rounds": bpe100_rounds,
+        "bpe_train_sec_per_round": round(bpe100_sec / max(1, bpe100_rounds), 3),
+        "spin_control_sec": {"start": spin_start, "end": spin_end},
+        "spin_parallel_sec": {"start": spin_par_start, "end": spin_par_end},
+        "cpus": cpus,
+    }
+    # full record first (for archives/humans), then a COMPACT summary as
+    # the very LAST line: the driver keeps only a ~2 KB tail of stdout, so
+    # r5's single full-dict line lost its head and parsed as null.  The
+    # compact line carries the headline metric, throughputs, and both
+    # steal controls, and always fits inside the kept tail.
+    print(json.dumps(full))
     print(
         json.dumps(
             {
                 "metric": "headline_queries_plus_extraction_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "queries_forced": timings_forced,
-                "queries_forced_fallback": forced_fallbacks,
                 "sf": sf,
-                "extract_docs": n_docs,
+                "queries": {"total_sec": total, "n": len(timings)},
                 "extract_docs_per_sec": docs_per_sec,
                 "extract_spans_per_sec": spans_per_sec,
-                "html_docs": n_html,
-                "html_docs_per_sec": html_docs_per_sec,
-                "html_spans_per_sec": html_spans_per_sec,
                 "extract_samples_sec": extract_samples,
-                "html_samples_sec": html_samples,
+                "html_docs_per_sec": html_docs_per_sec,
                 "corpus_pipeline_sec": corpus_pipeline_sec,
-                "corpus_funnel": funnel,
-                "spin_control_sec": {"start": spin_start, "end": _spin_control()},
+                "bpe_train_100_sec": bpe100_sec,
+                "spin_control_sec": {"start": spin_start, "end": spin_end},
                 "spin_parallel_sec": {
                     "start": spin_par_start,
-                    "end": _spin_control_parallel(cpus),
+                    "end": spin_par_end,
                 },
                 "cpus": cpus,
+                "full_record": "preceding line",
             }
         )
     )
