@@ -49,8 +49,15 @@ def main():
     from pdf_extract_spark.plans.session import get_spark
     from pdf_extract_spark.queries import ORACLES, QUERIES, TABLES
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = list(sys.argv[1:])
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results: list[dict] = []
 
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
@@ -66,6 +73,8 @@ def main():
         scols = sdf.columns
         if name not in ORACLES:
             print(f"{name:28s} rows-only: {len(srows)} rows, cols={scols}")
+            results.append({"name": name, "rows": len(srows), "ok": True,
+                            "mode": "rows-only"})
             continue
         # Fetch via pandas (.df()) exactly like the driver's canonicalizer:
         # fetchall() returns Python ints even for HUGEINT, which hid a
@@ -102,8 +111,26 @@ def main():
             print(f"{name:28s} FAIL  {'; '.join(problems)}")
         else:
             print(f"{name:28s} OK    {len(srows)} rows")
+        results.append({"name": name, "rows": len(srows),
+                        "ok": not problems, "mode": "exact",
+                        **({"problems": problems} if problems else {})})
     spark.stop()
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(results),
+                    "n_ok": sum(1 for r in results if r["ok"]),
+                    "queries": results,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 
