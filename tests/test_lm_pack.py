@@ -384,3 +384,18 @@ def test_quantile_sketch_excludes_nulls(spark):
     got = {r["q_x100"]: r for r in
            histogram_quantiles(df, "value", [5000]).collect()}
     assert abs(got[5000]["est_x1000"] / 1000.0 - 2.0) <= (3.0 - 1.0) / 1024 + 1e-9
+
+
+def test_blocklist_whitespace_terms_ignored(spark):
+    """A whitespace-only term must be dropped, not compiled into a '[ ]'
+    alternation branch that blocks every document containing a space;
+    surrounding whitespace on a real term is trimmed."""
+    from pdf_extract_spark.functions.text import blocklist_flags
+
+    docs = spark.createDataFrame(
+        [("a", "plain harmless words"), ("b", "the banned word")],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r["keep"]
+           for r in blocklist_flags(docs, [" ", "\t", "  banned  "]).collect()}
+    assert got == {"a": True, "b": False}

@@ -654,3 +654,27 @@ def test_streaming_media_dedup_perceptual(spark, tmp_path):
     assert got["stub-a"]["dhash"] is None and got["stub-a"]["decoder"] == "stub"
     # the event time rode through the Arrow stage
     assert got["bmp-solid-10x6"]["ts"] is not None
+
+
+def test_streaming_dedup_rejects_ntz_event_time(spark):
+    """timestamp_ntz event time must be rejected with guidance, not
+    silently cast: the implicit ntz->ltz cast reinterpreted naive
+    timestamps in the session timezone, shifting the watermark cutoff
+    across deployments."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pdf_extract_spark.streaming.dedup import dedup_media_stream, dedup_stream
+
+    docs = spark.createDataFrame(
+        [("d1", "2024-01-01 12:00:00", "text")],
+        "doc_id string, raw string, text string",
+    ).withColumn("ts", F.to_timestamp_ntz("raw"))
+    with pytest.raises(TypeError, match="timestamp_ntz"):
+        dedup_stream(docs)
+    media = spark.createDataFrame(
+        [("m1", "image", bytearray(b"x"), "2024-01-01 12:00:00")],
+        "media_id string, media_kind string, payload binary, raw string",
+    ).withColumn("ts", F.to_timestamp_ntz("raw"))
+    with pytest.raises(TypeError, match="timestamp_ntz"):
+        dedup_media_stream(media)

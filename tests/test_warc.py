@@ -100,3 +100,23 @@ def test_mixed_case_content_type(spark):
         .count()
     )
     assert kept == 1
+
+
+def test_utf8_target_uri_roundtrips():
+    """Header values are UTF-8 on real crawls: a non-ASCII
+    WARC-Target-URI must round-trip intact (the old latin-1 decode
+    turned 'é' into 'Ã©' in target_uri and downstream doc_ids); raw
+    non-UTF-8 bytes still degrade readably via the latin-1 fallback
+    instead of raising."""
+    spec = [("response", "https://x.test/café/中文",
+             "text/html", b"<html>ok</html>")]
+    rows = parse_warc(make_warc(spec))
+    assert rows[0]["target_uri"] == "https://x.test/café/中文"
+    assert not rows[0]["error"]
+
+    # invalid UTF-8 in a header value: latin-1 fallback, never a raise
+    raw = make_warc(spec)
+    broken = raw.replace("café".encode(), b"caf\xe9x")
+    rows = parse_warc(broken)
+    assert rows[0]["target_uri"].startswith("https://x.test/caf")
+    assert not rows[0]["error"]

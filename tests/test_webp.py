@@ -202,10 +202,37 @@ def test_webp_fuzz_rows_land_in_stub_tier():
     from pdf_extract_spark.sources.media_corpus import fuzz_media_rows
 
     rows = {n: (k, p) for n, k, p in fuzz_media_rows()}
-    for name in ("fuzz-webp-truncated", "fuzz-webp-corrupt"):
+    for name in ("fuzz-webp-truncated", "fuzz-webp-corrupt",
+                 "fuzz-webp-hugedims", "fuzz-webp-duptransform",
+                 "fuzz-webp-badlengths", "fuzz-webp-overlongref"):
         kind, payload = rows[name]
         *_, dec = _decode_any(kind, payload)
         assert dec == "stub", name
+
+
+def test_webp_crafted_fuzz_raises_named_errors():
+    """Each hand-written VP8L fuzz payload must hit ITS decoder rejection
+    path (not merely any exception): the huge-dims header must be caught
+    by the pixel cap BEFORE the per-pixel loop (a 12-byte payload would
+    otherwise decode 268M pixels for hours), and the other three must hit
+    the duplicate-transform / empty-code / LZ77-bounds guards."""
+    import time
+
+    from pdf_extract_spark.sources.media_corpus import _vp8l_fuzz
+
+    expectations = {
+        "hugedims": "decode cap",
+        "duptransform": "duplicate transform",
+        "badlengths": "empty prefix code",
+        "overlongref": "LZ77 reference out of bounds",
+    }
+    for which, msg in expectations.items():
+        t0 = time.perf_counter()
+        with pytest.raises(ValueError, match=msg):
+            decode_webp(_vp8l_fuzz(which))
+        # the rejection must be immediate — the cap exists precisely so a
+        # crafted header cannot stall an executor task
+        assert time.perf_counter() - t0 < 1.0, which
 
 
 def test_webp_feature_dispatch_tags_webp():
