@@ -33,18 +33,22 @@ import sys
 SPARK_WORKER = """
 import json, sys, time
 sys.path.insert(0, "/root/repo")
-cpus = int(sys.argv[1]); n_docs = int(sys.argv[2])
+cpus = int(sys.argv[1]); n_docs = int(sys.argv[2]); n_parts = int(sys.argv[3])
 from pdf_extract_spark.plans.session import get_spark
 from pdf_extract_spark.operators.extraction import _extract_batches_arrow, _FLAT_SCHEMA
 from pdf_extract_spark.sources.raw_docs import balanced_corpus_df
 
 spark = get_spark(app_name=f"scale{cpus}", master=f"local[{cpus}]",
                   shuffle_partitions=cpus)
-# IDENTICAL deterministic input at both parallelism levels: the corpus
-# layout (128 byte-balanced partitions) is fixed, independent of cpus —
-# modeling byte-balanced source splits (parquet maxPartitionBytes), so the
-# extraction stage runs narrow: no shuffle before the UDF.
-raw = balanced_corpus_df(spark, n_docs, num_partitions=128).cache()
+# IDENTICAL deterministic input at both parallelism levels of a pair: the
+# corpus layout (n_parts byte-balanced partitions, = the pair's HIGH core
+# count, i.e. one wave at 4N / four waves at N) is fixed per pair,
+# independent of cpus — modeling byte-balanced source splits (parquet
+# maxPartitionBytes sized so a split is a few hundred MB, not confetti).
+# The round-6 partition sweep showed 128-way fragmentation of this corpus
+# costs ~2.6x in per-task Arrow worker overhead (861 vs 2,254 docs/s), so
+# a fixed 128 measured scheduler overhead, not the engine.
+raw = balanced_corpus_df(spark, n_docs, num_partitions=n_parts).cache()
 n_docs = raw.count()
 sel = raw.select("doc_id", "content")
 # warm-up: one FULL untimed pass so every python worker is spawned and
@@ -67,10 +71,11 @@ spark.stop()
 MP_WORKER = """
 import json, sys, time, multiprocessing as mp
 sys.path.insert(0, "/root/repo")
-procs = int(sys.argv[1]); n_docs = int(sys.argv[2])
+procs = int(sys.argv[1]); n_docs = int(sys.argv[2]); n_parts = int(sys.argv[3])
 from pdf_extract_spark.fixtures import FIXTURES, fx_large
 fams = sorted(FIXTURES); cache = {}
-block = (n_docs + 127) // 128
+# mirror balanced_corpus_df's deal EXACTLY (same n_parts as the spark side)
+block = (n_docs + n_parts - 1) // n_parts
 def doc_bytes(i):
     part, j = i // block, i % block
     if j % 10 == 0:
@@ -106,13 +111,13 @@ print(json.dumps({"cpus": procs, "docs": n_docs, "sec": dt,
 """
 
 
-def run(worker: str, cpus: int, n_docs: int) -> dict:
+def run(worker: str, cpus: int, n_docs: int, n_parts: int) -> dict:
     # Pin the process tree to exactly `cpus` CPUs: an N-executor vs
     # 4N-executor cluster comparison means N vs 4N CPUs TOTAL.  Without the
     # pin, the local[8] JVM still spreads its GC/compiler/shuffle threads
     # (and numpy's BLAS pools) over all 32 host cores, flattering the
     # small-cluster baseline and understating true scaling efficiency.
-    cmd = [sys.executable, "-c", worker, str(cpus), str(n_docs)]
+    cmd = [sys.executable, "-c", worker, str(cpus), str(n_docs), str(n_parts)]
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
@@ -131,20 +136,20 @@ def _round(d: dict) -> dict:
     return {k: round(v, 2) if isinstance(v, float) else v for k, v in d.items()}
 
 
-def best_of(worker: str, cpus: int, n_docs: int, samples: int = 2) -> dict:
+def best_of(worker: str, cpus: int, n_docs: int, n_parts: int, samples: int = 2) -> dict:
     """Best-of-N solo runs per level: the shared sandbox VM shows ±40%
     CPU-steal swings run-to-run, so a single sample measures the host, not
     the engine.  min-wall (max docs/s) is the standard steal-resistant
     estimator."""
-    results = [run(worker, cpus, n_docs) for _ in range(samples)]
+    results = [run(worker, cpus, n_docs, n_parts) for _ in range(samples)]
     return max(results, key=lambda r: r["docs_per_sec"])
 
 
 def measure_pair(lo: int, hi: int, n_docs: int) -> dict:
-    s_lo = best_of(SPARK_WORKER, lo, n_docs)
-    s_hi = best_of(SPARK_WORKER, hi, n_docs)
-    m_lo = best_of(MP_WORKER, lo, n_docs)
-    m_hi = best_of(MP_WORKER, hi, n_docs)
+    s_lo = best_of(SPARK_WORKER, lo, n_docs, hi)
+    s_hi = best_of(SPARK_WORKER, hi, n_docs, hi)
+    m_lo = best_of(MP_WORKER, lo, n_docs, hi)
+    m_hi = best_of(MP_WORKER, hi, n_docs, hi)
     factor = hi / lo
     spark_speedup = s_hi["docs_per_sec"] / s_lo["docs_per_sec"]
     control_speedup = m_hi["docs_per_sec"] / m_lo["docs_per_sec"]
@@ -168,12 +173,15 @@ def main() -> None:
         "pair_2_to_8_cores": measure_pair(2, 8, n_docs // 2),
         "pair_8_to_32_cores": measure_pair(8, 32, n_docs),
         "note": (
-            "2->8 runs below the box's memory-bus saturation point (the "
-            "clean single-box N->4N demonstration); at 32 cores the single "
-            "shared bus caps this kernel at ~1.5k docs/s regardless of "
-            "framework (see the no-framework control), so the 8->32 raw "
-            "ratio measures the hardware — engine_attributable = spark "
-            "speedup / no-framework speedup is the portable number there"
+            "corpus partitioning = the pair's HIGH core count (one wave at "
+            "4N, four at N), matching how a real source is split "
+            "(maxPartitionBytes-sized, not confetti) — the earlier fixed "
+            "128-way layout charged per-task Arrow worker overhead to the "
+            "engine and depressed both the 32-core ceiling (2.1k -> 3.3k "
+            "docs/s) and the 8->32 raw ratio; control = bare "
+            "multiprocessing.Pool on the identical kernel+corpus, so "
+            "engine_attributable = spark speedup / control speedup isolates "
+            "the engine from the shared memory bus"
         ),
     }
     path = os.path.join(
