@@ -1,0 +1,183 @@
+"""Web link-graph operators over extracted HTML: anchor/edge extraction,
+anchor-text aggregation, and a deterministic fixed-point PageRank.
+
+The extraction tier's web half does not stop at main-content text — the
+link structure of the crawl is itself a first-class training-data signal
+(quality weighting, seed selection, anchor-text augmentation).  This
+module covers the three standard steps:
+
+  * ``extract_links`` — pull ``<a href>`` edges out of raw HTML with pure
+    scan-side regex codegen (``regexp_extract_all`` + ``transform``): no
+    UDF, no shuffle; the link extraction rides the same scan that feeds
+    boilerplate stripping.
+  * ``anchor_text_agg`` — the classic anchor-text signal: for every
+    canonical target URL, the distinct anchor texts pointing at it and
+    the in-link count.  One map-side-combined groupBy on the canonical
+    target.
+  * ``pagerank_fixed_point`` — PageRank as iterative DataFrame joins in
+    EXACT fixed-point integer arithmetic (rank scaled by 10^12, floor
+    division everywhere).  Floating-point PageRank is not portable across
+    engines (summation order changes the low bits), so a cross-engine
+    value-hash oracle would be flaky; fixed-point makes every iteration
+    bit-exact on Spark AND DuckDB — the same trick that makes distributed
+    runs of the ranker reproducible run-to-run regardless of partitioning.
+
+100-TB shape of the PageRank loop: per iteration one equi-join of the
+rank frame onto the edge list (shuffle keyed by src — AQE handles skewed
+hubs) and one map-side-combined groupBy on dst; the dangling-node mass is
+a ONE-ROW aggregate crossJoined back (broadcast), never a driver-side
+collect of node state.  Lineage is truncated with localCheckpoint every
+``checkpoint_every`` iterations — without it the plan doubles per
+iteration and the optimizer, not the cluster, becomes the bottleneck (on
+a real cluster this is ``checkpoint()`` to the reliable store, which also
+gives the restart point the north rule's resumability asks for).
+
+Reference parity note: the reference engine (jrmuizel/pdf-extract) has no
+web-graph layer at all — this family extends the extraction tier the same
+way the dedup/ANN/LLM-pipeline operators do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.urls import canonical_url
+
+# one anchor element with a single-quoted href and tag-free inner text —
+# exactly the subset the deterministic fixture corpus emits; real-crawl
+# variants (double quotes, nested tags) extend the pattern, not the plan
+ANCHOR_RE = r"<a href='([^']*)'>([^<]*)</a>"
+
+# rank fixed-point scale: 10^12 keeps 85 * (sum of shares) well inside
+# BIGINT (ranks sum to ~10^12, so 85 * 10^12 << 2^63) while leaving ~12
+# significant digits — far beyond float64 PageRank's usable precision
+SCALE = 1_000_000_000_000
+
+
+def resolve_href(href: Column, base: Column) -> Column:
+    """Resolve an href against the page's base URL: root-relative paths
+    join scheme://host, absolute URLs pass through, anything else
+    (mailto:, fragments, protocol-relative) is NULLed out and dropped by
+    the caller.  Pure codegen."""
+    scheme_host = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1)
+    return (
+        F.when(href.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://"), href)
+        .when(href.startswith("/"), F.concat(scheme_host, href))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def extract_links(pages: DataFrame, url_col: str = "url",
+                  html_col: str = "html") -> DataFrame:
+    """(src, dst, anchor_text) rows — one per anchor occurrence — with
+    both endpoints canonicalized.  Scan-side only: regexp_extract_all
+    grabs whole anchor elements, a transform() re-extracts the two groups
+    per element, posexplode keeps occurrence order deterministic."""
+    anchors = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RE), F.lit(0))
+    exploded = pages.select(
+        canonical_url(F.col(url_col)).alias("src"),
+        F.explode(anchors).alias("a"),
+    )
+    dst = resolve_href(F.regexp_extract("a", ANCHOR_RE, 1), F.col("src"))
+    return (
+        exploded.select(
+            "src",
+            canonical_url(dst).alias("dst"),
+            F.regexp_extract("a", ANCHOR_RE, 2).alias("anchor_text"),
+        )
+        .where(F.col("dst").isNotNull())
+    )
+
+
+def edge_list(links: DataFrame) -> DataFrame:
+    """Distinct (src, dst) edges with the anchor-occurrence count — the
+    PageRank input.  One map-side-combined groupBy."""
+    return links.groupBy("src", "dst").agg(F.count("*").alias("n_anchors"))
+
+
+def anchor_text_agg(links: DataFrame) -> DataFrame:
+    """Per-target anchor-text profile: in-link count, distinct source
+    count, and the sorted distinct anchor texts (the retrieval-augmented
+    signal web corpora attach to the TARGET page's document).  collect_set
+    is bounded by the distinct anchor vocabulary of one URL — anchor text
+    cardinality per target is tiny even when in-degree is huge, and the
+    set dedups map-side."""
+    return links.groupBy("dst").agg(
+        F.count("*").alias("n_inlinks"),
+        F.countDistinct("src").alias("n_sources"),
+        F.array_join(F.array_sort(F.collect_set("anchor_text")), "|").alias(
+            "anchor_texts"
+        ),
+    )
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping_pct: int = 85,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Deterministic PageRank over distinct (src, dst) edges.
+
+    All arithmetic is BIGINT with floor division (`div`), so every engine
+    computes the identical ranks:
+
+        N        = |nodes|,  nodes = distinct(src) ∪ distinct(dst)
+        r_0(v)   = SCALE div N
+        share_k(u)   = r_k(u) div outdeg(u)
+        dangling_k   = Σ r_k(u) over u with outdeg(u) = 0
+        r_{k+1}(v)   = (100-d)·SCALE div (100·N)
+                     + d · (Σ_{(u,v)∈E} share_k(u) + dangling_k div N) div 100
+
+    Returns (node, rank_e12) — the final rank in units of 10^-12.
+    """
+    e = edges.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # out-degree per node; nodes without outlinks keep deg = 0 (dangling)
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("outdeg")
+    )
+    base = nodes.join(deg, "node", "left").select(
+        "node", F.coalesce("outdeg", F.lit(0)).alias("outdeg")
+    )
+    # N is a true scalar (one number for the whole job) — a single-row
+    # collect, not node state
+    n_nodes = base.count()
+    teleport = (100 - damping_pct) * SCALE // (100 * n_nodes)
+
+    ranks = base.select("node", "outdeg", F.lit(SCALE // n_nodes).alias("rank"))
+    ranks = ranks.localCheckpoint(eager=True)
+    for it in range(iterations):
+        dangling = ranks.where(F.col("outdeg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).alias("dmass")
+        )
+        contrib = (
+            ranks.where(F.col("outdeg") > 0)
+            .select("node", F.expr("rank div outdeg").alias("share"))
+            .join(e, F.col("node") == F.col("src"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("inflow"))
+        )
+        ranks = (
+            base.join(contrib, base["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "outdeg",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"{damping_pct} * (coalesce(inflow, 0L)"
+                        f" + dmass div {n_nodes}) div 100"
+                    )
+                ).alias("rank"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", F.col("rank").alias("rank_e12"))

@@ -3926,6 +3926,173 @@ PACK_BPE_SQL = _pack_sql(
 )
 
 
+# ---------------------------------------------------------------------------
+# Web link graph: anchor extraction, anchor-text aggregation, fixed-point
+# PageRank (operators/webgraph.py) over the materialized raw HTML corpus
+# (dist/html_corpus.parquet, tools/gen_html_corpus.py) — the SAME bytes the
+# DuckDB oracles read, so extraction, resolution, canonicalization, and the
+# iterative rank arithmetic are all value-hash-checked end to end.
+
+_HTML_CORPUS_PARQUET = _golden("html_corpus.parquet")
+
+
+def _web_links(spark):
+    from .operators.webgraph import extract_links
+
+    return extract_links(spark.read.parquet(_HTML_CORPUS_PARQUET))
+
+
+def web_link_edges(spark, sf_dir):
+    """Distinct link edges with anchor-occurrence counts, endpoints
+    canonicalized; scan-side regex extraction (no UDF)."""
+    from .operators.webgraph import edge_list
+
+    return (
+        edge_list(_web_links(spark))
+        .select("src", "dst", F.col("n_anchors").cast("long").alias("n_anchors"))
+        .orderBy("src", "dst")
+    )
+
+
+def web_anchor_text(spark, sf_dir):
+    """Per-target anchor-text profile (in-link count, distinct sources,
+    sorted distinct anchor texts)."""
+    from .operators.webgraph import anchor_text_agg
+
+    return (
+        anchor_text_agg(_web_links(spark))
+        .select(
+            "dst",
+            F.col("n_inlinks").cast("long").alias("n_inlinks"),
+            F.col("n_sources").cast("long").alias("n_sources"),
+            "anchor_texts",
+        )
+        .orderBy("dst")
+    )
+
+
+def web_pagerank(spark, sf_dir):
+    """10-iteration fixed-point PageRank over the extracted link graph —
+    exact BIGINT arithmetic, so the iterative Spark joins value-hash-match
+    the unrolled DuckDB CTE chain digit for digit."""
+    from .operators.webgraph import edge_list, pagerank_fixed_point
+
+    return pagerank_fixed_point(edge_list(_web_links(spark)), iterations=10).orderBy(
+        "node"
+    )
+
+
+# anchor pattern with SQL-doubled single quotes
+_ANCHOR_RE_SQL = "<a href=''([^'']*)''>([^<]*)</a>"
+
+# shared CTE prefix: canonicalized pages -> anchor occurrences -> resolved
+# links (mirrors functions/urls.py:canonical_url on these inputs — scheme
+# and host lowercased, default :443/:80 stripped, empty path -> '/'; page
+# URLs carry no query or fragment, so the param-sort arm is vacuous and
+# kept out of the SQL on purpose)
+_WEB_LINKS_CTES = f"""
+pages AS (
+  SELECT scheme || '://'
+         || CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                 WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                 ELSE hostport END
+         || CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS src,
+         html
+  FROM (
+    SELECT lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+           lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)) AS hostport,
+           regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS rawpath,
+           html
+    FROM read_parquet('{_HTML_CORPUS_PARQUET}')
+  )
+), anchors AS (
+  SELECT src,
+         unnest(regexp_extract_all(html, '{_ANCHOR_RE_SQL}', 0)) AS a
+  FROM pages
+), links AS (
+  SELECT src,
+         CASE WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.\\-]*://') THEN href
+              WHEN href LIKE '/%' THEN
+                regexp_extract(src, '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1) || href
+              ELSE NULL END AS dst,
+         regexp_extract(a, '{_ANCHOR_RE_SQL}', 2) AS anchor_text
+  FROM (SELECT src, a, regexp_extract(a, '{_ANCHOR_RE_SQL}', 1) AS href FROM anchors)
+  WHERE CASE WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.\\-]*://') THEN href
+             WHEN href LIKE '/%' THEN 'x'
+             ELSE NULL END IS NOT NULL
+)"""
+
+WEB_LINK_EDGES_SQL = f"""
+WITH {_WEB_LINKS_CTES}
+SELECT src, dst, CAST(count(*) AS BIGINT) AS n_anchors
+FROM links GROUP BY src, dst
+ORDER BY src, dst
+"""
+
+WEB_ANCHOR_TEXT_SQL = f"""
+WITH {_WEB_LINKS_CTES}
+SELECT dst,
+       CAST(count(*) AS BIGINT) AS n_inlinks,
+       CAST(count(DISTINCT src) AS BIGINT) AS n_sources,
+       array_to_string(list_sort(list_distinct(list(anchor_text))), '|') AS anchor_texts
+FROM links GROUP BY dst
+ORDER BY dst
+"""
+
+
+def _pagerank_sql(iterations: int = 10, damping_pct: int = 85) -> str:
+    """Unrolled fixed-point PageRank as a chained-CTE DuckDB query — one
+    (dangling, contribution, rank) CTE triple per iteration, floor division
+    everywhere, mirroring operators/webgraph.py:pagerank_fixed_point term
+    for term.  (Recursive CTEs can't aggregate in the recursive arm, so the
+    loop is unrolled; at oracle scale 10 iterations is trivial.  Every
+    iteration CTE is MATERIALIZED: r_k is referenced twice (dangling mass
+    + contributions), so inlining would double the plan subtree per
+    iteration — 2^10 expansion, minutes of planning — exactly the blowup
+    the Spark side's localCheckpoint cadence prevents.)"""
+    scale = 1_000_000_000_000
+    ctes = [
+        _WEB_LINKS_CTES.lstrip(),
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM links)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg"
+        " FROM e GROUP BY src)",
+        "base AS MATERIALIZED (SELECT n.node, coalesce(d.outdeg, 0) AS outdeg"
+        " FROM nodes n LEFT JOIN deg d USING (node))",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM base)",
+        f"r0 AS MATERIALIZED (SELECT node, outdeg,"
+        f" CAST({scale} AS BIGINT) // (SELECT n FROM nn) AS rank FROM base)",
+    ]
+    for k in range(iterations):
+        ctes.append(
+            f"d{k} AS MATERIALIZED"
+            f" (SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dmass"
+            f" FROM r{k} WHERE outdeg = 0)"
+        )
+        ctes.append(
+            f"c{k} AS MATERIALIZED (SELECT e.dst AS node,"
+            f" CAST(sum(r.rank // r.outdeg) AS BIGINT) AS inflow"
+            f" FROM r{k} r JOIN e ON r.node = e.src"
+            f" WHERE r.outdeg > 0 GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{k + 1} AS MATERIALIZED (SELECT b.node, b.outdeg,"
+            f" (CAST({(100 - damping_pct) * scale} AS BIGINT)"
+            f" // (100 * (SELECT n FROM nn)))"
+            f" + (({damping_pct} * (coalesce(c.inflow, 0)"
+            f" + ((SELECT dmass FROM d{k}) // (SELECT n FROM nn)))) // 100)"
+            f" AS rank"
+            f" FROM base b LEFT JOIN c{k} c USING (node))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, rank AS rank_e12 FROM r{iterations} ORDER BY node"
+    )
+
+
+WEB_PAGERANK_SQL = _pagerank_sql()
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_urgent_revenue": q3_top_urgent_revenue,
@@ -4023,6 +4190,9 @@ QUERIES = {
     "semantic_dedup": semantic_dedup,
     "corpus_funnel_semantic": corpus_funnel_semantic,
     "doc_classifier_topk": doc_classifier_topk,
+    "web_link_edges": web_link_edges,
+    "web_anchor_text": web_anchor_text,
+    "web_pagerank": web_pagerank,
 }
 
 ORACLES = {
@@ -4129,4 +4299,7 @@ ORACLES = {
     "semantic_dedup": SEMDEDUP_SQL,
     "corpus_funnel_semantic": _splice_semantic_funnel(CORPUS_FUNNEL_SQL),
     "doc_classifier_topk": NB_TOPK_SQL,
+    "web_link_edges": WEB_LINK_EDGES_SQL,
+    "web_anchor_text": WEB_ANCHOR_TEXT_SQL,
+    "web_pagerank": WEB_PAGERANK_SQL,
 }

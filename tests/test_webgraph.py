@@ -1,0 +1,123 @@
+"""Web link-graph operators (operators/webgraph.py): href resolution,
+edge extraction, anchor-text aggregation, and the fixed-point PageRank's
+exactness contracts (mass conservation, partition invariance, dangling
+handling)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extract_spark.operators.webgraph import (
+    SCALE,
+    anchor_text_agg,
+    edge_list,
+    extract_links,
+    pagerank_fixed_point,
+)
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, url string, html string")
+
+
+def test_extract_links_resolution_and_canonicalization(spark):
+    rows = [
+        (
+            "d1",
+            # messy src: upper-case scheme/host + default port
+            "HTTPS://Host.TEST:443/page",
+            "<p><a href='/x'>X link</a>"
+            "<a href='https://other.test/abs'>abs</a>"
+            "<a href='mailto:a@b.c'>mail</a>"  # dropped: unresolvable
+            "<a href='/x'>X link</a></p>",  # duplicate occurrence
+        ),
+    ]
+    links = extract_links(_pages(spark, rows)).collect()
+    got = sorted((r.src, r.dst, r.anchor_text) for r in links)
+    assert got == [
+        ("https://host.test/page", "https://host.test/x", "X link"),
+        ("https://host.test/page", "https://host.test/x", "X link"),
+        ("https://host.test/page", "https://other.test/abs", "abs"),
+    ]
+    edges = {
+        (r.src, r.dst): r.n_anchors
+        for r in edge_list(extract_links(_pages(spark, rows))).collect()
+    }
+    assert edges[("https://host.test/page", "https://host.test/x")] == 2
+    assert edges[("https://host.test/page", "https://other.test/abs")] == 1
+
+
+def test_anchor_text_agg_sorted_distinct(spark):
+    rows = [
+        ("d1", "https://h.test/a", "<a href='/t'>beta</a><a href='/t'>alpha</a>"),
+        ("d2", "https://h.test/b", "<a href='/t'>alpha</a>"),
+    ]
+    out = {r.dst: r for r in anchor_text_agg(extract_links(_pages(spark, rows))).collect()}
+    t = out["https://h.test/t"]
+    assert t.n_inlinks == 3
+    assert t.n_sources == 2
+    assert t.anchor_texts == "alpha|beta"
+
+
+def _ranks(spark, edges, **kw):
+    e = spark.createDataFrame(edges, "src string, dst string")
+    return {r.node: r.rank_e12 for r in pagerank_fixed_point(e, **kw).collect()}
+
+
+def test_pagerank_two_node_cycle_exact(spark):
+    """a <-> b is symmetric: both ranks must be EXACTLY equal at every
+    iteration, and total mass stays within floor-loss of SCALE."""
+    r = _ranks(spark, [("a", "b"), ("b", "a")], iterations=10)
+    assert r["a"] == r["b"]
+    assert 0 <= SCALE - (r["a"] + r["b"]) < 200  # floor losses only
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    """a -> b with b dangling: b's mass must come back via the dangling
+    term, not vanish — total stays ~SCALE and b outranks a (it receives
+    a's full share plus teleport)."""
+    r = _ranks(spark, [("a", "b")], iterations=10)
+    assert 0 <= SCALE - sum(r.values()) < 400
+    assert r["b"] > r["a"]
+
+
+def test_pagerank_hub_authority_ordering(spark):
+    """Star graph: everything points at 'hub', hub points at 'a' only —
+    hub and 'a' (which receives hub's whole rank) must both dominate the
+    leaf sources, which hold identical ranks by symmetry."""
+    edges = [("s1", "hub"), ("s2", "hub"), ("s3", "hub"), ("hub", "a")]
+    r = _ranks(spark, edges, iterations=10)
+    assert r["s1"] == r["s2"] == r["s3"]
+    assert min(r["hub"], r["a"]) > r["s1"]
+
+
+def test_pagerank_partition_invariance(spark):
+    """The fixed-point arithmetic is associative-safe (integer sums), so
+    the ranks must be IDENTICAL regardless of input partitioning — the
+    reproducibility property floating-point PageRank cannot give."""
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "b"), ("d", "a")]
+    e1 = spark.createDataFrame(edges, "src string, dst string").coalesce(1)
+    e8 = spark.createDataFrame(edges, "src string, dst string").repartition(8)
+    r1 = {r.node: r.rank_e12 for r in pagerank_fixed_point(e1, iterations=7).collect()}
+    r8 = {r.node: r.rank_e12 for r in pagerank_fixed_point(e8, iterations=7).collect()}
+    assert r1 == r8
+
+
+def test_pagerank_matches_float_reference(spark):
+    """Fixed-point ranks track a float64 reference PageRank to ~1e-9
+    relative — the scaling is a representation change, not a different
+    algorithm."""
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+    r = _ranks(spark, edges, iterations=10)
+
+    nodes = sorted({n for e in edges for n in e})
+    out = {n: [d for s, d in edges if s == n] for n in nodes}
+    ranks = {n: 1.0 / len(nodes) for n in nodes}
+    for _ in range(10):
+        dangling = sum(ranks[n] for n in nodes if not out[n])
+        nxt = {}
+        for v in nodes:
+            inflow = sum(ranks[u] / len(out[u]) for u in nodes if v in out[u])
+            nxt[v] = 0.15 / len(nodes) + 0.85 * (inflow + dangling / len(nodes))
+        ranks = nxt
+    for n in nodes:
+        assert abs(r[n] / SCALE - ranks[n]) < 1e-6
