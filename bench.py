@@ -104,6 +104,13 @@ HEADLINE = [
     "spans_explode",
     "ann_cosine_topk",
     "html_main_content",
+    # web link-graph family: edges/anchor-text are scan-side extraction;
+    # pagerank times the 10-iteration fixed-point join loop (the corpus is
+    # the fixed fixture graph, so this measures per-iteration scheduling
+    # + join cost, the quantity that scales with iteration count)
+    "web_link_edges",
+    "web_anchor_text",
+    "web_pagerank",
 ]
 
 

@@ -153,31 +153,48 @@ def pagerank_fixed_point(
     ranks = base.select("node", "outdeg", F.lit(SCALE // n_nodes).alias("rank"))
     ranks = ranks.localCheckpoint(eager=True)
     for it in range(iterations):
-        dangling = ranks.where(F.col("outdeg") == 0).agg(
-            F.coalesce(F.sum("rank"), F.lit(0)).alias("dmass")
-        )
-        contrib = (
-            ranks.where(F.col("outdeg") > 0)
-            .select("node", F.expr("rank div outdeg").alias("share"))
-            .join(e, F.col("node") == F.col("src"))
-            .groupBy("dst")
-            .agg(F.sum("share").alias("inflow"))
-        )
-        ranks = (
-            base.join(contrib, base["node"] == contrib["dst"], "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                "outdeg",
-                (
-                    F.lit(teleport)
-                    + F.expr(
-                        f"{damping_pct} * (coalesce(inflow, 0L)"
-                        f" + dmass div {n_nodes}) div 100"
-                    )
-                ).alias("rank"),
-            )
-        )
+        ranks = pagerank_step(base, e, ranks, teleport, n_nodes, damping_pct)
         if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("rank").alias("rank_e12"))
+
+
+def pagerank_step(
+    base: DataFrame,
+    e: DataFrame,
+    ranks: DataFrame,
+    teleport: int,
+    n_nodes: int,
+    damping_pct: int,
+) -> DataFrame:
+    """One rank iteration: share = rank div outdeg joined onto the edge
+    list (shuffle on src) and summed per dst (map-side partial); the
+    dangling mass is a ONE-ROW aggregate broadcast back via crossJoin.
+    Factored out so the plan-quality gate can inspect a single step
+    (the production loop checkpoints, which collapses the visible plan
+    to an ExistingRDD scan)."""
+    dangling = ranks.where(F.col("outdeg") == 0).agg(
+        F.coalesce(F.sum("rank"), F.lit(0)).alias("dmass")
+    )
+    contrib = (
+        ranks.where(F.col("outdeg") > 0)
+        .select("node", F.expr("rank div outdeg").alias("share"))
+        .join(e, F.col("node") == F.col("src"))
+        .groupBy("dst")
+        .agg(F.sum("share").alias("inflow"))
+    )
+    return (
+        base.join(contrib, base["node"] == contrib["dst"], "left")
+        .crossJoin(F.broadcast(dangling))
+        .select(
+            "node",
+            "outdeg",
+            (
+                F.lit(teleport)
+                + F.expr(
+                    f"{damping_pct} * (coalesce(inflow, 0L)"
+                    f" + dmass div {n_nodes}) div 100"
+                )
+            ).alias("rank"),
+        )
+    )

@@ -4,6 +4,8 @@ broadcast, no Python in JVM-expressible pipelines."""
 
 import re
 
+from pyspark.sql import functions as F
+
 from pdf_extract_spark.queries import (
     dedup_exact_q,
     doc_stats,
@@ -273,3 +275,41 @@ def test_q22_recent_orders_is_anti_join(spark):
     ftxt = formatted(df)
     m = re.findall(r"PushedFilters: \[([^\]]*)\]", ftxt)
     assert any("o_orderdate" in g for g in m), m
+
+
+def test_web_link_extraction_is_jvm_only(spark):
+    """Anchor/edge extraction must be pure scan-side codegen — regex
+    extraction and URL canonicalization never leave the JVM."""
+    from pdf_extract_spark.queries import web_anchor_text, web_link_edges
+
+    for q in (web_link_edges, web_anchor_text):
+        txt = plan_of(q(spark, SF))
+        assert "BatchEvalPython" not in txt
+        assert "ArrowEvalPython" not in txt
+
+
+def test_web_pagerank_step_plan_shape(spark):
+    """One rank iteration must stay JVM-only, never degenerate to a
+    cartesian product, carry no corpus-wide single-task window, shuffle
+    the contribution join on keys (SortMergeJoin/ShuffledHashJoin — hubs
+    are AQE's problem, not a window's), and bring the one-row dangling
+    mass in as a broadcast.  (The production loop's localCheckpoint
+    collapses the END plan to an ExistingRDD scan, so the gate inspects
+    a single un-checkpointed step.)"""
+    from pdf_extract_spark.operators.webgraph import SCALE, pagerank_step
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c")], "src string, dst string"
+    )
+    base = spark.createDataFrame(
+        [("a", 2), ("b", 1), ("c", 0)], "node string, outdeg long"
+    )
+    ranks = base.withColumn("rank", F.lit(SCALE // 3))
+    step = pagerank_step(base, e, ranks, teleport=SCALE // 20, n_nodes=3,
+                         damping_pct=85)
+    txt = plan_of(step)
+    assert "BatchEvalPython" not in txt
+    assert "ArrowEvalPython" not in txt
+    assert "CartesianProduct" not in txt
+    assert "Window" not in txt
+    assert "BroadcastNestedLoopJoin" in txt  # the 1-row dangling crossJoin
