@@ -54,6 +54,12 @@ ANCHOR_RE = r"<a href='([^']*)'>([^<]*)</a>"
 # significant digits — far beyond float64 PageRank's usable precision
 SCALE = 1_000_000_000_000
 
+# HITS fixed-point scale is smaller on purpose: the L1-normalize step
+# computes raw * SCALE_H before the floor division, and raw is bounded by
+# the previous vector's L1 mass (≤ SCALE_H after normalization), so the
+# worst product is SCALE_H^2 = 10^18 < 2^63.  10^12 here would overflow.
+SCALE_H = 1_000_000_000
+
 
 def resolve_href(href: Column, base: Column) -> Column:
     """Resolve an href against the page's base URL: root-relative paths
@@ -157,6 +163,117 @@ def pagerank_fixed_point(
         if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("rank").alias("rank_e12"))
+
+
+def hits_fixed_point(
+    edges: DataFrame,
+    iterations: int = 10,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Kleinberg's HITS (hubs & authorities) over distinct (src, dst)
+    edges, in exact fixed-point BIGINT arithmetic so the iterative Spark
+    joins value-hash-match an unrolled DuckDB CTE chain digit for digit
+    (same determinism rationale as ``pagerank_fixed_point``; float HITS
+    is even less portable because each iteration renormalizes).
+
+        h_0(v)    = SCALE_H div N                (uniform hubs)
+        a'_k(v)   = Σ_{(u,v)∈E} h_k(u)           (authority from in-links)
+        a_k(v)    = a'_k(v)·SCALE_H div Σ a'_k   (L1 normalize)
+        h'_k(u)   = Σ_{(u,v)∈E} a_k(v)           (hub from out-links)
+        h_{k+1}(u)= h'_k(u)·SCALE_H div Σ h'_k
+
+    L1 (sum) normalization replaces the textbook L2 norm: it needs no
+    square root, keeps every intermediate a BIGINT, and converges to the
+    same principal-eigenvector direction.  Overflow bound: after any
+    normalize the vector sums to ≤ SCALE_H, so each raw score is ≤
+    SCALE_H and raw·SCALE_H ≤ 10^18 < 2^63.
+
+    100-TB shape: per half-iteration one equi-join of the score frame
+    onto the edge list (shuffle keyed by src resp. dst, AQE handles hub
+    skew) and one map-side-combined groupBy on the other endpoint; each
+    normalizer is a ONE-ROW aggregate crossJoined back (broadcast), never
+    driver-side node state.
+
+    Lineage discipline is stricter than PageRank's: each normalizer's
+    one-row aggregate subtree DUPLICATES the full score-frame lineage, so
+    the logical plan grows ~4x per iteration (two normalizes), and the
+    edge/node frames — whose lineage reaches all the way back through the
+    HTML link extraction — are re-planned four times per iteration.  So
+    ``e``/``nodes`` are materialized ONCE up front and the score frames
+    are truncated every ``checkpoint_every=1`` iteration; with the
+    default cadence of 3 the plan balloons 64x between truncations and
+    can exhaust a shared driver JVM on plan canonicalization alone.
+
+    Returns (node, hub_e9, auth_e9) in units of 10^-9.
+    """
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    hubs = nodes.select("node", F.lit(SCALE_H // n_nodes).alias("hub"))
+    hubs = hubs.localCheckpoint(eager=True)
+    auth = None
+    for it in range(iterations):
+        auth = hits_authority_step(nodes, e, hubs)
+        hubs = hits_hub_step(nodes, e, auth)
+        if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
+            hubs = hubs.localCheckpoint(eager=True)
+            auth = auth.localCheckpoint(eager=True)
+    return (
+        hubs.join(auth, "node")
+        .select(
+            "node",
+            F.col("hub").alias("hub_e9"),
+            F.col("auth").alias("auth_e9"),
+        )
+    )
+
+
+def _l1_normalize(scores: DataFrame, col: str) -> DataFrame:
+    """scores · SCALE_H div Σ scores — the total is a one-row aggregate
+    broadcast back via crossJoin (NULLIF guards the empty-graph edge
+    case so the division yields NULL→0 instead of raising)."""
+    tot = scores.agg(F.sum(col).alias("tot"))
+    return (
+        scores.crossJoin(F.broadcast(tot))
+        .select(
+            "node",
+            F.coalesce(
+                F.expr(f"({col} * {SCALE_H}) div nullif(tot, 0)"), F.lit(0)
+            ).alias(col),
+        )
+    )
+
+
+def hits_authority_step(nodes: DataFrame, e: DataFrame, hubs: DataFrame) -> DataFrame:
+    """auth(v) = normalize(Σ hub(u) over in-edges (u,v)); nodes with no
+    in-links hold 0.  One shuffle keyed by dst after the src-keyed join."""
+    raw = (
+        hubs.join(e, hubs["node"] == e["src"])
+        .groupBy("dst")
+        .agg(F.sum("hub").alias("auth"))
+    )
+    full = nodes.join(raw, nodes["node"] == raw["dst"], "left").select(
+        "node", F.coalesce("auth", F.lit(0)).alias("auth")
+    )
+    return _l1_normalize(full, "auth")
+
+
+def hits_hub_step(nodes: DataFrame, e: DataFrame, auth: DataFrame) -> DataFrame:
+    """hub(u) = normalize(Σ auth(v) over out-edges (u,v))."""
+    raw = (
+        auth.join(e, auth["node"] == e["dst"])
+        .groupBy("src")
+        .agg(F.sum("auth").alias("hub"))
+    )
+    full = nodes.join(raw, nodes["node"] == raw["src"], "left").select(
+        "node", F.coalesce("hub", F.lit(0)).alias("hub")
+    )
+    return _l1_normalize(full, "hub")
 
 
 def pagerank_step(

@@ -4093,6 +4093,71 @@ def _pagerank_sql(iterations: int = 10, damping_pct: int = 85) -> str:
 WEB_PAGERANK_SQL = _pagerank_sql()
 
 
+def web_hits(spark, sf_dir):
+    """10-iteration fixed-point HITS (hubs & authorities, L1-normalized)
+    over the extracted link graph — exact BIGINT arithmetic throughout
+    (operators/webgraph.py:hits_fixed_point), so the iterative Spark
+    joins value-hash-match the unrolled DuckDB CTE chain."""
+    from .operators.webgraph import edge_list, hits_fixed_point
+
+    return hits_fixed_point(edge_list(_web_links(spark)), iterations=10).orderBy(
+        "node"
+    )
+
+
+def _hits_sql(iterations: int = 10) -> str:
+    """Unrolled fixed-point HITS mirroring hits_fixed_point term for
+    term: per iteration an in-link sum + L1 normalize for authorities,
+    then an out-link sum + L1 normalize for hubs.  Every CTE is
+    MATERIALIZED for the same plan-blowup reason as _pagerank_sql; the
+    normalizer's HUGEINT sum is cast back to BIGINT after the floor
+    division (bounded ≤ SCALE_H by construction)."""
+    s = 1_000_000_000
+    ctes = [
+        _WEB_LINKS_CTES.lstrip(),
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM links)",
+        "nodes AS MATERIALIZED"
+        " (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)",
+        f"h0 AS MATERIALIZED (SELECT node,"
+        f" CAST({s} AS BIGINT) // (SELECT n FROM nn) AS hub FROM nodes)",
+    ]
+    for k in range(iterations):
+        ctes.append(
+            f"ar{k} AS MATERIALIZED (SELECT n.node, coalesce(s.v, 0) AS auth"
+            f" FROM nodes n LEFT JOIN"
+            f" (SELECT e.dst AS node, CAST(sum(h.hub) AS BIGINT) AS v"
+            f"  FROM h{k} h JOIN e ON h.node = e.src GROUP BY e.dst) s"
+            f" USING (node))"
+        )
+        ctes.append(
+            f"a{k} AS MATERIALIZED (SELECT node, CAST(coalesce("
+            f"(auth * {s}) // nullif((SELECT sum(auth) FROM ar{k}), 0), 0)"
+            f" AS BIGINT) AS auth FROM ar{k})"
+        )
+        ctes.append(
+            f"hr{k} AS MATERIALIZED (SELECT n.node, coalesce(s.v, 0) AS hub"
+            f" FROM nodes n LEFT JOIN"
+            f" (SELECT e.src AS node, CAST(sum(a.auth) AS BIGINT) AS v"
+            f"  FROM a{k} a JOIN e ON a.node = e.dst GROUP BY e.src) s"
+            f" USING (node))"
+        )
+        ctes.append(
+            f"h{k + 1} AS MATERIALIZED (SELECT node, CAST(coalesce("
+            f"(hub * {s}) // nullif((SELECT sum(hub) FROM hr{k}), 0), 0)"
+            f" AS BIGINT) AS hub FROM hr{k})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT h.node, h.hub AS hub_e9, a.auth AS auth_e9"
+        + f"\nFROM h{iterations} h JOIN a{iterations - 1} a USING (node)"
+        + "\nORDER BY node"
+    )
+
+
+WEB_HITS_SQL = _hits_sql()
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_urgent_revenue": q3_top_urgent_revenue,
@@ -4193,6 +4258,7 @@ QUERIES = {
     "web_link_edges": web_link_edges,
     "web_anchor_text": web_anchor_text,
     "web_pagerank": web_pagerank,
+    "web_hits": web_hits,
 }
 
 ORACLES = {
@@ -4302,4 +4368,5 @@ ORACLES = {
     "web_link_edges": WEB_LINK_EDGES_SQL,
     "web_anchor_text": WEB_ANCHOR_TEXT_SQL,
     "web_pagerank": WEB_PAGERANK_SQL,
+    "web_hits": WEB_HITS_SQL,
 }

@@ -78,14 +78,26 @@ def test_spark_submit_media_job(tmp_path):
     import duckdb
 
     con = duckdb.connect()
+    # expected counts derive from the corpus source so fixture additions
+    # (e.g. new fuzz payloads) can't silently go missing from the job
+    from pdf_extract_spark.sources.media_corpus import (
+        audio_plant_rows,
+        dhash_plant_rows,
+        synthetic_media_rows,
+    )
+
+    corpus = synthetic_media_rows() + dhash_plant_rows() + audio_plant_rows()
+    n_img = sum(1 for r in corpus if r[1] == "image")
+    n_aud = sum(1 for r in corpus if r[1] == "audio")
     m = dict(con.execute(
         f"SELECT stage, n_rows FROM '{out}/metrics/*.parquet'"
     ).fetchall())
-    assert m["image_hashes"] == 41 and m["audio_fps"] == 10
+    assert m["image_hashes"] == n_img and m["audio_fps"] == n_aud
     stubs = dict(con.execute(
         f"SELECT stage, n_stub FROM '{out}/metrics/*.parquet'"
     ).fetchall())
-    assert stubs["image_hashes"] == 9 and stubs["audio_fps"] == 3
+    # the 4 hand-written VP8L fuzz payloads joined the stub tier in r6
+    assert stubs["image_hashes"] == 13 and stubs["audio_fps"] == 3
     # the planted near-dups surface in the written pair sets
     img = con.execute(
         f"SELECT count(*) FROM '{out}/image_pairs/*.parquet' "

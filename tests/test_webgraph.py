@@ -121,3 +121,72 @@ def test_pagerank_matches_float_reference(spark):
         ranks = nxt
     for n in nodes:
         assert abs(r[n] / SCALE - ranks[n]) < 1e-6
+
+
+def _hits(spark, edges, **kw):
+    from pdf_extract_spark.operators.webgraph import hits_fixed_point
+
+    e = spark.createDataFrame(edges, "src string, dst string")
+    return {
+        r.node: (r.hub_e9, r.auth_e9) for r in hits_fixed_point(e, **kw).collect()
+    }
+
+
+def test_hits_bipartite_ordering(spark):
+    """h1 links both authorities, h2 links one; a1 has two in-links, a2
+    one — so h1 must out-hub h2 and a1 must out-auth a2, while pure hubs
+    hold zero authority and pure authorities zero hub score."""
+    r = _hits(spark, [("h1", "a1"), ("h1", "a2"), ("h2", "a1")], iterations=8)
+    assert r["h1"][0] > r["h2"][0] > 0
+    assert r["a1"][1] > r["a2"][1] > 0
+    assert r["h1"][1] == r["h2"][1] == 0  # no in-links -> no authority
+    assert r["a1"][0] == r["a2"][0] == 0  # no out-links -> no hub score
+
+
+def test_hits_symmetric_cycle_exact(spark):
+    """a <-> b is symmetric: hubs and authorities must be EXACTLY equal
+    across the two nodes, and each L1-normalized vector sums to SCALE_H
+    within floor loss."""
+    from pdf_extract_spark.operators.webgraph import SCALE_H
+
+    r = _hits(spark, [("a", "b"), ("b", "a")], iterations=6)
+    assert r["a"] == r["b"]
+    assert 0 <= SCALE_H - (r["a"][0] + r["b"][0]) < 4
+    assert 0 <= SCALE_H - (r["a"][1] + r["b"][1]) < 4
+
+
+def test_hits_partition_invariance(spark):
+    """Integer fixed-point HITS must produce IDENTICAL scores regardless
+    of input partitioning (same reproducibility contract as PageRank)."""
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "b"), ("d", "a")]
+    e1 = spark.createDataFrame(edges, "src string, dst string").coalesce(1)
+    e8 = spark.createDataFrame(edges, "src string, dst string").repartition(8)
+    from pdf_extract_spark.operators.webgraph import hits_fixed_point
+
+    r1 = {r.node: (r.hub_e9, r.auth_e9) for r in hits_fixed_point(e1, iterations=5).collect()}
+    r8 = {r.node: (r.hub_e9, r.auth_e9) for r in hits_fixed_point(e8, iterations=5).collect()}
+    assert r1 == r8
+
+
+def test_hits_matches_float_reference(spark):
+    """Fixed-point HITS tracks a float64 L1-normalized reference to
+    ~1e-6 relative — representation change, not a different algorithm."""
+    from pdf_extract_spark.operators.webgraph import SCALE_H
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "c")]
+    iters = 8
+    r = _hits(spark, edges, iterations=iters)
+
+    nodes = sorted({n for e in edges for n in e})
+    hub = {n: 1.0 / len(nodes) for n in nodes}
+    auth = {}
+    for _ in range(iters):
+        auth = {v: sum(hub[u] for u, w in edges if w == v) for v in nodes}
+        tot = sum(auth.values())
+        auth = {v: x / tot for v, x in auth.items()}
+        hub = {u: sum(auth[v] for s, v in edges if s == u) for u in nodes}
+        tot = sum(hub.values())
+        hub = {u: x / tot for u, x in hub.items()}
+    for n in nodes:
+        assert abs(r[n][0] / SCALE_H - hub[n]) < 1e-6
+        assert abs(r[n][1] / SCALE_H - auth[n]) < 1e-6
