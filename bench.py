@@ -111,6 +111,12 @@ HEADLINE = [
     "web_link_edges",
     "web_anchor_text",
     "web_pagerank",
+    # hits adds the L1-normalize half-steps (two one-row broadcast
+    # aggregates per iteration) on top of pagerank's join loop
+    "web_hits",
+    # the declarative boilerplate classifier: regex segmentation +
+    # one window shuffle, the zero-Python HTML strip path
+    "html_boilerpipe_blocks",
 ]
 
 

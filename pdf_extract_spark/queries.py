@@ -4158,6 +4158,82 @@ def _hits_sql(iterations: int = 10) -> str:
 WEB_HITS_SQL = _hits_sql()
 
 
+def html_boilerpipe_blocks(spark, sf_dir):
+    """Densitometric boilerplate classification (Kohlschuetter WSDM'10
+    shallow-text-features rules) over the raw HTML corpus — the second,
+    fully DECLARATIVE boilerplate-strip algorithm: scan-side regex block
+    segmentation + one doc-keyed lag/lead window, zero Python
+    (operators/boilerpipe.py)."""
+    from .operators.boilerpipe import densitometric_blocks
+
+    return densitometric_blocks(
+        spark.read.parquet(_HTML_CORPUS_PARQUET)
+    ).orderBy("url", "block_ord")
+
+
+def _boilerpipe_sql() -> str:
+    """Term-for-term mirror of operators/boilerpipe.py: same subtree-drop
+    and block-tag regexes (RE2-compatible by construction — non-greedy,
+    no backreferences), same \\x01-sentinel segmentation, same integer
+    cross-multiplied thresholds, so the classification is value-hash
+    exact without any float division in either engine."""
+    from .operators.boilerpipe import (
+        ANCHOR_SUBTREE_RE,
+        BLOCK_TAG_RE,
+        DROP_SUBTREE_RES,
+        TAG_RE,
+    )
+
+    cleaned = "html"
+    for pat in DROP_SUBTREE_RES:
+        cleaned = f"regexp_replace({cleaned}, '{pat}', ' ', 'g')"
+    strip = "regexp_replace(raw, '{tag}', ' ', 'g')".format(tag=TAG_RE)
+    strip_nolink = (
+        "regexp_replace(regexp_replace(raw, '{a}', ' ', 'g'), '{tag}', ' ', 'g')"
+        .format(a=ANCHOR_SUBTREE_RE, tag=TAG_RE)
+    )
+    return f"""
+WITH parts AS (
+  SELECT url,
+         string_split(regexp_replace({cleaned}, '{BLOCK_TAG_RE}', chr(1), 'g'),
+                      chr(1)) AS ps
+  FROM read_parquet('{_HTML_CORPUS_PARQUET}')
+), blocks0 AS (
+  SELECT url, generate_subscripts(ps, 1) AS pos, unnest(ps) AS raw FROM parts
+), feats AS (
+  SELECT url, pos,
+         trim(regexp_replace({strip}, '\\s+', ' ', 'g')) AS text,
+         len(regexp_extract_all({strip}, '\\S+')) AS words,
+         len(regexp_extract_all({strip}, '\\S+'))
+           - len(regexp_extract_all({strip_nolink}, '\\S+')) AS link_words
+  FROM blocks0
+), nonempty AS (
+  SELECT * FROM feats WHERE words > 0
+), ctx AS (
+  SELECT url, pos, text, words, link_words,
+         coalesce(lag(words) OVER w, 0) AS p_words,
+         coalesce(lag(link_words) OVER w, 0) AS p_link,
+         coalesce(lead(words) OVER w, 0) AS n_words,
+         row_number() OVER w AS block_ord
+  FROM nonempty WINDOW w AS (PARTITION BY url ORDER BY pos)
+)
+SELECT url, CAST(block_ord AS BIGINT) AS block_ord,
+       CAST(words AS BIGINT) AS words,
+       CAST(link_words AS BIGINT) AS link_words,
+       CASE WHEN link_words * 3 <= words
+             AND CASE WHEN p_link * 1000000 <= p_words * 555556
+                      THEN (words > 16 OR n_words > 15 OR p_words > 4)
+                      ELSE (words > 40 OR n_words > 17) END
+            THEN 'content' ELSE 'boilerplate' END AS label,
+       text
+FROM ctx
+ORDER BY url, block_ord
+"""
+
+
+HTML_BOILERPIPE_BLOCKS_SQL = _boilerpipe_sql()
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_urgent_revenue": q3_top_urgent_revenue,
@@ -4259,6 +4335,7 @@ QUERIES = {
     "web_anchor_text": web_anchor_text,
     "web_pagerank": web_pagerank,
     "web_hits": web_hits,
+    "html_boilerpipe_blocks": html_boilerpipe_blocks,
 }
 
 ORACLES = {
@@ -4369,4 +4446,5 @@ ORACLES = {
     "web_anchor_text": WEB_ANCHOR_TEXT_SQL,
     "web_pagerank": WEB_PAGERANK_SQL,
     "web_hits": WEB_HITS_SQL,
+    "html_boilerpipe_blocks": HTML_BOILERPIPE_BLOCKS_SQL,
 }

@@ -313,3 +313,19 @@ def test_web_pagerank_step_plan_shape(spark):
     assert "CartesianProduct" not in txt
     assert "Window" not in txt
     assert "BroadcastNestedLoopJoin" in txt  # the 1-row dangling crossJoin
+
+
+def test_boilerpipe_plan_is_jvm_only_one_window(spark):
+    """The densitometric classifier must be pure codegen: regex
+    segmentation scan-side, exactly ONE doc-keyed window exchange for
+    the lag/lead context, and no Python evaluation anywhere."""
+    from pdf_extract_spark.queries import html_boilerpipe_blocks
+
+    txt = formatted(html_boilerpipe_blocks(spark, SF))
+    assert "BatchEvalPython" not in txt
+    assert "ArrowEvalPython" not in txt
+    assert "CartesianProduct" not in txt
+    # lag/lead and row_number are two Window nodes (different frames) but
+    # must REUSE one url-keyed exchange; the only other exchange allowed
+    # is the final presentation orderBy -> exactly 2 in the whole plan
+    assert len(re.findall(r"\(\d+\) Exchange", txt)) == 2

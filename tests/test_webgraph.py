@@ -190,3 +190,51 @@ def test_hits_matches_float_reference(spark):
     for n in nodes:
         assert abs(r[n][0] / SCALE_H - hub[n]) < 1e-6
         assert abs(r[n][1] / SCALE_H - auth[n]) < 1e-6
+
+
+def _bp_blocks(spark, html):
+    from pdf_extract_spark.operators.boilerpipe import densitometric_blocks
+
+    pages = spark.createDataFrame([("u", html)], "url string, html string")
+    return {
+        r.block_ord: (r.words, r.link_words, r.label, r.text)
+        for r in densitometric_blocks(pages).collect()
+    }
+
+
+def test_boilerpipe_link_dense_block_is_boilerplate(spark):
+    """A block over the 1/3 link-density line is boilerplate regardless
+    of length; a long link-light paragraph is content."""
+    long_text = " ".join(["word"] * 45)
+    html = (
+        "<body><div><a href='/x'>one two three</a> four</div>"
+        f"<p>{long_text}</p></body>"
+    )
+    b = _bp_blocks(spark, html)
+    assert b[1][2] == "boilerplate" and b[1][1] == 3  # 3 of 4 words linked
+    assert b[2][2] == "content" and b[2][0] == 45
+
+
+def test_boilerpipe_context_rules(spark):
+    """A short link-free block flips to content when its NEIGHBORS carry
+    enough words (the WSDM'10 prev/next context rules)."""
+    short = "just a few words here"  # 5 words, <= 16
+    long_p = " ".join(["w"] * 20)
+    # alone: prev=0 words, next=0 -> boilerplate
+    alone = _bp_blocks(spark, f"<body><p>{short}</p></body>")
+    assert alone[1][2] == "boilerplate"
+    # sandwiched after a 20-word paragraph (prev_words > 4) -> content
+    ctx = _bp_blocks(spark, f"<body><p>{long_p}</p><p>{short}</p></body>")
+    assert ctx[2][2] == "content"
+
+
+def test_boilerpipe_head_and_scripts_dropped(spark):
+    """head/script/style/comment subtrees contribute no blocks."""
+    html = (
+        "<html><head><title>ttt</title><script>var x='<p>hi</p>';</script>"
+        "<style>.x{}</style></head><body><!-- note --><p>"
+        + " ".join(["tok"] * 18)
+        + "</p></body></html>"
+    )
+    b = _bp_blocks(spark, html)
+    assert len(b) == 1 and b[1][0] == 18 and b[1][2] == "content"
