@@ -117,6 +117,9 @@ HEADLINE = [
     # the declarative boilerplate classifier: regex segmentation +
     # one window shuffle, the zero-Python HTML strip path
     "html_boilerpipe_blocks",
+    # politeness scheduler: grouped two-phase prefix rank over the
+    # synthetic frontier (checkpoint + two bounded broadcasts)
+    "web_fetch_waves",
 ]
 
 

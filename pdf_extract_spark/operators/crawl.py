@@ -1,0 +1,87 @@
+"""Politeness-aware crawl scheduling: assign every frontier URL a fetch
+WAVE such that no wave contains more than ``per_host_cap`` URLs of the
+same host — the standard way a distributed fetcher bounds per-host
+request rate (each wave is dispatched as one round; a host is hit at
+most ``per_host_cap`` times per round regardless of how many of its
+URLs are queued).
+
+Semantics (deterministic, engine-portable):
+
+    rank(u)  = 1-based position of u within its host, ordered by
+               (md5(url), url) — md5 randomizes the within-host order so
+               a host's waves sample its URL space instead of walking it
+               lexicographically, and stays bit-identical everywhere
+    wave(u)  = (rank - 1) div per_host_cap     (0-based fetch round)
+    slot(u)  = (rank - 1) mod per_host_cap     (position inside the round)
+
+100-TB shape: a web frontier's host distribution is extremely skewed
+(one host can hold 10^9 URLs), so a plain per-host row_number window
+would hand a mega-host's whole rank to ONE task.  This uses the grouped
+two-phase distributed prefix rank (same pattern as functions/lm.py's
+per-source perplexity rank and the source_quota_cap fix):
+range-partition by (host, md5, url) -> rank locally within (physical
+partition, host) -- fully parallel even inside one host -- then an
+exclusive per-host prefix over the (partition x host) COUNT frame (tiny:
+P rows per host, not the frontier) broadcast back.  No corpus-sized
+window partition anywhere; the localCheckpoint pins the sampled range
+boundaries so the local-rank and count branches read one materialized
+partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def fetch_waves(
+    frontier: DataFrame,
+    per_host_cap: int = 4,
+    url_col: str = "url",
+    host_col: str = "host",
+    num_parts: int | None = None,
+) -> DataFrame:
+    """(url, host) -> (url, host, host_rank, wave, slot)."""
+    spark = frontier.sparkSession
+    parts = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = (
+        frontier.select(
+            F.col(url_col).alias("url"), F.col(host_col).alias("host")
+        )
+        .withColumn("ord", F.md5(F.encode(F.col("url"), "utf-8")))
+        .repartitionByRange(parts, "host", "ord", "url")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_local = Window.partitionBy("pid", "host").orderBy("ord", "url")
+    local = d.withColumn("local_rn", F.row_number().over(w_local))
+    counts = d.groupBy("pid", "host").agg(F.count(F.lit(1)).alias("pcnt"))
+    w_off = (
+        Window.partitionBy("host")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "poffset", F.coalesce(F.sum("pcnt").over(w_off), F.lit(0)).cast("long")
+    )
+    ranked = local.join(
+        F.broadcast(offsets.select("pid", "host", "poffset")), ["pid", "host"]
+    ).withColumn("host_rank", (F.col("local_rn") + F.col("poffset")).cast("long"))
+    return ranked.select(
+        "url",
+        "host",
+        "host_rank",
+        F.expr(f"(host_rank - 1) div {int(per_host_cap)}").alias("wave"),
+        ((F.col("host_rank") - 1) % per_host_cap).cast("long").alias("slot"),
+    )
+
+
+def wave_profile(waves: DataFrame) -> DataFrame:
+    """Fetch-round load profile: per wave, how many URLs ship and how
+    many hosts participate — the dispatcher's capacity-planning view.
+    One map-side-combined groupBy on the tiny wave key."""
+    return waves.groupBy("wave").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+        F.max("slot").cast("long").alias("max_slot"),
+    )

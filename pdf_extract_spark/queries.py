@@ -4234,6 +4234,46 @@ ORDER BY url, block_ord
 HTML_BOILERPIPE_BLOCKS_SQL = _boilerpipe_sql()
 
 
+def web_fetch_waves(spark, sf_dir):
+    """Politeness crawl scheduling: every frontier URL gets a fetch wave
+    such that no wave holds more than 4 URLs of one host (within-host
+    order randomized by md5 so waves sample the host's URL space).  The
+    per-host rank uses the grouped two-phase distributed prefix rank —
+    no mega-host single-task window (operators/crawl.py).  The frontier
+    derives deterministically from the documents table."""
+    from .operators.crawl import fetch_waves
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    frontier = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.org/"),
+            F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(F.col("source"), F.lit(".example.org")).alias("host"),
+    )
+    return fetch_waves(frontier, per_host_cap=4).orderBy("host", "host_rank")
+
+
+WEB_FETCH_WAVES_SQL = """
+WITH frontier AS (
+  SELECT 'https://' || source || '.example.org/' || lang || '/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         source || '.example.org' AS host
+  FROM documents
+), ranked AS (
+  SELECT url, host,
+         CAST(row_number() OVER (PARTITION BY host ORDER BY md5(url), url)
+              AS BIGINT) AS host_rank
+  FROM frontier
+)
+SELECT url, host, host_rank,
+       CAST((host_rank - 1) // 4 AS BIGINT) AS wave,
+       CAST((host_rank - 1) % 4 AS BIGINT) AS slot
+FROM ranked
+ORDER BY host, host_rank
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_urgent_revenue": q3_top_urgent_revenue,
@@ -4336,6 +4376,7 @@ QUERIES = {
     "web_pagerank": web_pagerank,
     "web_hits": web_hits,
     "html_boilerpipe_blocks": html_boilerpipe_blocks,
+    "web_fetch_waves": web_fetch_waves,
 }
 
 ORACLES = {
@@ -4447,4 +4488,5 @@ ORACLES = {
     "web_pagerank": WEB_PAGERANK_SQL,
     "web_hits": WEB_HITS_SQL,
     "html_boilerpipe_blocks": HTML_BOILERPIPE_BLOCKS_SQL,
+    "web_fetch_waves": WEB_FETCH_WAVES_SQL,
 }

@@ -329,3 +329,30 @@ def test_boilerpipe_plan_is_jvm_only_one_window(spark):
     # must REUSE one url-keyed exchange; the only other exchange allowed
     # is the final presentation orderBy -> exactly 2 in the whole plan
     assert len(re.findall(r"\(\d+\) Exchange", txt)) == 2
+
+
+def test_fetch_waves_no_megahost_window(spark):
+    """The frontier-sized rank must partition by (pid, host) — never by
+    host alone, or one mega-host serializes onto a single task.  The
+    host-only window may run ONLY over the (partition x host) count
+    frame (bounded: P rows per host), which the plan shows as a window
+    over the aggregated counts, not the frontier."""
+    from pdf_extract_spark.operators.crawl import fetch_waves
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    frontier = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".x/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.col("source").alias("host"),
+    )
+    txt = plan_of(fetch_waves(frontier))
+    wins = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", txt)
+    assert wins, txt[:2000]
+    frontier_wins = [w for w in wins if "pid" in w]
+    host_only_wins = [w for w in wins if "pid" not in w]
+    # the row_number over the checkpointed frontier carries pid+host
+    assert any("host" in w for w in frontier_wins), wins
+    # any host-only window is the offset prefix over the count frame,
+    # which sits downstream of a HashAggregate, never the raw frontier
+    for _ in host_only_wins:
+        assert "HashAggregate" in txt
