@@ -44,20 +44,29 @@ def fetch_waves(
     """(url, host) -> (url, host, host_rank, wave, slot)."""
     spark = frontier.sparkSession
     parts = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # rank over an internal NEVER-NULL host key (null flag + coalesced
+    # string): window PARTITION BY groups NULL hosts together, but the
+    # null-unsafe equi-join back would silently DROP them — same guard
+    # as functions/lm.py's per-source rank
+    hk = F.struct(
+        F.col(host_col).isNull().alias("n"),
+        F.coalesce(F.col(host_col).cast("string"), F.lit("")).alias("k"),
+    )
     d = (
         frontier.select(
             F.col(url_col).alias("url"), F.col(host_col).alias("host")
         )
+        .withColumn("__hk", hk)
         .withColumn("ord", F.md5(F.encode(F.col("url"), "utf-8")))
-        .repartitionByRange(parts, "host", "ord", "url")
+        .repartitionByRange(parts, "__hk", "ord", "url")
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    w_local = Window.partitionBy("pid", "host").orderBy("ord", "url")
+    w_local = Window.partitionBy("pid", "__hk").orderBy("ord", "url")
     local = d.withColumn("local_rn", F.row_number().over(w_local))
-    counts = d.groupBy("pid", "host").agg(F.count(F.lit(1)).alias("pcnt"))
+    counts = d.groupBy("pid", "__hk").agg(F.count(F.lit(1)).alias("pcnt"))
     w_off = (
-        Window.partitionBy("host")
+        Window.partitionBy("__hk")
         .orderBy("pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -65,7 +74,7 @@ def fetch_waves(
         "poffset", F.coalesce(F.sum("pcnt").over(w_off), F.lit(0)).cast("long")
     )
     ranked = local.join(
-        F.broadcast(offsets.select("pid", "host", "poffset")), ["pid", "host"]
+        F.broadcast(offsets.select("pid", "__hk", "poffset")), ["pid", "__hk"]
     ).withColumn("host_rank", (F.col("local_rn") + F.col("poffset")).cast("long"))
     return ranked.select(
         "url",

@@ -186,7 +186,10 @@ def hits_fixed_point(
     square root, keeps every intermediate a BIGINT, and converges to the
     same principal-eigenvector direction.  Overflow bound: after any
     normalize the vector sums to ≤ SCALE_H, so each raw score is ≤
-    SCALE_H and raw·SCALE_H ≤ 10^18 < 2^63.
+    SCALE_H and raw·SCALE_H ≤ 10^18 < 2^63.  The normalizer TOTAL is
+    Σ_u score(u)·outdeg(u) ≤ SCALE_H·max_outdeg — it would need a single
+    page with ≥9.2×10^9 distinct outlinks to overflow the BIGINT sum
+    (and ANSI mode would raise, not wrap, if one existed).
 
     100-TB shape: per half-iteration one equi-join of the score frame
     onto the edge list (shuffle keyed by src resp. dst, AQE handles hub

@@ -79,3 +79,15 @@ def test_wave_profile_counts(spark):
     assert prof[0] == (9, 3)
     assert prof[1] == (4, 1)
     assert prof[2] == (1, 1)
+
+
+def test_fetch_waves_null_host_not_dropped(spark):
+    """NULL hosts form one politeness group and must survive the rank
+    join (the null-safe __hk key; a raw equi-join would drop them)."""
+    rows = [("https://a.test/1", None), ("https://a.test/2", None),
+            ("https://b.test/1", "b.test")]
+    waves = fetch_waves(_frontier(spark, rows), per_host_cap=1).collect()
+    assert len(waves) == 3
+    null_ranks = sorted(r.host_rank for r in waves if r.host is None)
+    assert null_ranks == [1, 2]
+    assert [r.wave for r in waves if r.host == "b.test"] == [0]

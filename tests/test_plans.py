@@ -350,8 +350,9 @@ def test_fetch_waves_no_megahost_window(spark):
     assert wins, txt[:2000]
     frontier_wins = [w for w in wins if "pid" in w]
     host_only_wins = [w for w in wins if "pid" not in w]
-    # the row_number over the checkpointed frontier carries pid+host
-    assert any("host" in w for w in frontier_wins), wins
+    # the row_number over the checkpointed frontier carries pid + the
+    # null-safe host key
+    assert any("__hk" in w for w in frontier_wins), wins
     # any host-only window is the offset prefix over the count frame,
     # which sits downstream of a HashAggregate, never the raw frontier
     for _ in host_only_wins:
