@@ -238,3 +238,41 @@ def test_boilerpipe_head_and_scripts_dropped(spark):
     )
     b = _bp_blocks(spark, html)
     assert len(b) == 1 and b[1][0] == 18 and b[1][2] == "content"
+
+
+def test_enriched_corpus_structure(spark):
+    """The web-only pages give the graph the structure the fixture
+    families can't: the link farm is the dominant hub, the target ring
+    carries authority, edges cross hosts, and every farm block
+    classifies boilerplate (40 anchors, near-1 link density)."""
+    from pdf_extract_spark.operators.boilerpipe import densitometric_blocks
+    from pdf_extract_spark.queries import _HTML_CORPUS_PARQUET, web_hits
+
+    pages = spark.read.parquet(_HTML_CORPUS_PARQUET)
+    farm_blocks = densitometric_blocks(
+        pages.filter(pages.url == "https://corpus.test/farm")
+    ).collect()
+    assert farm_blocks and all(b.label == "boilerplate" for b in farm_blocks)
+
+    hits = {r.node: (r.hub_e9, r.auth_e9) for r in web_hits(spark, "").collect()}
+    farm = hits["https://corpus.test/farm"]
+    # the farm out-links the whole ring so it out-hubs every ring target
+    # (each links just 2 pages); every target holds authority from
+    # farm + ring + mirror in-links; the mirrors have no in-links at all.
+    # NB: mirrors legitimately out-hub the farm globally — one link onto
+    # the high-authority fixture nav hub beats eight low-authority
+    # targets, which is HITS working as specified.
+    for i in range(8):
+        t = hits[f"https://corpus.test/t{i}"]
+        assert farm[0] > t[0] and t[1] > 0
+    for i in range(3):
+        assert hits[f"https://mirror.test/m{i}"][1] == 0
+    # cross-host edge from the mirror onto the origin exists
+    from pdf_extract_spark.operators.webgraph import edge_list, extract_links
+
+    edges = edge_list(extract_links(pages))
+    cross = edges.filter(
+        (F.col("src").startswith("https://mirror.test"))
+        & (F.col("dst").startswith("https://corpus.test"))
+    ).count()
+    assert cross >= 3
