@@ -4009,17 +4009,37 @@ pages AS (
   SELECT src,
          unnest(regexp_extract_all(html, '{_ANCHOR_RE_SQL}', 0)) AS a
   FROM pages
-), links AS (
+), links0 AS (
   SELECT src,
          CASE WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.\\-]*://') THEN href
               WHEN href LIKE '/%' THEN
                 regexp_extract(src, '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1) || href
-              ELSE NULL END AS dst,
+              ELSE NULL END AS dst_raw,
          regexp_extract(a, '{_ANCHOR_RE_SQL}', 2) AS anchor_text
   FROM (SELECT src, a, regexp_extract(a, '{_ANCHOR_RE_SQL}', 1) AS href FROM anchors)
   WHERE CASE WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.\\-]*://') THEN href
              WHEN href LIKE '/%' THEN 'x'
              ELSE NULL END IS NOT NULL
+), links AS (
+  -- dst canonicalized with the SAME rules as src (mirrors
+  -- operators/webgraph.py canonicalizing BOTH endpoints): an absolute
+  -- href with a messy-cased scheme/host or an explicit default port
+  -- must merge with the canonical node, not mint a duplicate
+  SELECT src,
+         scheme || '://'
+         || CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                 WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                 ELSE hostport END
+         || CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS dst,
+         anchor_text
+  FROM (
+    SELECT src,
+           lower(regexp_extract(dst_raw, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+           lower(regexp_extract(dst_raw, '^[^:/?#]+://([^/?#]*)', 1)) AS hostport,
+           regexp_extract(dst_raw, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS rawpath,
+           anchor_text
+    FROM links0
+  )
 )"""
 
 WEB_LINK_EDGES_SQL = f"""

@@ -55,8 +55,21 @@ def main():
         i = args.index("--json")
         json_out = args[i + 1]
         del args[i : i + 2]
+    only: set[str] = set()
+    if "--only" in args:
+        i = args.index("--only")
+        only.update(args[i + 1].split(","))
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    only = set(args[1:])
+    only.update(args[1:])
+    # an unknown name would silently select NOTHING and print a vacuous
+    # ALL OK (this bug shipped: '--only a,b' once landed in the name set
+    # verbatim, matched zero queries, and masked a real oracle mismatch)
+    unknown = only - set(QUERIES)
+    if unknown:
+        sys.exit(f"unknown query names: {sorted(unknown)}")
+    if only:
+        print(f"checking {len(only)} of {len(QUERIES)} queries")
     results: list[dict] = []
 
     spark = get_spark(master="local[8]", shuffle_partitions=8)
