@@ -4294,6 +4294,291 @@ ORDER BY host, host_rank
 """
 
 
+# ---------------------------------------------------------------------------
+# Crawl policy: robots.txt exclusion rules + sitemap discovery
+# (operators/robots.py) over the materialized crawl-policy corpus
+# (dist/robots_corpus.parquet, dist/sitemap_corpus.parquet,
+# tools/gen_crawl_policy.py) — the SAME bytes the DuckDB oracles read,
+# so line parsing, group merging, agent selection, and longest-match
+# precedence are all value-hash-checked against an independent SQL
+# reimplementation.
+
+_ROBOTS_CORPUS_PARQUET = _golden("robots_corpus.parquet")
+_SITEMAP_CORPUS_PARQUET = _golden("sitemap_corpus.parquet")
+
+
+def _robots_parsed(spark):
+    from .operators.robots import parse_robots
+
+    return parse_robots(spark.read.parquet(_ROBOTS_CORPUS_PARQUET))
+
+
+def _web_nodes(spark):
+    """Every canonical URL the link graph knows — the crawl frontier."""
+    links = _web_links(spark)
+    return (
+        links.select(F.col("src").alias("url"))
+        .union(links.select(F.col("dst").alias("url")))
+        .distinct()
+    )
+
+
+def web_robots_rules(spark, sf_dir):
+    """Parsed robots.txt rule table, expanded per (agent x rule) within
+    each User-agent group: directive grouping, comment/CRLF tolerance,
+    and case-insensitive directive names are all exercised by the
+    fixture corpus (operators/robots.py parse_robots)."""
+    from .operators.robots import robots_rule_table
+
+    return robots_rule_table(_robots_parsed(spark)).orderBy(
+        "host", "group_id", "ln", "agent"
+    )
+
+
+def web_robots_allowed(spark, sf_dir):
+    """Per-frontier-URL fetch decision for agent 'TrainBot' (matched
+    case-insensitively): exact-agent groups override '*', longest rule
+    path wins, allow wins length ties, hosts without robots default to
+    allowed (operators/robots.py robots_decisions)."""
+    from .operators.robots import robots_decisions
+
+    return robots_decisions(
+        _robots_parsed(spark), _web_nodes(spark), "TrainBot"
+    ).orderBy("url")
+
+
+def web_crawl_frontier(spark, sf_dir):
+    """The composed crawl schedule: robots-allowed frontier URLs fanned
+    into politeness fetch waves (per-host cap 2) — robots_decisions
+    feeding operators/crawl.py's grouped two-phase prefix rank."""
+    from .operators.crawl import fetch_waves
+    from .operators.robots import robots_decisions
+
+    allowed = (
+        robots_decisions(_robots_parsed(spark), _web_nodes(spark), "TrainBot")
+        .where(F.col("allowed"))
+        .select("url", "host")
+    )
+    return fetch_waves(allowed, per_host_cap=2).orderBy("host", "host_rank")
+
+
+def web_sitemap_urls(spark, sf_dir):
+    """Sitemap discovery: urlset <url> and sitemapindex <sitemap>
+    entries with canonicalized <loc> and optional lastmod/priority
+    (operators/robots.py parse_sitemaps)."""
+    from .operators.robots import parse_sitemaps
+
+    return parse_sitemaps(spark.read.parquet(_SITEMAP_CORPUS_PARQUET)).orderBy(
+        "sitemap_url", "kind", "loc"
+    )
+
+
+# robots.txt parse pipeline as DuckDB CTEs: line split with 1-based list
+# indexing -> 0-based ln (mirrors posexplode), CR/comment strip, directive
+# extraction, and the lag/sum group-numbering window — term for term the
+# plan parse_robots builds
+_ROBOTS_PARSE_CTES = f"""
+rlines AS (
+  SELECT host, i - 1 AS ln,
+         trim(regexp_replace(regexp_replace(ls[i], '\\r$', ''), '#.*$', '')) AS clean
+  FROM (SELECT host, regexp_split_to_array(robots_txt, '\\n') AS ls
+        FROM read_parquet('{_ROBOTS_CORPUS_PARQUET}')),
+       unnest(range(1, len(ls) + 1)) AS t(i)
+), rdirs AS (
+  SELECT host, ln, directive, trim(regexp_extract(clean, '^[A-Za-z][A-Za-z-]*\\s*:\\s*(.*)$', 1)) AS value
+  FROM (
+    SELECT host, ln, clean,
+           lower(regexp_extract(clean, '^([A-Za-z][A-Za-z-]*)\\s*:', 1)) AS directive
+    FROM rlines
+  )
+  WHERE directive IN ('user-agent', 'allow', 'disallow', 'crawl-delay', 'sitemap')
+), rgrp AS (
+  SELECT host, ln, directive, value,
+         CAST(directive = 'user-agent'
+              AND NOT coalesce(lag(directive = 'user-agent')
+                               OVER (PARTITION BY host ORDER BY ln), false)
+              AS INT) AS sg
+  FROM rdirs
+), rparsed AS (
+  SELECT host, ln, directive, value,
+         sum(sg) OVER (PARTITION BY host ORDER BY ln
+                       ROWS UNBOUNDED PRECEDING) AS group_id
+  FROM rgrp
+)"""
+
+WEB_ROBOTS_RULES_SQL = f"""
+WITH {_ROBOTS_PARSE_CTES}
+SELECT r.host, CAST(r.group_id AS BIGINT) AS group_id,
+       lower(a.value) AS agent, r.directive, r.value,
+       CAST(r.ln AS BIGINT) AS ln
+FROM rparsed r
+JOIN (SELECT host, group_id, value FROM rparsed
+      WHERE directive = 'user-agent') a
+  ON r.host = a.host AND r.group_id = a.group_id
+WHERE r.directive IN ('allow', 'disallow', 'crawl-delay') AND r.value <> ''
+ORDER BY r.host, r.group_id, r.ln, agent
+"""
+
+# effective-rule selection + longest-match decision for agent 'trainbot':
+# exact groups (pref 2) beat '*' groups (pref 1); the per-URL winner is
+# the rn=1 row of the (length DESC, allow-first) window — the same order
+# robots_decisions' struct-max encodes
+_ROBOTS_DECISION_CTES = f"""
+{_ROBOTS_PARSE_CTES}, {_WEB_LINKS_CTES.lstrip()}, ragents AS (
+  SELECT host, group_id,
+         CASE WHEN lower(value) = 'trainbot' THEN 2
+              WHEN lower(value) = '*' THEN 1 END AS pref
+  FROM rparsed WHERE directive = 'user-agent'
+), rhostpref AS (
+  SELECT host, max(pref) AS host_pref FROM ragents
+  WHERE pref IS NOT NULL GROUP BY host
+), rsel AS (
+  SELECT DISTINCT a.host, a.group_id
+  FROM ragents a JOIN rhostpref h
+    ON a.host = h.host AND a.pref = h.host_pref
+), reff AS (
+  SELECT DISTINCT r.host, r.directive AS rule, r.value AS rpath
+  FROM rparsed r JOIN rsel s
+    ON r.host = s.host AND r.group_id = s.group_id
+  WHERE r.directive IN ('allow', 'disallow') AND r.value <> ''
+), nodes AS (
+  SELECT src AS url FROM links UNION SELECT dst FROM links
+), fr AS (
+  SELECT url,
+         lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)) AS host,
+         CASE WHEN regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) = ''
+              THEN '/'
+              ELSE regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1)
+         END AS path
+  FROM nodes
+), rmatches AS (
+  SELECT f.url, e.rule, e.rpath,
+         row_number() OVER (PARTITION BY f.url
+                            ORDER BY length(e.rpath) DESC,
+                                     (e.rule = 'allow') DESC,
+                                     e.rpath DESC, e.rule DESC) AS rn
+  FROM fr f JOIN reff e
+    ON f.host = e.host AND starts_with(f.path, e.rpath)
+), rdecisions AS (
+  SELECT f.url, f.host,
+         coalesce(m.rule = 'allow', true) AS allowed,
+         m.rule, m.rpath AS rule_path
+  FROM fr f LEFT JOIN (SELECT * FROM rmatches WHERE rn = 1) m
+    ON f.url = m.url
+)"""
+
+WEB_ROBOTS_ALLOWED_SQL = f"""
+WITH {_ROBOTS_DECISION_CTES}
+SELECT url, host, allowed, rule, rule_path
+FROM rdecisions ORDER BY url
+"""
+
+WEB_CRAWL_FRONTIER_SQL = f"""
+WITH {_ROBOTS_DECISION_CTES}, franked AS (
+  SELECT url, host,
+         CAST(row_number() OVER (PARTITION BY host ORDER BY md5(url), url)
+              AS BIGINT) AS host_rank
+  FROM rdecisions WHERE allowed
+)
+SELECT url, host, host_rank,
+       CAST((host_rank - 1) // 2 AS BIGINT) AS wave,
+       CAST((host_rank - 1) % 2 AS BIGINT) AS slot
+FROM franked
+ORDER BY host, host_rank
+"""
+
+WEB_SITEMAP_URLS_SQL = f"""
+WITH sm AS (
+  SELECT url AS sitemap_url, xml
+  FROM read_parquet('{_SITEMAP_CORPUS_PARQUET}')
+), sblocks AS (
+  SELECT sitemap_url, 'url' AS kind,
+         unnest(regexp_extract_all(xml, '<url>([\\s\\S]*?)</url>', 1)) AS b
+  FROM sm
+  UNION ALL
+  SELECT sitemap_url, 'sitemap' AS kind,
+         unnest(regexp_extract_all(xml, '<sitemap>([\\s\\S]*?)</sitemap>', 1)) AS b
+  FROM sm
+), sent AS (
+  SELECT sitemap_url, kind,
+         trim(regexp_extract(b, '<loc>([\\s\\S]*?)</loc>', 1)) AS loc_raw,
+         nullif(trim(regexp_extract(b, '<lastmod>([\\s\\S]*?)</lastmod>', 1)), '')
+           AS lastmod,
+         nullif(trim(regexp_extract(b, '<priority>([\\s\\S]*?)</priority>', 1)), '')
+           AS priority
+  FROM sblocks
+), sparts AS (
+  SELECT sitemap_url, kind, lastmod, priority,
+         lower(regexp_extract(loc_raw, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+         lower(regexp_extract(loc_raw, '^[^:/?#]+://([^/?#]*)', 1)) AS hostport,
+         regexp_extract(loc_raw, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS rawpath
+  FROM sent
+)
+SELECT sitemap_url, kind,
+       scheme || '://'
+       || CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+               WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+               ELSE hostport END
+       || CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS loc,
+       lastmod, priority
+FROM sparts
+ORDER BY sitemap_url, kind, loc
+"""
+
+
+def doc_langid(spark, sf_dir):
+    """Heuristic language ID over the documents table: per-language
+    function-word evidence scores (plus a Han codepoint count for zh)
+    and the deterministic arg-max — pure scan-side codegen, zero
+    shuffle (functions/langid.py)."""
+    from .functions.langid import identify_language
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return identify_language(docs).orderBy("doc_id")
+
+
+def _langid_score_sql(words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return (
+        "len(list_filter(toks, x -> x IN (" + inlist + ")))"
+    )
+
+
+def _langid_sql() -> str:
+    from .functions.langid import LANGS, PROFILES
+
+    scores = ",\n         ".join(
+        f"{_langid_score_sql(PROFILES[lang])} AS score_{lang}"
+        for lang in LANGS
+        if lang != "zh"
+    )
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in LANGS) + ")"
+    pred = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in LANGS
+    ) + " END"
+    return f"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}]+'),
+                     x -> x <> '') AS toks,
+         len(regexp_extract_all(text, '[一-鿿]', 0)) AS score_zh
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         {scores},
+         score_zh
+  FROM toked
+)
+SELECT doc_id, score_de, score_en, score_es, score_fr, score_zh,
+       {pred} AS lang_pred
+FROM scored
+ORDER BY doc_id
+"""
+
+
+DOC_LANGID_SQL = _langid_sql()
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_urgent_revenue": q3_top_urgent_revenue,
@@ -4397,6 +4682,11 @@ QUERIES = {
     "web_hits": web_hits,
     "html_boilerpipe_blocks": html_boilerpipe_blocks,
     "web_fetch_waves": web_fetch_waves,
+    "web_robots_rules": web_robots_rules,
+    "web_robots_allowed": web_robots_allowed,
+    "web_crawl_frontier": web_crawl_frontier,
+    "web_sitemap_urls": web_sitemap_urls,
+    "doc_langid": doc_langid,
 }
 
 ORACLES = {
@@ -4509,4 +4799,9 @@ ORACLES = {
     "web_hits": WEB_HITS_SQL,
     "html_boilerpipe_blocks": HTML_BOILERPIPE_BLOCKS_SQL,
     "web_fetch_waves": WEB_FETCH_WAVES_SQL,
+    "web_robots_rules": WEB_ROBOTS_RULES_SQL,
+    "web_robots_allowed": WEB_ROBOTS_ALLOWED_SQL,
+    "web_crawl_frontier": WEB_CRAWL_FRONTIER_SQL,
+    "web_sitemap_urls": WEB_SITEMAP_URLS_SQL,
+    "doc_langid": DOC_LANGID_SQL,
 }
