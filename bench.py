@@ -120,6 +120,14 @@ HEADLINE = [
     # politeness scheduler: grouped two-phase prefix rank over the
     # synthetic frontier (checkpoint + two bounded broadcasts)
     "web_fetch_waves",
+    # crawl-policy layer: robots parse + agent selection + longest-match
+    # decisions over the link-graph frontier, and the composed
+    # robots->waves schedule (the full WHAT+WHEN crawl gate)
+    "web_robots_allowed",
+    "web_crawl_frontier",
+    # scan-side language ID over documents: pure codegen, zero shuffle —
+    # times the per-row profile-scoring projection at corpus scale
+    "doc_langid",
 ]
 
 

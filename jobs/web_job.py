@@ -13,9 +13,17 @@ Stages (each written under --output):
               canonicalized endpoints (operators/webgraph.py)
   pagerank/   10-iteration fixed-point PageRank (rank_e12)
   hits/       10-iteration fixed-point HITS (hub_e9, auth_e9)
+  frontier/   the crawl gate: every graph node (src ∪ dst) run through
+              robots_decisions for --agent, the allowed URLs fanned
+              into politeness fetch waves (operators/robots.py +
+              operators/crawl.py) — the WHAT+WHEN schedule the next
+              crawl round consumes (skipped when --robots none)
+  langid/     heuristic language ID over the extracted content
+              (functions/langid.py) — per-page profile scores and
+              lang_pred, so the output corpus is language-filterable
   metrics/    one row per stage: row counts + content/boilerplate split
-              + graph size, keyed by --run-id — the lineage row a
-              scheduler checks before re-running
+              + graph size + allowed-URL count, keyed by --run-id — the
+              lineage row a scheduler checks before re-running
 
 Usage (local sandbox):
     python tools/package_pyfiles.py   # builds dist/pdf_extract_spark.zip
@@ -42,6 +50,12 @@ def main(argv=None) -> None:
     p.add_argument("--output", required=True)
     p.add_argument("--run-id", default=f"run-{int(time.time())}")
     p.add_argument("--iterations", type=int, default=10)
+    p.add_argument("--robots", default="fixture",
+                   help="robots parquet (host, robots_txt), 'fixture' "
+                        "(dist/robots_corpus.parquet), or 'none' to skip "
+                        "the frontier stage")
+    p.add_argument("--agent", default="TrainBot")
+    p.add_argument("--per-host-cap", type=int, default=2)
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -102,6 +116,41 @@ def main(argv=None) -> None:
         "overwrite"
     ).parquet(f"{args.output}/hits")
 
+    n_allowed = 0
+    if args.robots != "none":
+        from pdf_extract_spark.operators.crawl import fetch_waves
+        from pdf_extract_spark.operators.robots import (
+            parse_robots,
+            robots_decisions,
+        )
+
+        if args.robots == "fixture":
+            import os
+
+            here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            robots = spark.read.parquet(
+                os.path.join(here, "dist", "robots_corpus.parquet")
+            )
+        else:
+            robots = spark.read.parquet(args.robots)
+        nodes = e.select(F.col("src").alias("url")).union(
+            e.select(F.col("dst").alias("url"))
+        ).distinct()
+        decisions = robots_decisions(parse_robots(robots), nodes, args.agent)
+        allowed = decisions.where(F.col("allowed")).select("url", "host")
+        n_allowed = allowed.count()
+        fetch_waves(allowed, per_host_cap=args.per_host_cap).write.mode(
+            "overwrite"
+        ).parquet(f"{args.output}/frontier")
+
+    from pdf_extract_spark.functions.langid import identify_language
+
+    identify_language(
+        spark.read.parquet(f"{args.output}/content"),
+        text_col="content_text",
+        id_col="url",
+    ).write.mode("overwrite").parquet(f"{args.output}/langid")
+
     def stat(name, df, extra=0):
         return {"run_id": args.run_id, "stage": name,
                 "n_rows": df.count(), "n_extra": extra}
@@ -113,7 +162,16 @@ def main(argv=None) -> None:
         stat("edges", e),
         stat("pagerank", spark.read.parquet(f"{args.output}/pagerank")),
         stat("hits", spark.read.parquet(f"{args.output}/hits")),
+        stat("langid", spark.read.parquet(f"{args.output}/langid")),
     ]
+    if args.robots != "none":
+        metrics.append(
+            stat(
+                "frontier",
+                spark.read.parquet(f"{args.output}/frontier"),
+                extra=n_allowed,
+            )
+        )
     spark.createDataFrame(
         metrics, "run_id string, stage string, n_rows long, n_extra long"
     ).write.mode("overwrite").parquet(f"{args.output}/metrics")

@@ -204,3 +204,20 @@ def test_spark_submit_web_job(tmp_path):
         f"SELECT sum(rank_e12), count(*) FROM '{out}/pagerank/*.parquet'"
     ).fetchone()
     assert 0 <= 10**12 - tot < 400 * n
+    # crawl gate: frontier rows = robots-allowed graph nodes (n_extra),
+    # every wave respects the per-host cap of 2
+    assert m["frontier"] >= 1
+    over = con.execute(
+        f"SELECT count(*) FROM (SELECT host, wave, count(*) c "
+        f"FROM '{out}/frontier/*.parquet' GROUP BY host, wave) WHERE c > 2"
+    ).fetchone()[0]
+    assert over == 0
+    # language ID covers every content page and predicts a known code
+    assert m["langid"] == m["content"]
+    langs = {
+        r[0]
+        for r in con.execute(
+            f"SELECT DISTINCT lang_pred FROM '{out}/langid/*.parquet'"
+        ).fetchall()
+    }
+    assert langs <= {"de", "en", "es", "fr", "zh", "und"}
