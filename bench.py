@@ -125,6 +125,10 @@ HEADLINE = [
     # robots->waves schedule (the full WHAT+WHEN crawl gate)
     "web_robots_allowed",
     "web_crawl_frontier",
+    # host projection + the shared fixed-point kernel on the 4-5-orders
+    # smaller domain graph, and the sitemap/graph discovery merge
+    "web_host_pagerank",
+    "web_discovery_frontier",
     # scan-side language ID over documents: pure codegen, zero shuffle —
     # times the per-row profile-scoring projection at corpus scale
     "doc_langid",

@@ -205,6 +205,46 @@ def robots_decisions(
     )
 
 
+def discovery_frontier(
+    sitemap_entries: DataFrame, nodes: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Merge sitemap-declared page URLs with the link-graph node set into
+    one discovery table: (url, in_graph, in_sitemap, sitemap_priority,
+    sitemap_lastmod).
+
+    ``in_sitemap AND NOT in_graph`` is the crawl's new-URL feed (declared
+    but never linked); ``in_graph AND NOT in_sitemap`` flags pages the
+    site stopped declaring.  Priority is the max across declaring
+    sitemaps, lastmod the lexicographic max (ISO dates order correctly).
+
+    100-TB shape: one groupBy on the sitemap side (bounded by declared
+    URLs, far smaller than the frontier) and one full-outer equi-join on
+    the canonical URL — both AQE-planned; no window, no UDF.
+    """
+    sm = (
+        sitemap_entries.where(F.col("kind") == "url")
+        .groupBy(F.col("loc").alias("url"))
+        .agg(
+            F.max(F.col("priority").cast("double")).alias("sitemap_priority"),
+            F.max("lastmod").alias("sitemap_lastmod"),
+        )
+        .withColumn("in_sitemap", F.lit(True))
+    )
+    g = nodes.select(F.col(url_col).alias("url")).distinct().withColumn(
+        "in_graph", F.lit(True)
+    )
+    return (
+        g.join(sm, "url", "full_outer")
+        .select(
+            "url",
+            F.coalesce("in_graph", F.lit(False)).alias("in_graph"),
+            F.coalesce("in_sitemap", F.lit(False)).alias("in_sitemap"),
+            "sitemap_priority",
+            "sitemap_lastmod",
+        )
+    )
+
+
 # --- sitemap discovery -----------------------------------------------------
 
 _LOC_RE = r"<loc>([\s\S]*?)</loc>"

@@ -102,6 +102,34 @@ def edge_list(links: DataFrame) -> DataFrame:
     return links.groupBy("src", "dst").agg(F.count("*").alias("n_anchors"))
 
 
+def host_of(url: Column) -> Column:
+    """The lowercased authority of a canonical URL (default ports are
+    already stripped by canonical_url, so host == hostport)."""
+    return F.lower(F.regexp_extract(url, r"^[^:/?#]+://([^/?#]*)", 1))
+
+
+def host_edges(edges: DataFrame) -> DataFrame:
+    """The host-level (domain) link graph: page endpoints projected to
+    hosts, intra-host navigation dropped, page-edge multiplicity kept —
+    (src_host, dst_host, n_page_edges, n_anchors).
+
+    Domain-level link structure is the standard quality/spam signal a
+    web-curation pipeline aggregates BEFORE page-level scoring (host
+    PageRank, in-host diversity): at 10^12 pages the host graph is 4-5
+    orders of magnitude smaller than the page graph, so ranking it is
+    nearly free once this one map-side-combined groupBy has run.
+    """
+    h = edges.select(
+        host_of(F.col("src")).alias("src_host"),
+        host_of(F.col("dst")).alias("dst_host"),
+        "n_anchors",
+    ).where(F.col("src_host") != F.col("dst_host"))
+    return h.groupBy("src_host", "dst_host").agg(
+        F.count("*").cast("long").alias("n_page_edges"),
+        F.sum("n_anchors").cast("long").alias("n_anchors"),
+    )
+
+
 def anchor_text_agg(links: DataFrame) -> DataFrame:
     """Per-target anchor-text profile: in-link count, distinct source
     count, and the sorted distinct anchor texts (the retrieval-augmented

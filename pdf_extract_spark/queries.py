@@ -4060,7 +4060,11 @@ ORDER BY dst
 """
 
 
-def _pagerank_sql(iterations: int = 10, damping_pct: int = 85) -> str:
+def _pagerank_sql(
+    iterations: int = 10,
+    damping_pct: int = 85,
+    edge_select: str = "SELECT DISTINCT src, dst FROM links",
+) -> str:
     """Unrolled fixed-point PageRank as a chained-CTE DuckDB query — one
     (dangling, contribution, rank) CTE triple per iteration, floor division
     everywhere, mirroring operators/webgraph.py:pagerank_fixed_point term
@@ -4073,7 +4077,7 @@ def _pagerank_sql(iterations: int = 10, damping_pct: int = 85) -> str:
     scale = 1_000_000_000_000
     ctes = [
         _WEB_LINKS_CTES.lstrip(),
-        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM links)",
+        f"e AS MATERIALIZED ({edge_select})",
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
         "deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg"
         " FROM e GROUP BY src)",
@@ -4487,8 +4491,10 @@ FROM franked
 ORDER BY host, host_rank
 """
 
-WEB_SITEMAP_URLS_SQL = f"""
-WITH sm AS (
+# sitemap parse pipeline as shared CTEs ending in sentries
+# (sitemap_url, kind, loc, lastmod, priority) — reused by the frontier
+_SITEMAP_PARSE_CTES = f"""
+sm AS (
   SELECT url AS sitemap_url, xml
   FROM read_parquet('{_SITEMAP_CORPUS_PARQUET}')
 ), sblocks AS (
@@ -4513,15 +4519,21 @@ WITH sm AS (
          lower(regexp_extract(loc_raw, '^[^:/?#]+://([^/?#]*)', 1)) AS hostport,
          regexp_extract(loc_raw, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS rawpath
   FROM sent
-)
-SELECT sitemap_url, kind,
-       scheme || '://'
-       || CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
-               WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
-               ELSE hostport END
-       || CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS loc,
-       lastmod, priority
-FROM sparts
+), sentries AS (
+  SELECT sitemap_url, kind,
+         scheme || '://'
+         || CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                 WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                 ELSE hostport END
+         || CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS loc,
+         lastmod, priority
+  FROM sparts
+)"""
+
+WEB_SITEMAP_URLS_SQL = f"""
+WITH {_SITEMAP_PARSE_CTES}
+SELECT sitemap_url, kind, loc, lastmod, priority
+FROM sentries
 ORDER BY sitemap_url, kind, loc
 """
 
@@ -4577,6 +4589,109 @@ ORDER BY doc_id
 
 
 DOC_LANGID_SQL = _langid_sql()
+
+
+# ---------------------------------------------------------------------------
+# Host-level (domain) graph + sitemap discovery frontier
+
+_HOST_OF = "lower(regexp_extract({c}, '^[^:/?#]+://([^/?#]*)', 1))"
+
+
+def web_host_edges(spark, sf_dir):
+    """The domain-level link graph: page edges projected to hosts,
+    intra-host navigation dropped — per (src_host, dst_host) the count
+    of distinct page edges and total anchors (operators/webgraph.py
+    host_edges).  The table a 10^12-page pipeline ranks instead of the
+    page graph when it needs domain quality signals."""
+    from .operators.webgraph import edge_list, host_edges
+
+    return host_edges(edge_list(_web_links(spark))).orderBy(
+        "src_host", "dst_host"
+    )
+
+
+def web_host_pagerank(spark, sf_dir):
+    """10-iteration fixed-point PageRank over the HOST graph — the same
+    exact-BIGINT iteration as web_pagerank on a graph 4-5 orders of
+    magnitude smaller, value-hash-matched against the unrolled CTE chain
+    re-parameterized with the host edge list."""
+    from .operators.webgraph import (
+        edge_list,
+        host_edges,
+        pagerank_fixed_point,
+    )
+
+    he = host_edges(edge_list(_web_links(spark))).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return pagerank_fixed_point(he, iterations=10).orderBy("node")
+
+
+def web_discovery_frontier(spark, sf_dir):
+    """Sitemap-declared URLs merged with link-graph nodes: the crawl's
+    new-URL feed (declared-but-unlinked) and stale-page flags
+    (linked-but-undeclared), with max priority / lastmod per URL
+    (operators/robots.py discovery_frontier)."""
+    from .operators.robots import discovery_frontier, parse_sitemaps
+
+    entries = parse_sitemaps(spark.read.parquet(_SITEMAP_CORPUS_PARQUET))
+    # nullable double -> string at the ORACLE boundary only: DuckDB's
+    # pandas fetch turns NULL doubles into NaN, which the driver's
+    # canonicalizer hashes differently from a true NULL
+    return (
+        discovery_frontier(entries, _web_nodes(spark))
+        .withColumn(
+            "sitemap_priority", F.col("sitemap_priority").cast("string")
+        )
+        .orderBy("url")
+    )
+
+
+WEB_HOST_EDGES_SQL = f"""
+WITH {_WEB_LINKS_CTES}, pe AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS n_anchors
+  FROM links GROUP BY src, dst
+), he AS (
+  SELECT {_HOST_OF.format(c='src')} AS src_host,
+         {_HOST_OF.format(c='dst')} AS dst_host,
+         n_anchors
+  FROM pe
+  WHERE {_HOST_OF.format(c='src')} <> {_HOST_OF.format(c='dst')}
+)
+SELECT src_host, dst_host,
+       CAST(count(*) AS BIGINT) AS n_page_edges,
+       CAST(sum(n_anchors) AS BIGINT) AS n_anchors
+FROM he GROUP BY src_host, dst_host
+ORDER BY src_host, dst_host
+"""
+
+_HOST_EDGE_SELECT = (
+    "SELECT DISTINCT h1 AS src, h2 AS dst FROM ("
+    f"SELECT {_HOST_OF.format(c='src')} AS h1, "
+    f"{_HOST_OF.format(c='dst')} AS h2 FROM links) WHERE h1 <> h2"
+)
+
+WEB_HOST_PAGERANK_SQL = _pagerank_sql(edge_select=_HOST_EDGE_SELECT)
+
+WEB_DISCOVERY_FRONTIER_SQL = f"""
+WITH {_SITEMAP_PARSE_CTES}, {_WEB_LINKS_CTES.lstrip()}, gnodes AS (
+  SELECT DISTINCT url, true AS in_graph
+  FROM (SELECT src AS url FROM links UNION SELECT dst FROM links)
+), smurls AS (
+  SELECT loc AS url,
+         max(CAST(priority AS DOUBLE)) AS sitemap_priority,
+         max(lastmod) AS sitemap_lastmod,
+         true AS in_sitemap
+  FROM sentries WHERE kind = 'url' GROUP BY loc
+)
+SELECT coalesce(g.url, s.url) AS url,
+       coalesce(g.in_graph, false) AS in_graph,
+       coalesce(s.in_sitemap, false) AS in_sitemap,
+       CAST(s.sitemap_priority AS VARCHAR) AS sitemap_priority,
+       s.sitemap_lastmod
+FROM gnodes g FULL OUTER JOIN smurls s ON g.url = s.url
+ORDER BY url
+"""
 
 
 QUERIES = {
@@ -4687,6 +4802,9 @@ QUERIES = {
     "web_crawl_frontier": web_crawl_frontier,
     "web_sitemap_urls": web_sitemap_urls,
     "doc_langid": doc_langid,
+    "web_host_edges": web_host_edges,
+    "web_host_pagerank": web_host_pagerank,
+    "web_discovery_frontier": web_discovery_frontier,
 }
 
 ORACLES = {
@@ -4804,4 +4922,7 @@ ORACLES = {
     "web_crawl_frontier": WEB_CRAWL_FRONTIER_SQL,
     "web_sitemap_urls": WEB_SITEMAP_URLS_SQL,
     "doc_langid": DOC_LANGID_SQL,
+    "web_host_edges": WEB_HOST_EDGES_SQL,
+    "web_host_pagerank": WEB_HOST_PAGERANK_SQL,
+    "web_discovery_frontier": WEB_DISCOVERY_FRONTIER_SQL,
 }
