@@ -85,6 +85,51 @@ def fetch_waves(
     )
 
 
+def fetch_schedule(
+    parsed_robots: DataFrame,
+    frontier: DataFrame,
+    agent: str,
+    per_host_cap: int = 4,
+    default_delay_s: float = 1.0,
+) -> DataFrame:
+    """The full politeness schedule: robots-allowed frontier URLs fanned
+    into fetch waves, each wave timed by the host's effective
+    Crawl-delay — (url, host, host_rank, wave, slot, crawl_delay,
+    fetch_offset_s) where ``fetch_offset_s = wave * crawl_delay`` is the
+    earliest dispatch time relative to the host's first fetch.
+
+    Composes the WHAT gate (robots_decisions), the WHEN fan-out
+    (fetch_waves), and the HOW-FAST directive (effective_crawl_delay,
+    defaulting to ``default_delay_s`` for hosts that declare none).  The
+    delay table is one row per delay-declaring host — joined after the
+    wave assignment so the equi-join is on the already-ranked frame and
+    AQE broadcasts it whenever it fits.
+    """
+    from .robots import effective_crawl_delay, robots_decisions
+
+    allowed = (
+        robots_decisions(parsed_robots, frontier, agent)
+        .where(F.col("allowed"))
+        .select("url", "host")
+    )
+    waves = fetch_waves(allowed, per_host_cap=per_host_cap)
+    delays = effective_crawl_delay(parsed_robots, agent)
+    return (
+        waves.join(delays, "host", "left")
+        .withColumn(
+            "crawl_delay",
+            F.coalesce("crawl_delay", F.lit(float(default_delay_s))),
+        )
+        .withColumn(
+            "fetch_offset_s", F.col("wave") * F.col("crawl_delay")
+        )
+        .select(
+            "url", "host", "host_rank", "wave", "slot",
+            "crawl_delay", "fetch_offset_s",
+        )
+    )
+
+
 def wave_profile(waves: DataFrame) -> DataFrame:
     """Fetch-round load profile: per wave, how many URLs ship and how
     many hosts participate — the dispatcher's capacity-planning view.

@@ -119,10 +119,10 @@ def robots_rule_table(parsed: DataFrame) -> DataFrame:
     )
 
 
-def effective_rules(parsed: DataFrame, agent: str) -> DataFrame:
-    """The allow/disallow rules that govern ``agent``: rules of every
-    group naming the agent exactly, else of every ``*`` group —
-    distinct (host, rule, rpath)."""
+def _selected_groups(parsed: DataFrame, agent: str) -> DataFrame:
+    """The (host, group_id) set governing ``agent``: every group naming
+    the agent exactly beats the ``*`` groups; ``*`` only applies when no
+    exact group exists on that host."""
     a = agent.lower()
     ag = (
         parsed.where(F.col("directive") == "user-agent")
@@ -134,12 +134,19 @@ def effective_rules(parsed: DataFrame, agent: str) -> DataFrame:
         .where(F.col("pref").isNotNull())
     )
     host_pref = ag.groupBy("host").agg(F.max("pref").alias("host_pref"))
-    sel = (
+    return (
         ag.join(host_pref, "host")
         .where(F.col("pref") == F.col("host_pref"))
         .select("host", "group_id")
         .distinct()
     )
+
+
+def effective_rules(parsed: DataFrame, agent: str) -> DataFrame:
+    """The allow/disallow rules that govern ``agent``: rules of every
+    group naming the agent exactly, else of every ``*`` group —
+    distinct (host, rule, rpath)."""
+    sel = _selected_groups(parsed, agent)
     rules = parsed.where(
         F.col("directive").isin("allow", "disallow") & (F.col("value") != "")
     ).select(
@@ -149,6 +156,27 @@ def effective_rules(parsed: DataFrame, agent: str) -> DataFrame:
     return rules.join(sel, ["host", "group_id"]).select(
         "host", "rule", "rpath"
     ).distinct()
+
+
+def effective_crawl_delay(parsed: DataFrame, agent: str) -> DataFrame:
+    """Per-host Crawl-delay governing ``agent`` (seconds, max across the
+    selected groups; malformed values NULL out via the cast and drop):
+    (host, crawl_delay).  Hosts with no delay directive emit no row —
+    callers coalesce to their default."""
+    sel = _selected_groups(parsed, agent)
+    # try_cast, not cast: ANSI mode raises on malformed numerics, and
+    # crawl bytes are untrusted — a bad value must drop, not kill a task
+    delays = parsed.where(
+        (F.col("directive") == "crawl-delay")
+        & F.col("value").try_cast("double").isNotNull()
+    ).select(
+        "host", "group_id", F.col("value").try_cast("double").alias("d")
+    )
+    return (
+        delays.join(sel, ["host", "group_id"])
+        .groupBy("host")
+        .agg(F.max("d").alias("crawl_delay"))
+    )
 
 
 def robots_decisions(

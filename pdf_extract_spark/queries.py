@@ -4366,6 +4366,18 @@ def web_crawl_frontier(spark, sf_dir):
     return fetch_waves(allowed, per_host_cap=2).orderBy("host", "host_rank")
 
 
+def web_fetch_schedule(spark, sf_dir):
+    """The full politeness schedule: robots gate + fetch waves + the
+    host's effective Crawl-delay (max across selected groups, default
+    1.0 s) timing each wave — fetch_offset_s = wave * crawl_delay
+    (operators/crawl.py fetch_schedule)."""
+    from .operators.crawl import fetch_schedule
+
+    return fetch_schedule(
+        _robots_parsed(spark), _web_nodes(spark), "TrainBot", per_host_cap=2
+    ).orderBy("host", "host_rank")
+
+
 def web_sitemap_urls(spark, sf_dir):
     """Sitemap discovery: urlset <url> and sitemapindex <sitemap>
     entries with canonicalized <loc> and optional lastmod/priority
@@ -4475,6 +4487,30 @@ WEB_ROBOTS_ALLOWED_SQL = f"""
 WITH {_ROBOTS_DECISION_CTES}
 SELECT url, host, allowed, rule, rule_path
 FROM rdecisions ORDER BY url
+"""
+
+WEB_FETCH_SCHEDULE_SQL = f"""
+WITH {_ROBOTS_DECISION_CTES}, rdelays AS (
+  SELECT r.host, max(TRY_CAST(r.value AS DOUBLE)) AS crawl_delay
+  FROM rparsed r JOIN rsel s
+    ON r.host = s.host AND r.group_id = s.group_id
+  WHERE r.directive = 'crawl-delay'
+    AND TRY_CAST(r.value AS DOUBLE) IS NOT NULL
+  GROUP BY r.host
+), franked AS (
+  SELECT url, host,
+         CAST(row_number() OVER (PARTITION BY host ORDER BY md5(url), url)
+              AS BIGINT) AS host_rank
+  FROM rdecisions WHERE allowed
+)
+SELECT f.url, f.host, f.host_rank,
+       CAST((f.host_rank - 1) // 2 AS BIGINT) AS wave,
+       CAST((f.host_rank - 1) % 2 AS BIGINT) AS slot,
+       coalesce(d.crawl_delay, 1.0) AS crawl_delay,
+       ((f.host_rank - 1) // 2) * coalesce(d.crawl_delay, 1.0)
+         AS fetch_offset_s
+FROM franked f LEFT JOIN rdelays d ON f.host = d.host
+ORDER BY f.host, f.host_rank
 """
 
 WEB_CRAWL_FRONTIER_SQL = f"""
@@ -4800,6 +4836,7 @@ QUERIES = {
     "web_robots_rules": web_robots_rules,
     "web_robots_allowed": web_robots_allowed,
     "web_crawl_frontier": web_crawl_frontier,
+    "web_fetch_schedule": web_fetch_schedule,
     "web_sitemap_urls": web_sitemap_urls,
     "doc_langid": doc_langid,
     "web_host_edges": web_host_edges,
@@ -4920,6 +4957,7 @@ ORACLES = {
     "web_robots_rules": WEB_ROBOTS_RULES_SQL,
     "web_robots_allowed": WEB_ROBOTS_ALLOWED_SQL,
     "web_crawl_frontier": WEB_CRAWL_FRONTIER_SQL,
+    "web_fetch_schedule": WEB_FETCH_SCHEDULE_SQL,
     "web_sitemap_urls": WEB_SITEMAP_URLS_SQL,
     "doc_langid": DOC_LANGID_SQL,
     "web_host_edges": WEB_HOST_EDGES_SQL,

@@ -119,6 +119,62 @@ def test_robots_decisions_star_fallback_and_case(spark):
     assert d["https://h.test/tie"].allowed
 
 
+def test_effective_crawl_delay_selection(spark):
+    """Delay comes from the SELECTED groups only (exact beats '*'), max
+    across them; malformed values drop; undeclared hosts emit no row."""
+    from pdf_extract_spark.operators.robots import effective_crawl_delay
+
+    body = "\n".join(
+        [
+            "User-agent: *",
+            "Crawl-delay: 10",
+            "",
+            "User-agent: trainbot",
+            "Crawl-delay: 2",
+            "Crawl-delay: 2.5",
+            "Crawl-delay: soon",  # malformed -> dropped
+        ]
+    )
+    p = parse_robots(
+        spark.createDataFrame(
+            [("h.test", body), ("bare.test", "User-agent: *\nDisallow: /x")],
+            "host string, robots_txt string",
+        )
+    )
+    got = {r.host: r.crawl_delay for r in
+           effective_crawl_delay(p, "TrainBot").collect()}
+    assert got == {"h.test": 2.5}  # exact group's max, not '*'s 10
+    star = {r.host: r.crawl_delay for r in
+            effective_crawl_delay(p, "otherbot").collect()}
+    assert star == {"h.test": 10.0}
+
+
+def test_fetch_schedule_composition(spark):
+    """Waves timed by the host's delay: offset = wave * crawl_delay,
+    default 1.0 for undeclared hosts; disallowed URLs never scheduled."""
+    from pdf_extract_spark.operators.crawl import fetch_schedule
+
+    p = _parsed(spark)  # trainbot group has Crawl-delay: 3 (see body)
+    urls = [f"https://h.test/open{i}" for i in range(5)] + [
+        "https://h.test/private/secret",  # disallowed for trainbot
+        "https://quiet.test/a",
+        "https://quiet.test/b",
+        "https://quiet.test/c",
+    ]
+    frontier = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = fetch_schedule(
+        p, frontier, "trainbot", per_host_cap=2, default_delay_s=1.0
+    ).collect()
+    assert all(r.url != "https://h.test/private/secret" for r in rows)
+    for r in rows:
+        expect_delay = 3.0 if r.host == "h.test" else 1.0
+        assert r.crawl_delay == expect_delay
+        assert r.fetch_offset_s == r.wave * expect_delay
+    # 5 h.test URLs at cap 2 -> waves 0,0,1,1,2 -> max offset 2*3=6
+    assert max(r.fetch_offset_s for r in rows if r.host == "h.test") == 6.0
+    assert max(r.fetch_offset_s for r in rows if r.host == "quiet.test") == 1.0
+
+
 SITEMAP_XML = "\n".join(
     [
         '<?xml version="1.0"?>',
