@@ -678,3 +678,75 @@ def test_streaming_dedup_rejects_ntz_event_time(spark):
     ).withColumn("ts", F.to_timestamp_ntz("raw"))
     with pytest.raises(TypeError, match="timestamp_ntz"):
         dedup_media_stream(media)
+
+
+def test_streaming_frontier_gate_matches_batch(spark, tmp_path):
+    """Streaming URL discovery: in-window re-discoveries dedup away, the
+    per-micro-batch robots gate produces EXACTLY the batch
+    robots_decisions rows for the surviving URLs, and a replayed batch_id
+    overwrites only its own partition (idempotence)."""
+    import datetime as dt
+
+    from pdf_extract_spark.operators.robots import (
+        parse_robots,
+        robots_decisions,
+    )
+    from pdf_extract_spark.streaming.frontier import (
+        make_frontier_batch_processor,
+        start_frontier_stream,
+    )
+
+    robots = parse_robots(
+        spark.createDataFrame(
+            [("h.test", "User-agent: *\nDisallow: /private\nAllow: /private/ok")],
+            "host string, robots_txt string",
+        )
+    ).localCheckpoint(eager=True)
+
+    src = str(tmp_path / "urls_in")
+    out = str(tmp_path / "frontier")
+    ckpt = str(tmp_path / "ckpt")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("https://h.test/a", base),
+        ("https://h.test/a", base),                            # in-window dup
+        ("https://h.test/private/x", base),                    # blocked
+        ("https://h.test/private/ok/y", base),                 # allowed
+        ("https://other.test/z", base),                        # no robots
+    ]
+    spark.createDataFrame(rows, "url string, ts timestamp").write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    stream = spark.readStream.schema("url string, ts timestamp").parquet(src)
+    q = start_frontier_stream(
+        stream, robots, "TrainBot", out, ckpt, available_now=True
+    )
+    q.awaitTermination(240)
+    assert not q.isActive or q.awaitTermination(60)
+
+    got = spark.read.parquet(out)
+    urls = spark.createDataFrame(
+        [(u,) for u in {r[0] for r in rows}], "url string"
+    )
+    want = {
+        (r.url, r.host, r.allowed, r.rule, r.rule_path)
+        for r in robots_decisions(robots, urls, "TrainBot").collect()
+    }
+    assert {
+        (r.url, r.host, r.allowed, r.rule, r.rule_path)
+        for r in got.collect()
+    } == want
+    assert got.filter(F.col("url") == "https://h.test/private/x").collect()[
+        0
+    ].allowed is False
+
+    # replaying a batch_id must overwrite its own partition, not append
+    proc = make_frontier_batch_processor(robots, "TrainBot", out)
+    bid = int(
+        spark.read.parquet(out)
+        .select(F.regexp_extract("run_id", r"stream-(\d+)", 1).cast("int"))
+        .first()[0]
+    )
+    proc(urls, bid)
+    assert spark.read.parquet(out).count() == len(want)
