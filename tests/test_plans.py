@@ -357,3 +357,50 @@ def test_fetch_waves_no_megahost_window(spark):
     # which sits downstream of a HashAggregate, never the raw frontier
     for _ in host_only_wins:
         assert "HashAggregate" in txt
+
+
+def test_robots_decisions_plan_no_nested_loop_no_python(spark):
+    """The frontier->rules join must be an EQUI-join on host with the
+    prefix test as a residual — never a nested-loop/cartesian over the
+    frontier — and the whole decision plan stays JVM-side."""
+    from pdf_extract_spark.operators.robots import (
+        parse_robots,
+        robots_decisions,
+    )
+
+    robots = spark.createDataFrame(
+        [("h.test", "User-agent: *\nDisallow: /private\nAllow: /private/ok")],
+        "host string, robots_txt string",
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    frontier = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".x/"),
+                 F.col("doc_id").cast("string")).alias("url")
+    )
+    txt = plan_of(robots_decisions(parse_robots(robots), frontier, "bot"))
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "BatchEvalPython" not in txt
+    assert "ArrowEvalPython" not in txt
+    # the winner is a plain aggregate (map-side combinable struct max),
+    # never a per-URL window: the only windows allowed are the robots
+    # parser's per-host line-group numbering (bounded by one robots
+    # file), keyed (host, ln) — nothing keyed on url
+    assert "partial_max" in txt
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", txt):
+        assert "url" not in spec, spec
+
+
+def test_langid_scan_prunes_to_two_columns(spark):
+    """Language ID must push column pruning to the parquet reader: only
+    (doc_id, text) read, none of the other document columns."""
+    from pdf_extract_spark.functions.langid import identify_language
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    txt = formatted(identify_language(docs))
+    m = re.search(r"ReadSchema: ([^\n]*)", txt)
+    assert m is not None
+    assert "doc_id" in m.group(1) and "text" in m.group(1)
+    assert "lang" not in m.group(1).replace("lang_pred", "")
+    assert "n_chars" not in m.group(1)
+    assert "source" not in m.group(1)
