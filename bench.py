@@ -129,6 +129,10 @@ HEADLINE = [
     # smaller domain graph, and the sitemap/graph discovery merge
     "web_host_pagerank",
     "web_discovery_frontier",
+    # delay-timed schedule (one more bounded join over the frontier) and
+    # pointer-jumping redirect resolution (log2(max_hops) self-joins)
+    "web_fetch_schedule",
+    "web_redirect_resolution",
     # scan-side language ID over documents: pure codegen, zero shuffle —
     # times the per-row profile-scoring projection at corpus scale
     "doc_langid",

@@ -4730,6 +4730,88 @@ ORDER BY url
 """
 
 
+# ---------------------------------------------------------------------------
+# Redirect-chain resolution (operators/redirects.py) over a redirect
+# mapping derived DETERMINISTICALLY from the documents table (both
+# engines compute the same derivation, so it scales with sf):
+#   url(i)   = https://site{i%5}.test/p{i}
+#   redirect(i) -> i+1 when i%97==95   (one half of a planted 2-cycle)
+#                  i-1 when i%97==96   (the other half)
+#                  i-1 when i%8 != 0   (chains of length 1..7 down to
+#                                       the multiple-of-8 terminal)
+# Chains that run into the planted cycle (e.g. 97 -> 96 -> 95 -> 96…)
+# come back resolved=false — the quarantine tier.
+
+
+def _redirect_url_expr(i):
+    return F.concat(
+        F.lit("https://site"),
+        (i % 5).cast("string"),
+        F.lit(".test/p"),
+        i.cast("string"),
+    )
+
+
+def web_redirect_resolution(spark, sf_dir):
+    """Terminal-target resolution of HTTP redirect chains via pointer
+    jumping (operators/redirects.py resolve_redirects): ceil(log2
+    max_hops) self-join doubling rounds instead of per-hop walking;
+    cycles and over-long chains land resolved=false with NULL final."""
+    from .operators.redirects import resolve_redirects
+
+    i = F.col("doc_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    urls = docs.select(_redirect_url_expr(i).alias("url"))
+    j = (
+        F.when(i % 97 == 95, i + 1)
+        .when(i % 97 == 96, i - 1)
+        .when(i % 8 != 0, i - 1)
+    )
+    redirects = docs.select(
+        _redirect_url_expr(i).alias("src"), _redirect_url_expr(j).alias("dst")
+    ).where(j.isNotNull())
+    # nullable BIGINT -> string at the ORACLE boundary (cycle rows are
+    # NULL; the pandas fetch floats the Duck column otherwise)
+    return (
+        resolve_redirects(urls, redirects, max_hops=16)
+        .withColumn("hops", F.col("hops").cast("string"))
+        .orderBy("url")
+    )
+
+
+_REDIRECT_URL_SQL = "'https://site' || ({i} % 5) || '.test/p' || {i}"
+
+WEB_REDIRECT_RESOLUTION_SQL = f"""
+WITH RECURSIVE durls AS (
+  SELECT {_REDIRECT_URL_SQL.format(i='doc_id')} AS url FROM documents
+), redirs AS (
+  SELECT {_REDIRECT_URL_SQL.format(i='doc_id')} AS src,
+         {_REDIRECT_URL_SQL.format(i='j')} AS dst
+  FROM (SELECT doc_id, CASE WHEN doc_id % 97 = 95 THEN doc_id + 1
+                            WHEN doc_id % 97 = 96 THEN doc_id - 1
+                            WHEN doc_id % 8 <> 0 THEN doc_id - 1 END AS j
+        FROM documents)
+  WHERE j IS NOT NULL
+), walk(url, cur, hops) AS (
+  SELECT url, url, 0 FROM durls
+  UNION
+  SELECT w.url, r.dst, w.hops + 1
+  FROM walk w JOIN redirs r ON w.cur = r.src
+  WHERE w.hops < 16
+), term AS (
+  SELECT w.url, w.cur, w.hops
+  FROM walk w LEFT JOIN (SELECT DISTINCT src FROM redirs) s ON w.cur = s.src
+  WHERE s.src IS NULL
+)
+SELECT u.url,
+       t.cur AS final_url,
+       CAST(t.hops AS VARCHAR) AS hops,
+       t.url IS NOT NULL AS resolved
+FROM durls u LEFT JOIN term t ON u.url = t.url
+ORDER BY u.url
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_urgent_revenue": q3_top_urgent_revenue,
@@ -4842,6 +4924,7 @@ QUERIES = {
     "web_host_edges": web_host_edges,
     "web_host_pagerank": web_host_pagerank,
     "web_discovery_frontier": web_discovery_frontier,
+    "web_redirect_resolution": web_redirect_resolution,
 }
 
 ORACLES = {
@@ -4963,4 +5046,5 @@ ORACLES = {
     "web_host_edges": WEB_HOST_EDGES_SQL,
     "web_host_pagerank": WEB_HOST_PAGERANK_SQL,
     "web_discovery_frontier": WEB_DISCOVERY_FRONTIER_SQL,
+    "web_redirect_resolution": WEB_REDIRECT_RESOLUTION_SQL,
 }
