@@ -4298,6 +4298,48 @@ ORDER BY host, host_rank
 """
 
 
+def web_wave_profile(spark, sf_dir):
+    """Fetch-round load profile over the deterministic frontier: per
+    wave the URL count, participating hosts, and max slot — the
+    dispatcher's capacity-planning view (operators/crawl.py
+    wave_profile over the same fetch_waves plan as web_fetch_waves)."""
+    from .operators.crawl import fetch_waves, wave_profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    frontier = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.org/"),
+            F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(F.col("source"), F.lit(".example.org")).alias("host"),
+    )
+    return wave_profile(fetch_waves(frontier, per_host_cap=4)).orderBy("wave")
+
+
+WEB_WAVE_PROFILE_SQL = """
+WITH frontier AS (
+  SELECT 'https://' || source || '.example.org/' || lang || '/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         source || '.example.org' AS host
+  FROM documents
+), ranked AS (
+  SELECT url, host,
+         CAST(row_number() OVER (PARTITION BY host ORDER BY md5(url), url)
+              AS BIGINT) AS host_rank
+  FROM frontier
+), waves AS (
+  SELECT host, CAST((host_rank - 1) // 4 AS BIGINT) AS wave,
+         CAST((host_rank - 1) % 4 AS BIGINT) AS slot
+  FROM ranked
+)
+SELECT wave, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(max(slot) AS BIGINT) AS max_slot
+FROM waves GROUP BY wave
+ORDER BY wave
+"""
+
+
 # ---------------------------------------------------------------------------
 # Crawl policy: robots.txt exclusion rules + sitemap discovery
 # (operators/robots.py) over the materialized crawl-policy corpus
@@ -4915,6 +4957,7 @@ QUERIES = {
     "web_hits": web_hits,
     "html_boilerpipe_blocks": html_boilerpipe_blocks,
     "web_fetch_waves": web_fetch_waves,
+    "web_wave_profile": web_wave_profile,
     "web_robots_rules": web_robots_rules,
     "web_robots_allowed": web_robots_allowed,
     "web_crawl_frontier": web_crawl_frontier,
@@ -5037,6 +5080,7 @@ ORACLES = {
     "web_hits": WEB_HITS_SQL,
     "html_boilerpipe_blocks": HTML_BOILERPIPE_BLOCKS_SQL,
     "web_fetch_waves": WEB_FETCH_WAVES_SQL,
+    "web_wave_profile": WEB_WAVE_PROFILE_SQL,
     "web_robots_rules": WEB_ROBOTS_RULES_SQL,
     "web_robots_allowed": WEB_ROBOTS_ALLOWED_SQL,
     "web_crawl_frontier": WEB_CRAWL_FRONTIER_SQL,
