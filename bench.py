@@ -133,6 +133,7 @@ HEADLINE = [
     # pointer-jumping redirect resolution (log2(max_hops) self-joins)
     "web_fetch_schedule",
     "web_redirect_resolution",
+    "web_wave_profile",
     # scan-side language ID over documents: pure codegen, zero shuffle —
     # times the per-row profile-scoring projection at corpus scale
     "doc_langid",
