@@ -13,6 +13,9 @@ Stages (each written under --output):
               canonicalized endpoints (operators/webgraph.py)
   pagerank/   10-iteration fixed-point PageRank (rank_e12)
   hits/       10-iteration fixed-point HITS (hub_e9, auth_e9)
+  hostrank/   PageRank over the host-level projection of the graph —
+              the domain-quality signal (host_edges drops intra-host
+              navigation first)
   frontier/   the crawl gate: every graph node (src ∪ dst) run through
               robots_decisions for --agent, the allowed URLs fanned
               into politeness fetch waves (operators/robots.py +
@@ -116,6 +119,15 @@ def main(argv=None) -> None:
         "overwrite"
     ).parquet(f"{args.output}/hits")
 
+    from pdf_extract_spark.operators.webgraph import host_edges
+
+    he = host_edges(e).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    pagerank_fixed_point(he, iterations=args.iterations).write.mode(
+        "overwrite"
+    ).parquet(f"{args.output}/hostrank")
+
     n_allowed = 0
     if args.robots != "none":
         from pdf_extract_spark.operators.crawl import fetch_waves
@@ -162,6 +174,7 @@ def main(argv=None) -> None:
         stat("edges", e),
         stat("pagerank", spark.read.parquet(f"{args.output}/pagerank")),
         stat("hits", spark.read.parquet(f"{args.output}/hits")),
+        stat("hostrank", spark.read.parquet(f"{args.output}/hostrank")),
         stat("langid", spark.read.parquet(f"{args.output}/langid")),
     ]
     if args.robots != "none":

@@ -193,6 +193,13 @@ def test_spark_submit_web_job(tmp_path):
     # graph node; content exists only for pages with content blocks
     assert m["blocks"] >= 24 and m["content"] >= 1
     assert m["edges"] >= 1 and m["pagerank"] == m["hits"]
+    # host-level rank covers every host with a cross-host edge; mass
+    # conserves up to floor losses
+    assert m["hostrank"] >= 2
+    htot, hn = con.execute(
+        f"SELECT sum(rank_e12), count(*) FROM '{out}/hostrank/*.parquet'"
+    ).fetchone()
+    assert 0 <= 10**12 - htot < 400 * hn
     # content stage: block_ord order is preserved in the joined text
     row = con.execute(
         f"SELECT content_text, n_content_blocks FROM '{out}/content/*.parquet' "
