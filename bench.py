@@ -134,6 +134,7 @@ HEADLINE = [
     "web_fetch_schedule",
     "web_redirect_resolution",
     "web_wave_profile",
+    "web_snapshot_diff",
     # scan-side language ID over documents: pure codegen, zero shuffle —
     # times the per-row profile-scoring projection at corpus scale
     "doc_langid",

@@ -4854,6 +4854,58 @@ ORDER BY u.url
 """
 
 
+def web_snapshot_diff(spark, sf_dir):
+    """Crawl-over-crawl change detection (operators/recrawl.py
+    snapshot_diff): two snapshots derived deterministically from
+    documents — prev drops doc_id%10==9, curr drops doc_id%10==0 and
+    perturbs text when doc_id%7==3 — full-outer joined on url with
+    status in {added, removed, changed, unchanged}."""
+    from .operators.recrawl import snapshot_diff
+
+    i = F.col("doc_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    prev = docs.where(i % 10 != 9).select(
+        _redirect_url_expr(i).alias("url"),
+        F.md5(F.encode(F.col("text"), "utf-8")).alias("fingerprint"),
+    )
+    curr = docs.where(i % 10 != 0).select(
+        _redirect_url_expr(i).alias("url"),
+        F.md5(
+            F.encode(
+                F.concat(
+                    F.col("text"),
+                    F.when(i % 7 == 3, F.lit("v2")).otherwise(F.lit("")),
+                ),
+                "utf-8",
+            )
+        ).alias("fingerprint"),
+    )
+    return snapshot_diff(prev, curr).orderBy("url")
+
+
+WEB_SNAPSHOT_DIFF_SQL = f"""
+WITH prev AS (
+  SELECT {_REDIRECT_URL_SQL.format(i='doc_id')} AS url,
+         md5(text) AS prev_fp
+  FROM documents WHERE doc_id % 10 <> 9
+), curr AS (
+  SELECT {_REDIRECT_URL_SQL.format(i='doc_id')} AS url,
+         md5(text || CASE WHEN doc_id % 7 = 3 THEN 'v2' ELSE '' END) AS curr_fp
+  FROM documents WHERE doc_id % 10 <> 0
+)
+SELECT coalesce(p.url, c.url) AS url,
+       CASE WHEN p.prev_fp IS NULL THEN 'added'
+            WHEN c.curr_fp IS NULL THEN 'removed'
+            WHEN p.prev_fp = c.curr_fp THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       p.prev_fp, c.curr_fp
+FROM prev p FULL OUTER JOIN curr c ON p.url = c.url
+ORDER BY url
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_urgent_revenue": q3_top_urgent_revenue,
@@ -4968,6 +5020,7 @@ QUERIES = {
     "web_host_pagerank": web_host_pagerank,
     "web_discovery_frontier": web_discovery_frontier,
     "web_redirect_resolution": web_redirect_resolution,
+    "web_snapshot_diff": web_snapshot_diff,
 }
 
 ORACLES = {
@@ -5091,4 +5144,5 @@ ORACLES = {
     "web_host_pagerank": WEB_HOST_PAGERANK_SQL,
     "web_discovery_frontier": WEB_DISCOVERY_FRONTIER_SQL,
     "web_redirect_resolution": WEB_REDIRECT_RESOLUTION_SQL,
+    "web_snapshot_diff": WEB_SNAPSHOT_DIFF_SQL,
 }

@@ -76,3 +76,23 @@ def test_resolve_partition_invariance(spark):
         ).collect()
     }
     assert one == many
+
+
+def test_snapshot_diff_statuses(spark):
+    from pdf_extract_spark.operators.recrawl import snapshot_diff
+
+    prev = spark.createDataFrame(
+        [("u1", "f1"), ("u2", "f2"), ("u3", "f3")],
+        "url string, fingerprint string",
+    )
+    curr = spark.createDataFrame(
+        [("u2", "f2"), ("u3", "f3x"), ("u4", "f4")],
+        "url string, fingerprint string",
+    )
+    got = {r.url: r for r in snapshot_diff(prev, curr).collect()}
+    assert got["u1"].status == "removed" and got["u1"].curr_fp is None
+    assert got["u2"].status == "unchanged"
+    assert got["u3"].status == "changed"
+    assert (got["u3"].prev_fp, got["u3"].curr_fp) == ("f3", "f3x")
+    assert got["u4"].status == "added" and got["u4"].prev_fp is None
+    assert len(got) == 4
