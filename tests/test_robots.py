@@ -274,3 +274,58 @@ def test_robots_decisions_partition_invariance(spark):
         ).collect()
     }
     assert one == many
+
+
+def test_parse_robots_hostile_bytes(spark):
+    """Untrusted crawl bytes: binary junk, enormous lines, directives
+    with no colon, and a directive-bomb (10k lines) must parse without
+    raising and without row explosion — the retained-directive filter
+    bounds output to actual directive lines."""
+    junk = "\x00\x01\x02<<>>%%EOF" + "A" * 100_000
+    bomb = "\n".join(f"Disallow: /p{i}" for i in range(10_000))
+    rows = parse_robots(
+        spark.createDataFrame(
+            [
+                ("junk.test", junk),
+                ("nocolon.test", "UserAgent *\nDisallow\njustwords"),
+                ("bomb.test", "User-agent: *\n" + bomb),
+            ],
+            "host string, robots_txt string",
+        )
+    )
+    by_host = {
+        r["host"]: r["n"]
+        for r in rows.groupBy("host").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert "junk.test" not in by_host        # nothing retained
+    assert "nocolon.test" not in by_host     # colon-less lines dropped
+    assert by_host["bomb.test"] == 10_001    # bounded by directive lines
+    # and the decision path stays total: group-0-less bomb host decides
+    d = _decide(spark, rows, ["https://bomb.test/p5", "https://junk.test/x"])
+    assert not d["https://bomb.test/p5"].allowed
+    assert d["https://junk.test/x"].allowed
+
+
+def test_parse_sitemaps_hostile_xml(spark):
+    """Unterminated tags, nested garbage, and non-XML bytes must yield
+    zero or well-formed rows, never a raise."""
+    df = spark.createDataFrame(
+        [
+            ("https://a.test/s1.xml", "<urlset><url><loc>https://a.test/x"),
+            ("https://a.test/s2.xml", "\x00\xff not xml at all"),
+            ("https://a.test/s3.xml",
+             "<urlset><url><loc>https://a.test/ok</loc></url>"
+             "<url><priority>0.5</priority></url></urlset>"),
+        ],
+        "url string, xml string",
+    )
+    from pdf_extract_spark.operators.robots import parse_sitemaps
+
+    rows = parse_sitemaps(df).collect()
+    # only the two complete <url> blocks of s3 survive; the loc-less one
+    # carries an empty-canonicalized loc and NULL lastmod/priority=0.5
+    assert {r.sitemap_url for r in rows} == {"https://a.test/s3.xml"}
+    locs = {r.loc for r in rows}
+    assert "https://a.test/ok" in locs and len(rows) == 2
