@@ -4906,8 +4906,356 @@ ORDER BY url
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H completion: q2/q9/q11/q16/q20 over a DERIVED partsupp table.
+# The testdata ships no partsupp parquet, so both engines derive the
+# same relation deterministically from part x supplier — a TPC-H-spec-
+# style spread of 4 suppliers per part:
+#   ps_suppkey_i = (p_partkey + i*(S div 4 + p_partkey div S)) mod S,
+#     i in 0..3, S = |supplier|  (0-based keys, matching the testdata)
+#   ps_availqty       = (ps_partkey*47 + ps_suppkey*31) mod 9999 + 1
+#   ps_supplycost_cents = (ps_partkey*13 + ps_suppkey*7) mod 99900 + 100
+#   ps_supplycost     = cents / 100.0  (one IEEE division, identical
+#                       bit-for-bit in both engines)
+# The i-loop can collide at small S (e.g. S=10: i*(2+k) mod 10 repeats),
+# so the pair set is DISTINCT-ed and the value formulas key on the PAIR,
+# never on i — dedup-safe and engine-identical.  Exact comparisons
+# (q11's HAVING, q20's threshold) run on the integer cents/quantities;
+# reported money aggregates round to 2 like every other TPC-H entry.
+
+
+def _partsupp(spark, sf_dir):
+    part = load(spark, sf_dir, "part").select("p_partkey")
+    s_n = load(spark, sf_dir, "supplier").agg(F.count("*").alias("s_n"))
+    pairs = (
+        part.crossJoin(F.broadcast(s_n))
+        .select(
+            "p_partkey",
+            "s_n",
+            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i"),
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.expr(
+                "(p_partkey + i * (s_n div 4 + p_partkey div s_n)) % s_n"
+            ).cast("long").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    cents = (
+        F.col("ps_partkey") * 13 + F.col("ps_suppkey") * 7
+    ) % 99900 + 100
+    return pairs.select(
+        "ps_partkey",
+        "ps_suppkey",
+        ((F.col("ps_partkey") * 47 + F.col("ps_suppkey") * 31) % 9999 + 1)
+        .cast("long")
+        .alias("ps_availqty"),
+        (cents.cast("double") / F.lit(100.0)).alias("ps_supplycost"),
+        cents.cast("long").alias("ps_supplycost_cents"),
+    )
+
+
+_PARTSUPP_CTE = """
+partsupp AS (
+  SELECT ps_partkey, ps_suppkey,
+         (ps_partkey * 47 + ps_suppkey * 31) % 9999 + 1 AS ps_availqty,
+         CAST((ps_partkey * 13 + ps_suppkey * 7) % 99900 + 100 AS DOUBLE)
+           / 100.0 AS ps_supplycost,
+         (ps_partkey * 13 + ps_suppkey * 7) % 99900 + 100
+           AS ps_supplycost_cents
+  FROM (
+    SELECT DISTINCT p_partkey AS ps_partkey,
+           (p_partkey + i * ((SELECT count(*) FROM supplier) // 4
+                             + p_partkey // (SELECT count(*) FROM supplier)))
+             % (SELECT count(*) FROM supplier) AS ps_suppkey
+    FROM part, unnest([0, 1, 2, 3]) AS t(i)
+  )
+)"""
+
+
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 (adapted to the shipped columns): for EUROPE suppliers
+    of size-15 parts, the supplier(s) achieving the minimum
+    ps_supplycost per part.  The correlated MIN compiles to a per-part
+    pre-aggregate joined back on exact equality (supplycost doubles are
+    derived identically in both engines, so equality is exact)."""
+    ps = _partsupp(spark, sf_dir)
+    part = load(spark, sf_dir, "part").where(F.col("p_size") == 15)
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu = (
+        ps.join(sup, ps["ps_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .join(F.broadcast(part), ps["ps_partkey"] == part["p_partkey"])
+    )
+    mins = (
+        eu.groupBy("ps_partkey")
+        .agg(F.min("ps_supplycost").alias("min_cost"))
+        .select(F.col("ps_partkey").alias("min_partkey"), "min_cost")
+    )
+    return (
+        eu.join(
+            mins,
+            (eu["ps_partkey"] == mins["min_partkey"])
+            & (eu["ps_supplycost"] == mins["min_cost"]),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name",
+            eu["ps_partkey"].alias("p_partkey"),
+            "p_brand", "ps_supplycost",
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+Q2_SQL = f"""
+WITH {_PARTSUPP_CTE.lstrip()}
+SELECT s_acctbal, s_name, n_name, ps_partkey AS p_partkey,
+       p_brand, ps_supplycost
+FROM partsupp
+JOIN supplier ON ps_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+JOIN part ON ps_partkey = p_partkey AND p_size = 15
+WHERE ps_supplycost = (
+  SELECT min(ps2.ps_supplycost)
+  FROM partsupp ps2
+  JOIN supplier s2 ON ps2.ps_suppkey = s2.s_suppkey
+  JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE'
+  WHERE ps2.ps_partkey = partsupp.ps_partkey
+)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q9_product_type_profit(spark, sf_dir):
+    """TPC-H Q9: profit by nation and order year over parts named
+    '%red%' — lineitem joined to the derived partsupp on the composite
+    (partkey, suppkey) key.  nation broadcasts; the partsupp join is
+    left to AQE (at real TPC-H scale partsupp is lineitem/7.5 — NOT a
+    broadcast side)."""
+    li = load(spark, sf_dir, "lineitem")
+    ps = _partsupp(spark, sf_dir)
+    part = load(spark, sf_dir, "part").where(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey")
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    profit = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(
+            ps,
+            (li["l_partkey"] == ps["ps_partkey"])
+            & (li["l_suppkey"] == ps["ps_suppkey"]),
+        )
+        .join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            "o_year",
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - F.col("ps_supplycost") * F.col("l_quantity")
+            ).alias("amount"),
+        )
+    )
+    return (
+        profit.groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q9_SQL = f"""
+WITH {_PARTSUPP_CTE.lstrip()}
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - ps_supplycost * l_quantity), 2) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 (region-adapted): partsupp value held by ASIA suppliers
+    per part, keeping parts whose value exceeds 0.1% of the total.  The
+    HAVING threshold compares EXACT integer cents x quantity sums (the
+    derived cents column) so the boundary can never flip on double
+    summation order; the reported value is the one-division float."""
+    ps = _partsupp(spark, sf_dir)
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    scoped = (
+        ps.join(sup, ps["ps_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias(
+                "value_cents"
+            ),
+        )
+    )
+    per_part = scoped.groupBy("ps_partkey").agg(
+        F.sum("value_cents").alias("part_cents")
+    )
+    total = scoped.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("part_cents") * 1000 > F.col("total_cents"))
+        .select(
+            "ps_partkey",
+            (F.col("part_cents").cast("double") / F.lit(100.0)).alias(
+                "value"
+            ),
+        )
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+Q11_SQL = f"""
+WITH {_PARTSUPP_CTE.lstrip()}, scoped AS (
+  SELECT ps_partkey, ps_supplycost_cents * ps_availqty AS value_cents
+  FROM partsupp
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+)
+SELECT ps_partkey,
+       CAST(sum(value_cents) AS DOUBLE) / 100.0 AS value
+FROM scoped
+GROUP BY ps_partkey
+HAVING sum(value_cents) * 1000 > (SELECT sum(value_cents) FROM scoped)
+ORDER BY value DESC, ps_partkey
+"""
+
+
+def q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 (adapted: the spec's comment-text complaint filter
+    becomes the negative-balance filter the shipped supplier schema
+    supports): distinct supplier counts per (brand, type, size) for
+    parts outside Brand#3/PROMO in 8 chosen sizes, excluding flagged
+    suppliers via an anti-join (keys are non-null, so NOT IN == anti)."""
+    ps = _partsupp(spark, sf_dir)
+    part = load(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    flagged = load(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("ps_suppkey"))
+    return (
+        ps.join(part, ps["ps_partkey"] == part["p_partkey"])
+        .join(flagged, "ps_suppkey", "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = f"""
+WITH {_PARTSUPP_CTE.lstrip()}
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM partsupp
+JOIN part ON ps_partkey = p_partkey
+WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q20_potential_promotion(spark, sf_dir):
+    """TPC-H Q20 (region-adapted): ASIA suppliers holding more than half
+    a year's shipped quantity of any 'small%' part.  The correlated
+    quantity subquery compiles to a per-(part, supplier) pre-aggregate
+    inner-joined back — the empty-subquery->NULL->false semantics of the
+    spec's scalar compare, expressed as a join."""
+    ps = _partsupp(spark, sf_dir)
+    part = load(spark, sf_dir, "part").where(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    qualifying = (
+        ps.join(part, ps["ps_partkey"] == part["p_partkey"])
+        .join(
+            shipped,
+            (ps["ps_partkey"] == shipped["l_partkey"])
+            & (ps["ps_suppkey"] == shipped["l_suppkey"]),
+        )
+        .where(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        sup.join(qualifying, sup["s_suppkey"] == qualifying["ps_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = f"""
+WITH {_PARTSUPP_CTE.lstrip()}, shipped AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  GROUP BY l_partkey, l_suppkey
+), qualifying AS (
+  SELECT DISTINCT ps_suppkey
+  FROM partsupp
+  JOIN part ON ps_partkey = p_partkey AND p_name LIKE 'small%'
+  JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+  WHERE ps_availqty > 0.5 * qty
+)
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN qualifying ON s_suppkey = ps_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+ORDER BY s_name
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q9_product_type_profit": q9_product_type_profit,
+    "q11_important_stock": q11_important_stock,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q20_potential_promotion": q20_potential_promotion,
     "q3_top_urgent_revenue": q3_top_urgent_revenue,
     "q4_order_priority": q4_order_priority,
     "q12_shipmode_priority": q12_shipmode_priority,
@@ -5025,6 +5373,11 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
+    "q2_min_cost_supplier": Q2_SQL,
+    "q9_product_type_profit": Q9_SQL,
+    "q11_important_stock": Q11_SQL,
+    "q16_supplier_part_counts": Q16_SQL,
+    "q20_potential_promotion": Q20_SQL,
     "q3_top_urgent_revenue": Q3_SQL,
     "q4_order_priority": Q4_SQL,
     "q12_shipmode_priority": Q12_SQL,
