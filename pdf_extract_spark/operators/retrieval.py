@@ -126,3 +126,62 @@ def inverted_index_stats(
         )
         .filter(F.col("doc_freq") >= min_df)
     )
+
+
+def rrf_fuse(
+    ranked: dict[str, DataFrame],
+    *,
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists:
+    score(d) = sum over systems of 1/(c + rank_s(d)), with a document
+    absent from a system contributing 0.  The hybrid-retrieval
+    primitive: fuse a lexical (BM25) and a semantic (embedding cosine)
+    ranking without score calibration — only ranks cross the boundary,
+    so the two systems' score scales never have to be reconciled.
+
+    Determinism: each contribution is one exact IEEE division by a
+    small integer and the fold order over systems is the fixed order of
+    `ranked`, so the fused double is bit-identical across engines; ties
+    break on id.
+
+    Scale shape: each input is already a top-k list (bounded rows), so
+    the N-way full-outer join is a few-kilobyte exchange regardless of
+    corpus size — the expensive work happened inside the upstream
+    retrieval plans.  No windows, no collects."""
+    items = list(ranked.items())
+    if not items:
+        raise ValueError("rrf_fuse needs at least one ranked input")
+    fused = None
+    for name, df in items:
+        side = df.select(
+            F.col(id_col),
+            F.col(rank_col).cast("long").alias(f"rank_{name}"),
+        )
+        fused = side if fused is None else fused.join(side, id_col, "full_outer")
+    score = None
+    for name, _ in items:
+        term = F.coalesce(
+            1.0 / (F.lit(float(c)) + F.col(f"rank_{name}")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    return (
+        fused.select(
+            id_col,
+            # absent-from-system ranks surface as 0, not NULL: the fused
+            # frame stays non-nullable BIGINT (a nullable rank would ride
+            # pandas' int->float64 coercion and corrupt driver hashing)
+            *[
+                F.coalesce(F.col(f"rank_{name}"), F.lit(0))
+                .cast("long")
+                .alias(f"rank_{name}")
+                for name, _ in items
+            ],
+            F.round(score, 6).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(k)
+    )

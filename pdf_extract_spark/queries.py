@@ -5249,8 +5249,321 @@ ORDER BY s_name
 """
 
 
+# ---------------------------------------------------------------------------
+# Hybrid retrieval + event analytics wave (round 6): reciprocal-rank
+# fusion of lexical and semantic retrieval, ordered funnel conversion,
+# weekly cohort retention, and integer-exact value-outlier ranking.
+
+
+def doc_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical top-20 fused with embedding-cosine
+    semantic top-20 (query = doc 0's embedding) via reciprocal-rank
+    fusion, k=60.  Only ranks cross the fusion boundary, so the two
+    score scales never need calibration; documents found by one system
+    only still rank (their other contribution is 0).
+
+    Scale shape: both inputs are bounded top-k lists, so the fusion
+    full-outer join exchanges a few rows no matter the corpus size —
+    all heavy lifting stays in the upstream retrieval plans (BM25's
+    filter-before-explode, ANN's broadcast-query scan)."""
+    from .operators.retrieval import bm25_topk, rrf_fuse
+    from .operators.similarity import brute_force_topk
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, ["spark", "window", "merge"], k=20).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    sem = brute_force_topk(emb, query_ids=[0], k=20).select(
+        F.col("nbr_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse({"lex": lex, "sem": sem}, k=10, c=60)
+
+
+DOC_HYBRID_RRF_SQL = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+),
+dims AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dims),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+  WHERE term IN ('spark', 'window', 'merge')
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+bm25 AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln(1 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
+           * (tf * (1.2 + 1.0))
+             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+         ), 4) AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dims ON tf.doc_id = dims.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+  ORDER BY score DESC, tf.doc_id ASC
+  LIMIT 20
+),
+lex AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+           AS rank_lex
+  FROM bm25
+),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT v AS q FROM v WHERE vec_id = 0),
+scored AS (
+  SELECT v.vec_id AS doc_id,
+         list_dot_product(q.q, v.v)
+           / (sqrt(list_dot_product(q.q, q.q))
+              * sqrt(list_dot_product(v.v, v.v))) AS cos
+  FROM v, q WHERE v.vec_id != 0
+),
+sem AS (
+  SELECT doc_id, CAST(rank AS BIGINT) AS rank_sem
+  FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rank
+    FROM scored
+  )
+  WHERE rank <= 20
+)
+SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+       COALESCE(rank_lex, 0) AS rank_lex,
+       COALESCE(rank_sem, 0) AS rank_sem,
+       round(COALESCE(1.0 / (60.0 + rank_lex), 0.0)
+             + COALESCE(1.0 / (60.0 + rank_sem), 0.0), 6) AS rrf_score
+FROM lex
+FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+ORDER BY rrf_score DESC, COALESCE(lex.doc_id, sem.doc_id) ASC
+LIMIT 10
+"""
+
+
+def events_funnel_steps(spark, sf_dir):
+    """Ordered funnel conversion (view -> click -> purchase): a user
+    completes step i only with an event STRICTLY AFTER their step-(i-1)
+    completion time — the sequential semantics product funnels mean, not
+    mere per-type presence.
+
+    Scale shape: each step is one per-user min-aggregate (map-side
+    combined) joined to the previous step's per-user frame on the same
+    user key — AQE co-partitions the chain, no windows over corpus-size
+    partitions, and the final count is a 3-column scalar aggregate."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .agg(
+            F.count("t1").cast("long").alias("users_view"),
+            F.count("t2").cast("long").alias("users_click_after_view"),
+            F.count("t3").cast("long").alias("users_purchase_after_click"),
+        )
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t1
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+  GROUP BY e.user_id
+)
+SELECT CAST(count(t1.t1) AS BIGINT) AS users_view,
+       CAST(count(t2.t2) AS BIGINT) AS users_click_after_view,
+       CAST(count(t3.t3) AS BIGINT) AS users_purchase_after_click
+FROM t1
+LEFT JOIN t2 ON t1.user_id = t2.user_id
+LEFT JOIN t3 ON t1.user_id = t3.user_id
+"""
+
+
+def events_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users grouped by first-seen week (weeks
+    since 2024-01-01), activity counted per whole-week offset from each
+    user's own first event; retention is active/cohort-size.  All
+    bucketing is integer day arithmetic (floor-div by 7), so the matrix
+    is exact — no engine-specific week-truncation semantics.
+
+    Scale shape: one per-user min-agg, one join back on user_id, one
+    (cohort, offset) countDistinct; cohort sizes come from the offset-0
+    rows of the same aggregate (every user is active in their own first
+    week by construction), so no second pass over events."""
+    e = load(spark, sf_dir, "events").select("user_id", "ts")
+    first = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    act = (
+        e.join(first, "user_id")
+        .select(
+            "user_id",
+            F.floor(
+                F.datediff(F.to_date("first_ts"), F.lit("2024-01-01")) / 7
+            ).alias("cohort_week"),
+            F.floor(
+                F.datediff(F.to_date("ts"), F.to_date("first_ts")) / 7
+            ).alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("active_users"))
+    )
+    size = act.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("active_users").alias("cohort_size")
+    )
+    return (
+        act.join(size, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "active_users",
+            F.round(
+                F.col("active_users") * 100.0 / F.col("cohort_size"), 2
+            ).alias("retention_pct"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+EVENTS_COHORT_SQL = """
+WITH first AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+),
+act AS (
+  SELECT date_diff('day', DATE '2024-01-01', CAST(first_ts AS DATE)) // 7
+           AS cohort_week,
+         date_diff('day', CAST(first_ts AS DATE), CAST(e.ts AS DATE)) // 7
+           AS week_offset,
+         CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+  FROM events e JOIN first ON e.user_id = first.user_id
+  GROUP BY 1, 2
+),
+size AS (
+  SELECT cohort_week, active_users AS cohort_size FROM act
+  WHERE week_offset = 0
+)
+SELECT act.cohort_week, week_offset, active_users,
+       round(active_users * 100.0 / cohort_size, 2) AS retention_pct
+FROM act JOIN size ON act.cohort_week = size.cohort_week
+ORDER BY act.cohort_week, week_offset
+"""
+
+
+def events_value_extremes(spark, sf_dir):
+    """Per-type value outliers: the 5 events deviating most from their
+    type's mean.  The ranking key is |value_cents*n - sum_cents| — the
+    deviation cross-multiplied into EXACT 64-bit integers (values carry
+    2 decimals), so the order can never flip on float-summation order
+    across engines; the reported deviation divides back once at the end.
+
+    Scale shape: one per-type scalar aggregate (5 rows) broadcast back
+    over the scan, then a per-type top-5 window over rows already
+    filtered to each type's partition — map-side combine everywhere,
+    no global sort."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", cents.alias("cents")
+    )
+    stats = e.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("sum_cents")
+    )
+    dev = e.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "event_id",
+        "value",
+        F.abs(F.col("cents") * F.col("n") - F.col("sum_cents")).alias(
+            "dev_scaled"
+        ),
+        F.col("n"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("dev_scaled"), F.asc("event_id")
+    )
+    return (
+        dev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "event_type",
+            F.col("rnk").cast("long").alias("rnk"),
+            "event_id",
+            "value",
+            F.round(F.col("dev_scaled") / (100.0 * F.col("n")), 4).alias(
+                "abs_dev"
+            ),
+        )
+        .orderBy("event_type", "rnk")
+    )
+
+
+EVENTS_EXTREMES_SQL = """
+WITH e AS (
+  SELECT event_id, event_type, value,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+stats AS (
+  SELECT event_type, count(*) AS n, sum(cents) AS sum_cents
+  FROM e GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, event_id, value,
+         abs(cents * n - sum_cents) AS dev_scaled, n,
+         row_number() OVER (
+           PARTITION BY e.event_type
+           ORDER BY abs(cents * n - sum_cents) DESC, event_id ASC
+         ) AS rnk
+  FROM e JOIN stats ON e.event_type = stats.event_type
+)
+SELECT event_type, CAST(rnk AS BIGINT) AS rnk, event_id, value,
+       round(dev_scaled / (100.0 * n), 4) AS abs_dev
+FROM dev WHERE rnk <= 5
+ORDER BY event_type, rnk
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "doc_hybrid_rrf": doc_hybrid_rrf,
+    "events_funnel_steps": events_funnel_steps,
+    "events_cohort_retention": events_cohort_retention,
+    "events_value_extremes": events_value_extremes,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q9_product_type_profit": q9_product_type_profit,
     "q11_important_stock": q11_important_stock,
@@ -5373,6 +5686,10 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
+    "doc_hybrid_rrf": DOC_HYBRID_RRF_SQL,
+    "events_funnel_steps": EVENTS_FUNNEL_SQL,
+    "events_cohort_retention": EVENTS_COHORT_SQL,
+    "events_value_extremes": EVENTS_EXTREMES_SQL,
     "q2_min_cost_supplier": Q2_SQL,
     "q9_product_type_profit": Q9_SQL,
     "q11_important_stock": Q11_SQL,

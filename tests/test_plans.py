@@ -404,3 +404,40 @@ def test_langid_scan_prunes_to_two_columns(spark):
     assert "lang" not in m.group(1).replace("lang_pred", "")
     assert "n_chars" not in m.group(1)
     assert "source" not in m.group(1)
+
+
+def test_funnel_steps_no_window_no_python(spark):
+    """The ordered funnel must be the join-chain-of-min-aggregates plan:
+    per-user min aggs joined on user_id — never a per-user event window
+    (corpus-sized sort) and never a Python UDF."""
+    from pdf_extract_spark.queries import events_funnel_steps
+
+    txt = plan_of(events_funnel_steps(spark, SF))
+    assert "Window" not in txt
+    assert "BatchEvalPython" not in txt
+    assert "ArrowEvalPython" not in txt
+    assert "partial_min" in txt  # map-side combine on every step agg
+
+
+def test_value_extremes_stats_broadcast(spark):
+    """The per-type stats frame (5 rows) must broadcast back over the
+    scan, and the only window is keyed by event_type (bounded fanout),
+    never unpartitioned."""
+    from pdf_extract_spark.queries import events_value_extremes
+
+    txt = plan_of(events_value_extremes(spark, SF))
+    assert "BroadcastHashJoin" in txt
+    assert "CartesianProduct" not in txt
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", txt):
+        assert "event_type" in spec, spec
+
+
+def test_cohort_retention_no_window(spark):
+    """Cohort retention is two aggregates and one join — integer day
+    arithmetic, no windows, no Python."""
+    from pdf_extract_spark.queries import events_cohort_retention
+
+    txt = plan_of(events_cohort_retention(spark, SF))
+    assert "Window" not in txt
+    assert "BatchEvalPython" not in txt
+    assert "ArrowEvalPython" not in txt
