@@ -5558,8 +5558,241 @@ ORDER BY event_type, rnk
 """
 
 
+# ---------------------------------------------------------------------------
+# Interleaved text+media alignment family (operators/interleave.py): the
+# graft's payload axis made first-class — caption mining, interleave
+# profiling, and multimodal-cost packing over the interleaved spans
+# table, with a deterministic synthetic generator standing in for a
+# crawl's real interleaved stream at any sf.
+
+_INTERLEAVED_CTE = r"""
+words AS (
+  SELECT doc_id, u.w AS w, u.i - 1 AS p
+  FROM (
+    SELECT doc_id,
+           list_transform(regexp_split_to_array(trim(text), '\s+'),
+                          (x, i) -> {'w': x, 'i': i}) AS arr
+    FROM documents
+  ), unnest(arr) AS t(u)
+),
+inter AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1
+              AS BIGINT) AS pos,
+         kind, text, media_ref
+  FROM (
+    SELECT doc_id, p * 2 AS ord, 'text' AS kind, w AS text,
+           '' AS media_ref
+    FROM words
+    UNION ALL
+    SELECT doc_id, p * 2 + 1, 'media', '',
+           'img-' || doc_id || '-' || CAST(p // 11 AS VARCHAR)
+    FROM words WHERE p % 11 = 7
+  )
+)"""
+
+
+def spans_interleaved_synth(spark, sf_dir):
+    """The deterministic interleaved text+media spans generator
+    (operators/interleave.py:synth_interleaved): one text span per
+    word, a media span injected after every word at p % 11 == 7 —
+    the input_hint's table shape synthesized from documents at any
+    scale.  One explode + one per-doc window; no corpus-sized
+    partition."""
+    from .operators.interleave import synth_interleaved
+
+    docs = load(spark, sf_dir, "documents")
+    return synth_interleaved(docs).orderBy("doc_id", "pos")
+
+
+SPANS_INTERLEAVED_SQL = f"""
+WITH {_INTERLEAVED_CTE}
+SELECT doc_id, pos, kind, text, media_ref
+FROM inter
+ORDER BY doc_id, pos
+"""
+
+
+def spans_media_captions(spark, sf_dir):
+    """Caption mining over the interleaved stream: each media span's
+    caption is up to 6 following text spans before the next media span
+    (operators/interleave.py:media_captions) — the adjacency heuristic
+    CLIP-style pair corpora use.  Windows keyed (doc_id[, media_idx])
+    only; the caption concat is array_sort-deterministic."""
+    from .operators.interleave import media_captions, synth_interleaved
+
+    docs = load(spark, sf_dir, "documents")
+    return media_captions(
+        synth_interleaved(docs), max_words=6, min_words=0
+    ).orderBy("doc_id", "media_pos")
+
+
+SPANS_MEDIA_CAPTIONS_SQL = f"""
+WITH {_INTERLEAVED_CTE},
+g AS (
+  SELECT doc_id, pos, kind, text, media_ref,
+         sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS media_idx
+  FROM inter
+),
+media AS (
+  SELECT doc_id, media_idx AS grp, media_ref, pos AS media_pos
+  FROM g WHERE kind = 'media'
+),
+cand AS (
+  SELECT doc_id, media_idx AS grp, pos, text,
+         row_number() OVER (PARTITION BY doc_id, media_idx ORDER BY pos)
+           AS rnk
+  FROM g WHERE kind <> 'media' AND media_idx >= 1
+),
+caps AS (
+  SELECT doc_id, grp,
+         string_agg(text, ' ' ORDER BY pos) AS caption,
+         CAST(count(*) AS BIGINT) AS caption_words
+  FROM cand WHERE rnk <= 6 GROUP BY doc_id, grp
+)
+SELECT m.doc_id, m.media_ref, CAST(m.media_pos AS BIGINT) AS media_pos,
+       COALESCE(c.caption, '') AS caption,
+       COALESCE(c.caption_words, 0) AS caption_words
+FROM media m
+LEFT JOIN caps c ON m.doc_id = c.doc_id AND m.grp = c.grp
+ORDER BY m.doc_id, m.media_pos
+"""
+
+
+def spans_interleave_stats(spark, sf_dir):
+    """Per-doc interleaving profile (span/media counts, first media
+    position, media density x100 as exact integers) — the curation
+    signals a multimodal mixture builder stratifies on.  One map-side
+    combinable aggregate, zero windows."""
+    from .operators.interleave import interleave_stats, synth_interleaved
+
+    docs = load(spark, sf_dir, "documents")
+    return interleave_stats(synth_interleaved(docs)).orderBy("doc_id")
+
+
+SPANS_INTERLEAVE_STATS_SQL = f"""
+WITH {_INTERLEAVED_CTE}
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_media,
+       CAST(COALESCE(min(CASE WHEN kind = 'media' THEN pos END), -1)
+            AS BIGINT) AS first_media_pos,
+       CAST(floor(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END)
+                  * 10000.0 / count(*)) AS BIGINT) AS media_per_100_x100
+FROM inter
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def spans_pack_interleaved(spark, sf_dir):
+    """Multimodal packing: interleaved docs costed as whitespace tokens
+    + 64 patch tokens per media span, cut into seq_len=256 chunks via
+    the SAME two-phase distributed prefix sum as the text pack
+    (operators/interleave.py:pack_interleaved -> pack_sequences)."""
+    from .operators.interleave import pack_interleaved, synth_interleaved
+
+    docs = load(spark, sf_dir, "documents")
+    return pack_interleaved(synth_interleaved(docs), 256, 64).orderBy(
+        "chunk_id", "doc_id"
+    )
+
+
+SPANS_PACK_INTERLEAVED_SQL = _pack_sql(
+    256,
+    t_cte=r"""
+  SELECT doc_id,
+         CAST(count(*) + 64 * sum(CASE WHEN p % 11 = 7 THEN 1 ELSE 0 END)
+              + 1 AS BIGINT) AS n_tok
+  FROM (
+    SELECT doc_id, u.i - 1 AS p
+    FROM (
+      SELECT doc_id,
+             list_transform(regexp_split_to_array(trim(text), '\s+'),
+                            (x, i) -> {'w': x, 'i': i}) AS arr
+      FROM documents
+    ), unnest(arr) AS t(u)
+  )
+  GROUP BY doc_id
+""",
+)
+
+
+def media_caption_mining(spark, sf_dir):
+    """Caption mining on the REAL extraction output: media_captions
+    over the unified pdf+html interleaved spans (composite
+    source_format:doc_id key), so the alignment operator is exercised
+    against spans the engine actually extracted, not only the synthetic
+    stream.  Oracle replays the same windows over the golden
+    parquets."""
+    from .operators.interleave import media_captions
+
+    spans = unified_spans(spark, sf_dir).select(
+        F.concat_ws(":", "source_format", "doc_id").alias("doc_id"),
+        "pos",
+        "kind",
+        "text",
+        "media_ref",
+    )
+    return media_captions(spans, max_words=6, min_words=0).orderBy(
+        "doc_id", "media_pos"
+    )
+
+
+MEDIA_CAPTION_MINING_SQL = f"""
+WITH u AS (
+  SELECT 'pdf:' || doc_id AS doc_id, pos, kind, text, media_ref
+  FROM read_parquet('{{GOLDEN_SPANS}}')
+  UNION ALL
+  SELECT 'html:' || doc_id AS doc_id, pos, kind, text, media_ref
+  FROM read_parquet('{{GOLDEN_HTML_MAIN}}')
+),
+g AS (
+  SELECT doc_id, pos, kind, text, media_ref,
+         sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS media_idx
+  FROM u
+),
+media AS (
+  SELECT doc_id, media_idx AS grp, media_ref, pos AS media_pos
+  FROM g WHERE kind = 'media'
+),
+cand AS (
+  SELECT doc_id, media_idx AS grp, pos, text,
+         row_number() OVER (PARTITION BY doc_id, media_idx ORDER BY pos)
+           AS rnk
+  FROM g WHERE kind <> 'media' AND media_idx >= 1
+),
+caps AS (
+  SELECT doc_id, grp,
+         string_agg(text, ' ' ORDER BY pos) AS caption,
+         CAST(count(*) AS BIGINT) AS caption_words
+  FROM cand WHERE rnk <= 6 GROUP BY doc_id, grp
+)
+SELECT m.doc_id, m.media_ref, CAST(m.media_pos AS BIGINT) AS media_pos,
+       COALESCE(c.caption, '') AS caption,
+       COALESCE(c.caption_words, 0) AS caption_words
+FROM media m
+LEFT JOIN caps c ON m.doc_id = c.doc_id AND m.grp = c.grp
+ORDER BY m.doc_id, m.media_pos
+""".replace("{GOLDEN_SPANS}", _GOLDEN_SPANS_PARQUET).replace(
+    "{GOLDEN_HTML_MAIN}", _GOLDEN_HTML_MAIN_PARQUET
+)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "spans_interleaved_synth": spans_interleaved_synth,
+    "spans_media_captions": spans_media_captions,
+    "spans_interleave_stats": spans_interleave_stats,
+    "spans_pack_interleaved": spans_pack_interleaved,
+    "media_caption_mining": media_caption_mining,
     "doc_hybrid_rrf": doc_hybrid_rrf,
     "events_funnel_steps": events_funnel_steps,
     "events_cohort_retention": events_cohort_retention,
@@ -5686,6 +5919,11 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
+    "spans_interleaved_synth": SPANS_INTERLEAVED_SQL,
+    "spans_media_captions": SPANS_MEDIA_CAPTIONS_SQL,
+    "spans_interleave_stats": SPANS_INTERLEAVE_STATS_SQL,
+    "spans_pack_interleaved": SPANS_PACK_INTERLEAVED_SQL,
+    "media_caption_mining": MEDIA_CAPTION_MINING_SQL,
     "doc_hybrid_rrf": DOC_HYBRID_RRF_SQL,
     "events_funnel_steps": EVENTS_FUNNEL_SQL,
     "events_cohort_retention": EVENTS_COHORT_SQL,

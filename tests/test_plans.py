@@ -441,3 +441,35 @@ def test_cohort_retention_no_window(spark):
     assert "Window" not in txt
     assert "BatchEvalPython" not in txt
     assert "ArrowEvalPython" not in txt
+
+
+def test_interleave_family_jvm_only_doc_windows(spark):
+    """The interleave alignment family must stay whole-stage codegen
+    (no Python) and every window must be keyed by doc_id — the widest
+    partition is one document's span list, never the corpus."""
+    from pdf_extract_spark.queries import (
+        spans_interleave_stats,
+        spans_media_captions,
+    )
+
+    for q in (spans_media_captions, spans_interleave_stats):
+        txt = plan_of(q(spark, SF))
+        assert "BatchEvalPython" not in txt
+        assert "ArrowEvalPython" not in txt
+        for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", txt):
+            assert "doc_id" in spec, spec
+
+
+def test_pack_interleaved_partition_invariant(spark):
+    """The multimodal pack manifest must not depend on where the
+    range-partition cuts fall (the two-phase prefix sum contract)."""
+    from pdf_extract_spark.operators.interleave import (
+        pack_interleaved,
+        synth_interleaved,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    spans = synth_interleaved(docs)
+    a = pack_interleaved(spans, 128, 64, num_parts=2)
+    b = pack_interleaved(spans, 128, 64, num_parts=7)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
