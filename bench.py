@@ -38,6 +38,27 @@ HEADLINE = [
     "q17_small_quantity_revenue",
     "q21_waiting_suppliers",
     "q22_global_sales_opportunity",
+    # partsupp-derived TPC-H tail (the derived relation is built inside
+    # each query; q2/q11/q16/q20 time the dim-broadcast plans, q9 the
+    # profit join over the widest fact chain)
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_potential_promotion",
+    # event analytics wave: ordered funnel (min-agg join chain), weekly
+    # cohorts (integer day arithmetic), integer-exact outlier ranking,
+    # and hybrid lexical+semantic RRF fusion over bounded top-k lists
+    "events_funnel_steps",
+    "events_cohort_retention",
+    "events_value_extremes",
+    "doc_hybrid_rrf",
+    # interleaved text+media alignment family: synthetic stream caption
+    # mining + profile (doc-keyed windows only) and multimodal packing
+    # through the two-phase prefix sum with a per-media patch budget
+    "spans_media_captions",
+    "spans_interleave_stats",
+    "spans_pack_interleaved",
     "events_value_percentiles",
     "events_distinct_users_hll",
     "events_value_quantile_sketch",
@@ -90,6 +111,9 @@ HEADLINE = [
     # per timed invocation, doubling the loop cost without new signal) and
     # stays correctness-gated via its oracle row instead
     "bpe_merges",
+    # unigram-LM sibling: substring seed + 2 EM rounds, every job
+    # vocabulary-sized, corpus scanned once (functions/unigram.py)
+    "unigram_vocab",
     "media_dhash",
     "media_dhash_near_dup",
     "media_audio_fp",

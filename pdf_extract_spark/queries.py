@@ -3914,6 +3914,49 @@ WHERE corpus_fp = ({_BPE_FP_SQL})
 ORDER BY doc_id
 """
 
+def unigram_vocab(spark, sf_dir):
+    """Distributed unigram-LM (SentencePiece-style) tokenizer training
+    (functions/unigram.py): substring seed + 2 rounds of hard-EM with
+    exact-integer Laplace Viterbi over the word histogram.  The corpus
+    is scanned once; every EM job is vocabulary-sized; the per-round
+    piece-table collect is bounded (<= seed_max + alphabet rows).
+    Oracled against an independent pure-Python reimplementation
+    (tools/gen_golden_unigram.py, fingerprint-keyed)."""
+    from .functions.unigram import unigram_train
+
+    docs = load(spark, sf_dir, "documents")
+    vdf, _ = unigram_train(docs)
+    return vdf.orderBy("rank")
+
+
+def doc_unigram_tokens(spark, sf_dir):
+    """Train-then-segment composition for the unigram tokenizer:
+    Viterbi over the distinct-word table under the learned vocab,
+    joined back for per-doc token counts.  Same independent golden."""
+    from .functions.unigram import unigram_segment, unigram_train
+
+    docs = load(spark, sf_dir, "documents")
+    _, pieces = unigram_train(docs)
+    return unigram_segment(docs, pieces).orderBy("doc_id")
+
+
+_GOLDEN_UNIGRAM_VOCAB_PARQUET = _golden("golden_unigram_vocab.parquet")
+_GOLDEN_UNIGRAM_TOKENS_PARQUET = _golden("golden_unigram_tokens.parquet")
+
+UNIGRAM_VOCAB_SQL = f"""
+SELECT rank, piece, piece_count
+FROM read_parquet('{_GOLDEN_UNIGRAM_VOCAB_PARQUET}')
+WHERE corpus_fp = ({_BPE_FP_SQL})
+ORDER BY rank
+"""
+
+UNIGRAM_TOKENS_SQL = f"""
+SELECT doc_id, n_words, n_unigram_tokens
+FROM read_parquet('{_GOLDEN_UNIGRAM_TOKENS_PARQUET}')
+WHERE corpus_fp = ({_BPE_FP_SQL})
+ORDER BY doc_id
+"""
+
 # tokenizer-aware packing: the SAME prefix-sum SQL as PACK_SEQUENCES_SQL
 # composed over the independent BPE golden's per-doc token counts
 PACK_BPE_SQL = _pack_sql(
@@ -5891,6 +5934,8 @@ QUERIES = {
     "doc_dsir_weights": doc_dsir_weights,
     "doc_dsir_select": doc_dsir_select,
     "bpe_merges": bpe_merges,
+    "unigram_vocab": unigram_vocab,
+    "doc_unigram_tokens": doc_unigram_tokens,
     "doc_bpe_tokens": doc_bpe_tokens,
     "doc_pack_bpe": doc_pack_bpe,
     "doc_shuffle_shards": doc_shuffle_shards,
@@ -6029,6 +6074,8 @@ ORACLES = {
     "doc_dsir_weights": DSIR_WEIGHTS_SQL,
     "doc_dsir_select": DSIR_SELECT_SQL,
     "bpe_merges": BPE_MERGES_SQL,
+    "unigram_vocab": UNIGRAM_VOCAB_SQL,
+    "doc_unigram_tokens": UNIGRAM_TOKENS_SQL,
     "doc_bpe_tokens": BPE_TOKENS_SQL,
     "doc_pack_bpe": PACK_BPE_SQL,
     "doc_shuffle_shards": SHUFFLE_SHARDS_SQL,
