@@ -59,6 +59,8 @@ HEADLINE = [
     "spans_media_captions",
     "spans_interleave_stats",
     "spans_pack_interleaved",
+    # the composed multimodal funnel (stats -> captions -> gate -> pack)
+    "interleaved_funnel",
     "events_value_percentiles",
     "events_distinct_users_hll",
     "events_value_quantile_sketch",

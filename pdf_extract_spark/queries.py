@@ -5829,8 +5829,147 @@ ORDER BY m.doc_id, m.media_pos
 )
 
 
+def interleaved_funnel(spark, sf_dir):
+    """The COMPOSED multimodal-curation funnel as one oracled query —
+    the interleaved sibling of corpus_funnel: synthetic interleaved
+    stream -> docs with media -> caption mining -> caption quality gate
+    (>= 3 words) -> multimodal pack chunk count, reported as per-stage
+    counts (stage_idx, stage, n).
+
+    Scale shape: stages 1-2 are one aggregate over the interleave
+    profile, 3-4 one aggregate over the caption pairs, 5 the pack
+    manifest's distinct-chunk count (the two-phase prefix sum); the
+    three one-row frames cross-join and explode into the funnel rows —
+    no corpus-sized window, no collect.  The spans frame is recomputed
+    per branch (narrow ops over the scan); a production run over real
+    extraction output would persist it once, as pipeline.py does for
+    the text funnel.  Oracle: independent SQL over the same CTEs, with
+    the chunk count derived arithmetically (ceil(total/256)) rather
+    than replaying the manifest — an independent derivation of the
+    same quantity."""
+    from .operators.interleave import (
+        interleave_stats,
+        media_captions,
+        pack_interleaved,
+        synth_interleaved,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    spans = synth_interleaved(docs)
+    a = interleave_stats(spans).agg(
+        F.count("*").cast("long").alias("docs_total"),
+        F.sum((F.col("n_media") >= 1).cast("long"))
+        .cast("long")
+        .alias("docs_with_media"),
+    )
+    wm = interleave_stats(spans).filter(F.col("n_media") >= 1).select("doc_id")
+    caps = media_captions(spans.join(wm, "doc_id"), max_words=6, min_words=0)
+    b = caps.agg(
+        F.count("*").cast("long").alias("captions_mined"),
+        F.sum((F.col("caption_words") >= 3).cast("long"))
+        .cast("long")
+        .alias("captions_kept"),
+    )
+    kept_docs = (
+        caps.filter(F.col("caption_words") >= 3).select("doc_id").distinct()
+    )
+    manifest = pack_interleaved(spans.join(kept_docs, "doc_id"), 256, 64)
+    c = manifest.agg(
+        F.countDistinct("chunk_id").cast("long").alias("pack_chunks")
+    )
+    one = a.crossJoin(b).crossJoin(c)
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                F.col(name).cast("long").alias("n"),
+            )
+            for i, name in enumerate(
+                [
+                    "docs_total",
+                    "docs_with_media",
+                    "captions_mined",
+                    "captions_kept",
+                    "pack_chunks",
+                ]
+            )
+        ]
+    )
+    return (
+        one.select(F.explode(stages).alias("s"))
+        .select("s.stage_idx", "s.stage", "s.n")
+        .orderBy("stage_idx")
+    )
+
+
+INTERLEAVED_FUNNEL_SQL = f"""
+WITH {_INTERLEAVED_CTE},
+stats AS (
+  SELECT doc_id, count(*) AS n_spans,
+         sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS n_media
+  FROM inter GROUP BY doc_id
+),
+wm AS (SELECT doc_id FROM stats WHERE n_media >= 1),
+g AS (
+  SELECT i.doc_id, i.pos, i.kind, i.text, i.media_ref,
+         sum(CASE WHEN i.kind = 'media' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY i.doc_id ORDER BY i.pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS media_idx
+  FROM inter i JOIN wm ON i.doc_id = wm.doc_id
+),
+media AS (
+  SELECT doc_id, media_idx AS grp, media_ref, pos AS media_pos
+  FROM g WHERE kind = 'media'
+),
+cand AS (
+  SELECT doc_id, media_idx AS grp, pos, text,
+         row_number() OVER (PARTITION BY doc_id, media_idx ORDER BY pos)
+           AS rnk
+  FROM g WHERE kind <> 'media' AND media_idx >= 1
+),
+caps AS (
+  SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS caption_words
+  FROM cand WHERE rnk <= 6 GROUP BY doc_id, grp
+),
+pairs AS (
+  SELECT m.doc_id, COALESCE(c.caption_words, 0) AS caption_words
+  FROM media m
+  LEFT JOIN caps c ON m.doc_id = c.doc_id AND m.grp = c.grp
+),
+kept AS (SELECT DISTINCT doc_id FROM pairs WHERE caption_words >= 3),
+cost AS (
+  SELECT w.doc_id,
+         count(*) + 64 * sum(CASE WHEN w.p % 11 = 7 THEN 1 ELSE 0 END) + 1
+           AS n_tok
+  FROM words w JOIN kept ON w.doc_id = kept.doc_id
+  GROUP BY w.doc_id
+),
+scalars AS (
+  SELECT (SELECT count(*) FROM stats) AS docs_total,
+         (SELECT count(*) FROM wm) AS docs_with_media,
+         (SELECT count(*) FROM pairs) AS captions_mined,
+         (SELECT count(*) FROM pairs WHERE caption_words >= 3)
+           AS captions_kept,
+         (SELECT COALESCE((sum(n_tok) + 255) // 256, 0) FROM cost)
+           AS pack_chunks
+)
+SELECT CAST(u.stage_idx AS BIGINT) AS stage_idx, u.stage, CAST(u.n AS BIGINT) AS n
+FROM scalars, unnest([
+  {{'stage_idx': 0, 'stage': 'docs_total', 'n': docs_total}},
+  {{'stage_idx': 1, 'stage': 'docs_with_media', 'n': docs_with_media}},
+  {{'stage_idx': 2, 'stage': 'captions_mined', 'n': captions_mined}},
+  {{'stage_idx': 3, 'stage': 'captions_kept', 'n': captions_kept}},
+  {{'stage_idx': 4, 'stage': 'pack_chunks', 'n': pack_chunks}}
+]) AS t(u)
+ORDER BY stage_idx
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "interleaved_funnel": interleaved_funnel,
     "spans_interleaved_synth": spans_interleaved_synth,
     "spans_media_captions": spans_media_captions,
     "spans_interleave_stats": spans_interleave_stats,
@@ -5964,6 +6103,7 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
+    "interleaved_funnel": INTERLEAVED_FUNNEL_SQL,
     "spans_interleaved_synth": SPANS_INTERLEAVED_SQL,
     "spans_media_captions": SPANS_MEDIA_CAPTIONS_SQL,
     "spans_interleave_stats": SPANS_INTERLEAVE_STATS_SQL,
