@@ -121,6 +121,7 @@ HEADLINE = [
     "media_audio_fp",
     "media_audio_near_dup",
     "warc_records_meta",
+    "wet_text_docs",
     "warc_html_spans",
     "dedup_exact",
     "minhash_lsh_candidates",

@@ -5829,6 +5829,55 @@ ORDER BY m.doc_id, m.media_pos
 )
 
 
+def wet_text_docs(spark, sf_dir):
+    """Common Crawl WET ingest (sources/warc.py:wet_records): a WET
+    archive — WARC container of WARC-Type: conversion / text/plain
+    records — parsed back to text documents.  The fixture archive is
+    built from the first 40 documents rows (bounded, disclosed
+    driver-side fixture construction; the OPERATOR path is the
+    distributed warc_records -> wet_records chain), and the oracle
+    reads the same 40 rows straight from the source relation, so the
+    container round-trip must be byte-faithful (URI keying, HTTP-less
+    block framing, UTF-8 body) to match."""
+    from .sources.warc import warc_records, wet_fixture_archive, wet_records
+
+    rows = [
+        (r["doc_id"], r["text"])
+        for r in load(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(40)
+        .collect()
+    ]
+    arcs = spark.createDataFrame(
+        [("wet-full", wet_fixture_archive(rows))],
+        "warc_id string, payload binary",
+    )
+    return (
+        wet_records(warc_records(arcs, num_partitions=4))
+        .select(
+            F.col("rec_index").cast("long").alias("rec_index"),
+            F.regexp_extract("target_uri", r"https://wet\.test/(.*)", 1).alias(
+                "doc_id"
+            ),
+            "target_uri",
+            F.length("text").cast("long").alias("n_chars"),
+            "body_sha256",
+        )
+        .orderBy("rec_index")
+    )
+
+
+WET_TEXT_DOCS_SQL = """
+SELECT CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rec_index,
+       CAST(doc_id AS VARCHAR) AS doc_id,
+       'https://wet.test/' || doc_id AS target_uri,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       sha256(text) AS body_sha256
+FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 40)
+ORDER BY rec_index
+"""
+
+
 def interleaved_funnel(spark, sf_dir):
     """The COMPOSED multimodal-curation funnel as one oracled query —
     the interleaved sibling of corpus_funnel: synthetic interleaved
@@ -5970,6 +6019,7 @@ ORDER BY stage_idx
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "interleaved_funnel": interleaved_funnel,
+    "wet_text_docs": wet_text_docs,
     "spans_interleaved_synth": spans_interleaved_synth,
     "spans_media_captions": spans_media_captions,
     "spans_interleave_stats": spans_interleave_stats,
@@ -6104,6 +6154,7 @@ QUERIES = {
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "interleaved_funnel": INTERLEAVED_FUNNEL_SQL,
+    "wet_text_docs": WET_TEXT_DOCS_SQL,
     "spans_interleaved_synth": SPANS_INTERLEAVED_SQL,
     "spans_media_captions": SPANS_MEDIA_CAPTIONS_SQL,
     "spans_interleave_stats": SPANS_INTERLEAVE_STATS_SQL,

@@ -260,3 +260,44 @@ def warc_fixture_archives() -> "list[tuple[str, bytes]]":
         warc_block_len(spec[TRUNC_RECORD]) + 4
     )
     return [("warc-full", full), ("warc-trunc", full[: off + head_len + 10])]
+
+
+def wet_records(recs: DataFrame) -> DataFrame:
+    """Conversion-record projection of a parsed WARC frame — the
+    Common Crawl WET path (WET files are WARC containers whose payload
+    records are WARC-Type: conversion with a text/plain block holding
+    the pre-extracted page text; reference corpus layout per ISO 28500
+    and the commoncrawl.org WET spec).  Media-type match is
+    case-insensitive (RFC 9110); the body decodes as UTF-8 text.
+
+    Scale shape: a narrow filter + projection over warc_records'
+    already-hash-spread output — no new exchange."""
+    return recs.filter(
+        (F.col("record_type") == "conversion")
+        & F.lower(F.col("content_type")).startswith("text/plain")
+    ).select(
+        "warc_id",
+        "rec_index",
+        "target_uri",
+        F.col("body").cast("string").alias("text"),
+        "byte_len",
+        "body_sha256",
+    )
+
+
+def wet_fixture_archive(docs_rows: "list[tuple]") -> bytes:
+    """Deterministic WET archive from (doc_id, text) rows: a warcinfo
+    record followed by one conversion record per document, URI-keyed
+    by doc_id.  Shared by the `wet_text_docs` query and its oracle's
+    expectations (the oracle reads the SAME source relation directly —
+    the container round-trip must be byte-faithful to match)."""
+    spec: list[tuple[str, str, str, bytes]] = [
+        ("warcinfo", "", "application/warc-fields",
+         b"software: pdf-extract-spark\r\nformat: WARC/1.1 WET\r\n"),
+    ]
+    for doc_id, text in docs_rows:
+        spec.append(
+            ("conversion", f"https://wet.test/{doc_id}", "text/plain",
+             str(text).encode("utf-8"))
+        )
+    return make_warc(spec)

@@ -120,3 +120,43 @@ def test_utf8_target_uri_roundtrips():
     rows = parse_warc(broken)
     assert rows[0]["target_uri"].startswith("https://x.test/caf")
     assert not rows[0]["error"]
+
+
+def test_wet_records_filters_to_conversion(spark):
+    from pdf_extract_spark.sources.warc import (
+        warc_records,
+        wet_fixture_archive,
+        wet_records,
+    )
+
+    arc = wet_fixture_archive([(1, "alpha beta"), (2, "gamma")])
+    arcs = spark.createDataFrame(
+        [("w", arc)], "warc_id string, payload binary"
+    )
+    out = wet_records(warc_records(arcs, num_partitions=2)).collect()
+    assert {r["target_uri"] for r in out} == {
+        "https://wet.test/1",
+        "https://wet.test/2",
+    }
+    assert {r["text"] for r in out} == {"alpha beta", "gamma"}
+    # warcinfo record is filtered, not surfaced as text
+    assert all(r["rec_index"] >= 1 for r in out)
+
+
+def test_wet_truncated_archive_keeps_prefix(spark):
+    from pdf_extract_spark.sources.warc import (
+        warc_records,
+        wet_fixture_archive,
+        wet_records,
+    )
+
+    arc = wet_fixture_archive([(1, "alpha beta"), (2, "gamma delta")])
+    cut = arc[: len(arc) - 8]  # cut inside the LAST record's block
+    arcs = spark.createDataFrame(
+        [("w", cut)], "warc_id string, payload binary"
+    )
+    recs = warc_records(arcs, num_partitions=2)
+    texts = {r["text"] for r in wet_records(recs).collect()}
+    assert "alpha beta" in texts  # parsed prefix survives
+    errs = [r for r in recs.collect() if r["error"]]
+    assert errs  # the cut tail lands as a tagged error row, no raise
