@@ -750,3 +750,117 @@ def test_streaming_frontier_gate_matches_batch(spark, tmp_path):
     )
     proc(urls, bid)
     assert spark.read.parquet(out).count() == len(want)
+
+
+def test_caption_aligner_buffers_then_emits_on_timeout():
+    """Spans arrive across two batches out of order; nothing emits until
+    the timeout fires, then the full sorted alignment emits once."""
+    import pandas as pd
+
+    from pdf_extract_spark.streaming.captions import make_caption_aligner
+
+    fn = make_caption_aligner(gap_seconds=60, max_words=2)
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    state = _FakeState()
+    # batch 1: the tail of the doc (text after the media span)
+    b1 = pd.DataFrame(
+        {"pos": [3, 4], "kind": ["text", "text"], "text": ["big", "cat"],
+         "media_ref": ["", ""], "ts": [base] * 2}
+    )
+    assert list(fn((7,), iter([b1]), state)) == []
+    # batch 2: the head (text before media, then the media span)
+    b2 = pd.DataFrame(
+        {"pos": [0, 1, 2], "kind": ["text", "text", "media"],
+         "text": ["a", "b", ""], "media_ref": ["", "", "img-7-0"],
+         "ts": [base + pd.Timedelta(seconds=30)] * 3}
+    )
+    assert list(fn((7,), iter([b2]), state)) == []
+    assert state.timeout == (int(base.timestamp()) + 30 + 60) * 1000
+    # watermark passes: timeout delivery has no data
+    state.hasTimedOut = True
+    out = list(fn((7,), iter([]), state))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert (row["doc_id"], row["media_ref"], row["media_pos"]) == ("7", "img-7-0", 2)
+    assert row["caption"] == "big cat" and row["caption_words"] == 2
+    assert not state.exists  # state cleared after emission
+
+
+def test_caption_stream_batch_parity(spark, tmp_path):
+    """Stream replay of the synthetic interleaved corpus emits exactly
+    the batch operator's rows once every doc goes quiet."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from pdf_extract_spark.operators.interleave import (
+        media_captions,
+        synth_interleaved,
+    )
+    from pdf_extract_spark.streaming.captions import caption_stream
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .orderBy("doc_id")
+        .limit(12)
+    )
+    spans = synth_interleaved(docs).withColumn(
+        "ts",
+        (F.lit(1704067200) + F.col("pos")).cast("timestamp"),
+    )
+    expected = sorted(
+        (str(r["doc_id"]), r["media_ref"], r["media_pos"], r["caption"],
+         r["caption_words"])
+        for r in media_captions(spans, max_words=6, min_words=0).collect()
+    )
+    # a far-future flush row advances the final watermark past every doc
+    flush = spark.createDataFrame(
+        [("__flush__", 0, "text", "", "", datetime.datetime(2024, 3, 1))],
+        "doc_id string, pos long, kind string, text string, "
+        "media_ref string, ts timestamp",
+    )
+    src = str(tmp_path / "spans_src")
+    spans.select(
+        F.col("doc_id").cast("string"), "pos", "kind", "text", "media_ref", "ts"
+    ).unionByName(flush).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "doc_id string, pos long, kind string, text string, "
+        "media_ref string, ts timestamp"
+    ).parquet(src)
+    out_dir, ckpt = str(tmp_path / "pairs"), str(tmp_path / "ckpt")
+    q = (
+        caption_stream(stream, gap_seconds=60, watermark="1 minute")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = sorted(
+        (r["doc_id"], r["media_ref"], r["media_pos"], r["caption"],
+         r["caption_words"])
+        for r in spark.read.parquet(out_dir).collect()
+        if r["doc_id"] != "__flush__"
+    )
+    assert got == expected
+
+
+def test_caption_stream_rejects_ntz(spark, tmp_path):
+    import datetime
+
+    from pdf_extract_spark.streaming.captions import caption_stream
+
+    src = str(tmp_path / "ntz_src")
+    spark.createDataFrame(
+        [("1", 0, "text", "w", "", datetime.datetime(2024, 1, 1))],
+        "doc_id string, pos long, kind string, text string, "
+        "media_ref string, ts timestamp_ntz",
+    ).write.mode("overwrite").parquet(src)
+    df = spark.readStream.schema(
+        "doc_id string, pos long, kind string, text string, "
+        "media_ref string, ts timestamp_ntz"
+    ).parquet(src)
+    with pytest.raises(TypeError, match="timestamp_ntz"):
+        caption_stream(df)
