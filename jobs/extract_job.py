@@ -12,7 +12,9 @@ be a parquet raw_docs table, a directory of PDFs (binaryFile source),
 'synthetic:N' for the deterministic benchmark corpus, or
 'warc:<parquet|synthetic>' to ingest crawl containers (WARC archives ->
 HTTP text/html bodies -> boilerplate strip) through the SAME
-documents_spans / lineage / metrics / resume contract as the PDF path.
+documents_spans / lineage / metrics / resume contract as the PDF path,
+or 'wet:<parquet|synthetic>' for Common Crawl WET text archives
+(conversion records -> one text span per document, same contract).
 
 The job is checkpoint-resumable: lineage rows from previous runs at
 --output/lineage are anti-joined away before extraction.
@@ -63,36 +65,54 @@ def main(argv=None) -> None:
     from pyspark.sql import functions as _F
 
     warc_mode = args.input.startswith("warc:")
-    if warc_mode:
-        # warc:synthetic (the oracled fixture archives) or
-        # warc:<parquet of (warc_id, payload)> — crawl containers in,
-        # the SAME documents_spans/lineage/metrics contract out
+    wet_mode = args.input.startswith("wet:")
+    if warc_mode or wet_mode:
+        # warc:synthetic (the oracled fixture archives) / wet:synthetic
+        # (a deterministic WET archive) or {warc,wet}:<parquet of
+        # (warc_id, payload)> — crawl containers in, the SAME
+        # documents_spans/lineage/metrics contract out.  WET archives
+        # carry pre-extracted text (WARC-Type: conversion, text/plain),
+        # so the extractable predicate and the span construction differ
+        # while all accounting (skips, errors, resume) is shared
         from pdf_extract_spark.sources.warc import (
             warc_fixture_archives,
             warc_records,
+            wet_fixture_archive,
         )
 
         src = args.input.split(":", 1)[1]
         if src == "synthetic":
-            arcs = spark.createDataFrame(
-                warc_fixture_archives(), "warc_id string, payload binary"
-            )
+            if wet_mode:
+                arcs = spark.createDataFrame(
+                    [("wet-synthetic", wet_fixture_archive(
+                        [(i, f"synthetic wet document {i} body text "
+                             f"with {i % 7} extra words " + "tok " * (i % 5))
+                         for i in range(20)]
+                    ))],
+                    "warc_id string, payload binary",
+                )
+            else:
+                arcs = spark.createDataFrame(
+                    warc_fixture_archives(), "warc_id string, payload binary"
+                )
         else:
             arcs = spark.read.parquet(src)
         recs = warc_records(arcs, num_partitions=args.num_partitions)
-        raw = (
-            recs.filter(
-                (_F.col("record_type") == "response")
-                # media types are case-insensitive (RFC 9110) and parse_warc
-                # preserves the server's casing verbatim
-                & _F.lower(_F.col("content_type")).startswith("text/html")
-            )
-            .select(
-                _F.concat_ws(
-                    "#", "warc_id", _F.col("rec_index").cast("string")
-                ).alias("doc_id"),
-                _F.col("body").cast("string").alias("html"),
-            )
+        if wet_mode:
+            # media types are case-insensitive (RFC 9110) and parse_warc
+            # preserves the server's casing verbatim
+            extractable = (_F.col("record_type") == "conversion") & _F.lower(
+                _F.col("content_type")
+            ).startswith("text/plain")
+        else:
+            extractable = (_F.col("record_type") == "response") & _F.lower(
+                _F.col("content_type")
+            ).startswith("text/html")
+        raw = recs.filter(extractable).select(
+            _F.concat_ws(
+                "#", "warc_id", _F.col("rec_index").cast("string")
+            ).alias("doc_id"),
+            _F.col("body").cast("string").alias("html"),
         )
         # non-HTML responses and request/warcinfo/metadata records are not
         # extracted, but the record-level accounting must stay auditable —
@@ -100,11 +120,7 @@ def main(argv=None) -> None:
         # same metrics/lineage contract — so they land as zero-span,
         # zero-failure rows tagged with what was skipped and why
         warc_skipped = recs.filter(
-            (_F.col("error") == "")
-            & ~(
-                (_F.col("record_type") == "response")
-                & _F.lower(_F.col("content_type")).startswith("text/html")
-            )
+            (_F.col("error") == "") & ~extractable
         ).select(
             _F.concat_ws(
                 "#", "warc_id",
@@ -142,7 +158,7 @@ def main(argv=None) -> None:
         except Exception:
             done = None
         raw = resume_filter(raw, done)
-        if warc_mode and done is not None:
+        if (warc_mode or wet_mode) and done is not None:
             # skipped records are deterministic (a request record never
             # becomes extractable) — resume treats them as done, unlike
             # failures which are retried
@@ -158,15 +174,34 @@ def main(argv=None) -> None:
 
     # free metrics via observe(): no extra pass over the data
     obs = Observation("extract")
-    if warc_mode:
-        from pdf_extract_spark.html_main import extract_main_content
+    if warc_mode or wet_mode:
+        if wet_mode:
+            # WET bodies are already extracted text: one text span per
+            # record, byte-faithful (no boilerplate strip to re-run)
+            ok = raw.select(
+                "doc_id",
+                F.lit(1).cast("long").alias("n_spans"),
+                F.array(
+                    F.struct(
+                        F.lit("text").alias("kind"),
+                        F.col("html").alias("text"),
+                        F.lit("").alias("media_ref"),
+                        F.lit(0).cast("int").alias("offset"),
+                    )
+                ).alias("spans"),
+                F.lit(1).cast("long").alias("pages"),
+                F.lit(0).cast("long").alias("decode_failures"),
+                F.lit(None).cast("string").alias("error"),
+            )
+        else:
+            from pdf_extract_spark.html_main import extract_main_content
 
-        ok = (
-            extract_main_content(raw, num_partitions=args.num_partitions)
-            .withColumn("pages", F.lit(1).cast("long"))
-            .withColumn("decode_failures", F.lit(0).cast("long"))
-            .withColumn("error", F.lit(None).cast("string"))
-        )
+            ok = (
+                extract_main_content(raw, num_partitions=args.num_partitions)
+                .withColumn("pages", F.lit(1).cast("long"))
+                .withColumn("decode_failures", F.lit(0).cast("long"))
+                .withColumn("error", F.lit(None).cast("string"))
+            )
         errs = warc_errors.select(
             "doc_id",
             F.lit(0).cast("long").alias("n_spans"),

@@ -24,6 +24,9 @@ Stages (each written under --output):
   langid/     heuristic language ID over the extracted content
               (functions/langid.py) — per-page profile scores and
               lang_pred, so the output corpus is language-filterable
+  captions/   (media, caption) training pairs mined from the html_main
+              interleaved spans (operators/interleave.py) — the
+              CLIP-style multimodal artifact of the crawl
   metrics/    one row per stage: row counts + content/boilerplate split
               + graph size + allowed-URL count, keyed by --run-id — the
               lineage row a scheduler checks before re-running
@@ -163,6 +166,27 @@ def main(argv=None) -> None:
         id_col="url",
     ).write.mode("overwrite").parquet(f"{args.output}/langid")
 
+    # caption mining over the INTERLEAVED spans of the html_main path:
+    # (media, caption) training pairs per page — the multimodal artifact
+    # a CLIP-style pair corpus consumes (operators/interleave.py)
+    from pdf_extract_spark.html_main import extract_main_content
+    from pdf_extract_spark.operators.interleave import media_captions
+
+    spans = (
+        extract_main_content(pages.select(F.col("url").alias("doc_id"), "html"))
+        .select("doc_id", F.posexplode("spans").alias("pos", "s"))
+        .select(
+            "doc_id",
+            "pos",
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+        )
+    )
+    media_captions(spans, max_words=6, min_words=1).write.mode(
+        "overwrite"
+    ).parquet(f"{args.output}/captions")
+
     def stat(name, df, extra=0):
         return {"run_id": args.run_id, "stage": name,
                 "n_rows": df.count(), "n_extra": extra}
@@ -176,6 +200,7 @@ def main(argv=None) -> None:
         stat("hits", spark.read.parquet(f"{args.output}/hits")),
         stat("hostrank", spark.read.parquet(f"{args.output}/hostrank")),
         stat("langid", spark.read.parquet(f"{args.output}/langid")),
+        stat("captions", spark.read.parquet(f"{args.output}/captions")),
     ]
     if args.robots != "none":
         metrics.append(

@@ -3940,6 +3940,24 @@ def doc_unigram_tokens(spark, sf_dir):
     return unigram_segment(docs, pieces).orderBy("doc_id")
 
 
+def doc_pack_unigram(spark, sf_dir):
+    """Unigram-tokenizer-aware packing — train the unigram vocab,
+    segment every doc to its token count, cut the concatenated stream
+    into seq_len=512 chunks with the two-phase distributed prefix sum
+    (the doc_pack_bpe composition with the second tokenizer family).
+    Oracle composes the SAME prefix-sum SQL over the independent
+    unigram golden's token counts."""
+    from .functions.unigram import unigram_segment, unigram_train
+    from .operators.pack import pack_sequences
+
+    docs = load(spark, sf_dir, "documents")
+    _, pieces = unigram_train(docs)
+    counts = unigram_segment(docs, pieces)
+    return pack_sequences(
+        counts, 512, count_col="n_unigram_tokens"
+    ).orderBy("chunk_id", "doc_id")
+
+
 _GOLDEN_UNIGRAM_VOCAB_PARQUET = _golden("golden_unigram_vocab.parquet")
 _GOLDEN_UNIGRAM_TOKENS_PARQUET = _golden("golden_unigram_tokens.parquet")
 
@@ -3956,6 +3974,15 @@ FROM read_parquet('{_GOLDEN_UNIGRAM_TOKENS_PARQUET}')
 WHERE corpus_fp = ({_BPE_FP_SQL})
 ORDER BY doc_id
 """
+
+PACK_UNIGRAM_SQL = _pack_sql(
+    512,
+    t_cte=rf"""
+  SELECT doc_id, CAST(n_unigram_tokens + 1 AS BIGINT) AS n_tok
+  FROM read_parquet('{_GOLDEN_UNIGRAM_TOKENS_PARQUET}')
+  WHERE corpus_fp = ({_BPE_FP_SQL})
+""",
+)
 
 # tokenizer-aware packing: the SAME prefix-sum SQL as PACK_SEQUENCES_SQL
 # composed over the independent BPE golden's per-doc token counts
@@ -6125,6 +6152,7 @@ QUERIES = {
     "bpe_merges": bpe_merges,
     "unigram_vocab": unigram_vocab,
     "doc_unigram_tokens": doc_unigram_tokens,
+    "doc_pack_unigram": doc_pack_unigram,
     "doc_bpe_tokens": doc_bpe_tokens,
     "doc_pack_bpe": doc_pack_bpe,
     "doc_shuffle_shards": doc_shuffle_shards,
@@ -6267,6 +6295,7 @@ ORACLES = {
     "bpe_merges": BPE_MERGES_SQL,
     "unigram_vocab": UNIGRAM_VOCAB_SQL,
     "doc_unigram_tokens": UNIGRAM_TOKENS_SQL,
+    "doc_pack_unigram": PACK_UNIGRAM_SQL,
     "doc_bpe_tokens": BPE_TOKENS_SQL,
     "doc_pack_bpe": PACK_BPE_SQL,
     "doc_shuffle_shards": SHUFFLE_SHARDS_SQL,

@@ -228,3 +228,44 @@ def test_spark_submit_web_job(tmp_path):
         ).fetchall()
     }
     assert langs <= {"de", "en", "es", "fr", "zh", "und"}
+    # caption mining over the html_main interleaved spans: the fixture
+    # corpus carries media spans, so pairs must exist and every caption
+    # respects the >=1-word gate
+    caps = con.execute(
+        f"SELECT count(*), min(caption_words) FROM '{out}/captions/*.parquet'"
+    ).fetchone()
+    assert caps[0] >= 1 and caps[1] >= 1
+
+
+@pytest.mark.slow
+def test_spark_submit_wet_input_mode(tmp_path):
+    """extract_job --input wet:synthetic: WET (conversion-record) text
+    archives through the same contract — 20 conversion records land as
+    one-text-span docs, the warcinfo record as a skipped audit row."""
+    from tests.conftest import ensure_pyfiles_zip
+
+    ensure_pyfiles_zip()
+    out = str(tmp_path / "wet_out")
+    r = _submit(["--input", "wet:synthetic", "--output", out,
+                 "--run-id", "wet1"])
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    import duckdb
+
+    con = duckdb.connect()
+    ln = dict(con.execute(
+        f"SELECT status, count(*) FROM '{out}/lineage/*.parquet' GROUP BY 1"
+    ).fetchall())
+    assert ln == {"ok": 20, "skipped": 1}
+    # every ok doc carries exactly one text span with the body verbatim
+    row = con.execute(
+        f"SELECT min(len(spans)), max(len(spans)) "
+        f"FROM '{out}/documents_spans/**/*.parquet' "
+        "WHERE doc_id NOT LIKE '%#skip%'"
+    ).fetchone()
+    assert row == (1, 1)
+    one = con.execute(
+        f"SELECT spans[1].text FROM '{out}/documents_spans/**/*.parquet' "
+        "WHERE doc_id = 'wet-synthetic#3'"
+    ).fetchone()[0]
+    assert one.startswith("synthetic wet document 2 body text")
