@@ -93,6 +93,8 @@ HEADLINE = [
     "doc_span_dedup_apply",
     "doc_decontaminate",
     "doc_decontaminate_bloom",
+    "doc_holdout_split",
+    "doc_mix_epochs",
     "doc_pii_redact",
     "doc_blocklist",
     "doc_url_dedup",

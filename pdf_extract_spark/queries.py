@@ -1564,6 +1564,140 @@ def doc_decontaminate(spark, sf_dir):
     return decontaminate(load(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def doc_holdout_split(spark, sf_dir):
+    """Eval-suite construction with leakage control: a deterministic
+    md5-bucket 5% heldout slice, with the TRAIN side decontaminated
+    against it through the EXTERNAL eval_docs API (the production call
+    of functions/text.py:decontaminate — the benchmark frame crosses
+    the API boundary instead of the self-contained slice rule).  Emits
+    the full split table: eval rows plus train rows with their
+    contamination verdict and the final keep decision.
+
+    Scale shape: the split is a scan-side md5 filter; the verdicts are
+    decontaminate's one-gram-build broadcast plan; the union is two
+    branches of the same scan."""
+    from .functions.text import decontaminate, hash_bucket
+
+    docs = load(spark, sf_dir, "documents")
+    bk = hash_bucket(F.col("doc_id"))
+    eval_side = docs.filter(bk < 5)
+    train_side = docs.filter(bk >= 5)
+    verdicts = decontaminate(train_side, eval_docs=eval_side)
+    train_rows = verdicts.select(
+        "doc_id",
+        F.lit("train").alias("split"),
+        "n_grams",
+        "n_hits",
+        "contaminated",
+        (~F.col("contaminated")).alias("keep"),
+    )
+    eval_rows = eval_side.select(
+        "doc_id",
+        F.lit("eval").alias("split"),
+        F.lit(0).cast("long").alias("n_grams"),
+        F.lit(0).cast("long").alias("n_hits"),
+        F.lit(False).alias("contaminated"),
+        F.lit(True).alias("keep"),
+    )
+    return train_rows.unionByName(eval_rows).orderBy("doc_id")
+
+
+DOC_HOLDOUT_SPLIT_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
+           AS bk,
+         list_distinct(list_transform(range(1, greatest(len(ts) - 7, 0) + 1),
+                       i -> array_to_string(ts[i:i+7], ' '))) AS gs
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+        FROM documents)
+), ev AS (
+  SELECT DISTINCT md5(g) AS h FROM base, unnest(gs) AS t(g) WHERE bk < 5
+), tr AS (
+  SELECT doc_id, md5(g) AS h FROM base, unnest(gs) AS t(g) WHERE bk >= 5
+), hits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM tr JOIN ev USING (h)
+  GROUP BY doc_id
+)
+SELECT b.doc_id, 'train' AS split,
+       CAST(len(b.gs) AS BIGINT) AS n_grams,
+       coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated,
+       coalesce(h.n_hits, 0) = 0 AS keep
+FROM base b LEFT JOIN hits h USING (doc_id)
+WHERE b.bk >= 5
+UNION ALL
+SELECT doc_id, 'eval', CAST(0 AS BIGINT), CAST(0 AS BIGINT), FALSE, TRUE
+FROM base WHERE bk < 5
+ORDER BY doc_id
+"""
+
+
+def doc_mix_epochs(spark, sf_dir):
+    """Token-budget mixture planning: given per-source token totals and
+    a 2x-corpus token budget, plan each source's share under sqrt
+    (T=0.5) temperature weighting and report the per-source epoch
+    factor (how many times the source repeats) — the upsampling plan a
+    pretraining mixture uses.  All arithmetic is integer-exact: weights
+    come from floor(sqrt(tokens)) (IEEE sqrt of an exactly-represented
+    BIGINT, identical in any engine), shares and epochs are integer
+    div/mod — no float summation order anywhere.
+
+    Scale shape: one map-side per-source aggregate (a handful of rows),
+    a one-row totals frame crossJoined back — the corpus is scanned
+    once for token counts and never shuffled."""
+    from .functions.text import token_count
+
+    docs = load(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens")
+    ).withColumn("isqrt", F.floor(F.sqrt("n_tokens")).cast("long"))
+    totals = per_src.agg(
+        F.sum("isqrt").cast("long").alias("ssum"),
+        F.sum("n_tokens").cast("long").alias("ntotal"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_tokens",
+            # `div` = exact BIGINT division (a float `/` then cast would
+            # truncate 123.9999… to 123 where DuckDB's `//` gives 124)
+            F.expr("isqrt * 1000000L div ssum").alias("weight_ppm"),
+            F.expr("2L * ntotal * isqrt div ssum").alias("planned_tokens"),
+            F.expr(
+                "2L * ntotal * isqrt * 1000L div (ssum * n_tokens)"
+            ).alias("epochs_x1000"),
+        )
+        .orderBy("source")
+    )
+
+
+DOC_MIX_EPOCHS_SQL = r"""
+WITH per_src AS (
+  SELECT source,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, n_tokens,
+         CAST(floor(sqrt(n_tokens)) AS BIGINT) AS isqrt
+  FROM per_src
+), t AS (
+  SELECT CAST(sum(isqrt) AS BIGINT) AS ssum,
+         CAST(sum(n_tokens) AS BIGINT) AS ntotal
+  FROM w
+)
+SELECT source, n_tokens,
+       isqrt * 1000000 // ssum AS weight_ppm,
+       2 * ntotal * isqrt // ssum AS planned_tokens,
+       2 * ntotal * isqrt * 1000 // (ssum * n_tokens) AS epochs_x1000
+FROM w, t
+ORDER BY source
+"""
+
+
 def doc_pii_redact(spark, sf_dir):
     """PII scrubbing over documents with deterministic injected PII
     (emails on doc_id%7, IPs on %11, phones on %13 — the synthetic corpus
@@ -6103,6 +6237,8 @@ QUERIES = {
     "doc_span_dedup": doc_span_dedup,
     "doc_span_dedup_apply": doc_span_dedup_apply,
     "doc_decontaminate": doc_decontaminate,
+    "doc_holdout_split": doc_holdout_split,
+    "doc_mix_epochs": doc_mix_epochs,
     "doc_decontaminate_bloom": doc_decontaminate_bloom,
     "doc_pii_redact": doc_pii_redact,
     "doc_url_dedup": doc_url_dedup,
@@ -6242,6 +6378,8 @@ ORACLES = {
     "doc_span_dedup": DOC_SPAN_DEDUP_SQL,
     "doc_span_dedup_apply": DOC_SPAN_DEDUP_APPLY_SQL,
     "doc_decontaminate": DOC_DECONTAMINATE_SQL,
+    "doc_holdout_split": DOC_HOLDOUT_SPLIT_SQL,
+    "doc_mix_epochs": DOC_MIX_EPOCHS_SQL,
     "doc_decontaminate_bloom": _bloom_decontaminate_sql(),
     "doc_pii_redact": DOC_PII_REDACT_SQL,
     "doc_url_dedup": DOC_URL_DEDUP_SQL,
