@@ -157,6 +157,7 @@ HEADLINE = [
     # host projection + the shared fixed-point kernel on the 4-5-orders
     # smaller domain graph, and the sitemap/graph discovery merge
     "web_host_pagerank",
+    "web_host_communities",
     "web_discovery_frontier",
     # delay-timed schedule (one more bounded join over the frontier) and
     # pointer-jumping redirect resolution (log2(max_hops) self-joins)

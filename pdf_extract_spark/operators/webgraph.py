@@ -358,3 +358,67 @@ def pagerank_step(
             ).alias("rank"),
         )
     )
+
+
+def label_propagation(edges: DataFrame, rounds: int = 5) -> DataFrame:
+    """Deterministic synchronous label propagation communities over the
+    UNDIRECTED view of (src, dst) — the domain-clustering signal a
+    curation pipeline uses to cap or diversify whole site families
+    (link farms propagate to one community in a round or two).
+
+    Every vertex starts as its own label; each round every vertex
+    adopts the most frequent label among its neighbors, ties broken by
+    the lexicographically smallest label.  That argmax is a plain
+    aggregate — min(struct(-count, label)) — so the rounds are
+    map-side-combinable joins/groupBys with NO per-vertex window, and
+    the whole iteration is exactly reproducible by any engine (no
+    float scores, no random tie-breaks — the reason classic async LPA
+    is replaced by the synchronous min-label variant here).
+
+    Returns (node, community, community_size).
+
+    Lineage discipline (same as pagerank_fixed_point): the symmetrized
+    edge frame feeds every round, so it is materialized once; the label
+    frame is truncated per round or the plan doubles.
+
+    Scale shape: each round is one shuffle join (edges x labels — the
+    co-partitioned fact join AQE handles) plus two bounded aggregates;
+    rounds is a small constant.  State is one label per vertex."""
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(rounds):
+        nbr = sym.join(
+            labels, sym["src"] == labels["node"], "inner"
+        ).select(F.col("dst").alias("node"), "label")
+        counts = nbr.groupBy("node", "label").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"), F.col("label").alias("l")
+                    )
+                ).alias("m")
+            )
+            .select("node", F.col("m.l").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size")
+    )
+    return labels.join(sizes, "label").select(
+        "node",
+        F.col("label").alias("community"),
+        "community_size",
+    )

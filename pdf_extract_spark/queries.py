@@ -4909,6 +4909,57 @@ def web_host_pagerank(spark, sf_dir):
     return pagerank_fixed_point(he, iterations=10).orderBy("node")
 
 
+def web_host_communities(spark, sf_dir):
+    """Domain communities by deterministic synchronous label propagation
+    (operators/webgraph.py:label_propagation): 5 rounds of
+    most-frequent-neighbor-label with min-label tie-break over the
+    undirected host graph — the site-family clustering signal (link
+    farms collapse to one community).  The argmax per round is a plain
+    min(struct(-count, label)) aggregate, no per-vertex window; oracle
+    is the 5-round unrolled CTE chain."""
+    from .operators.webgraph import edge_list, host_edges, label_propagation
+
+    he = host_edges(edge_list(_web_links(spark))).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return label_propagation(he, rounds=5).orderBy("node")
+
+
+def _label_prop_sql(rounds: int = 5) -> str:
+    rs = []
+    prev = "l0"
+    for k in range(1, rounds + 1):
+        rs.append(f"""l{k} AS (
+  SELECT node, label FROM (
+    SELECT s.dst AS node, l.label, count(*) AS cnt,
+           row_number() OVER (PARTITION BY s.dst
+                              ORDER BY count(*) DESC, l.label) AS rn
+    FROM sym s JOIN {prev} l ON s.src = l.node
+    GROUP BY s.dst, l.label
+  ) WHERE rn = 1
+)""")
+        prev = f"l{k}"
+    chain = ",\n".join(rs)
+    return f"""
+WITH {_WEB_LINKS_CTES}, hpairs AS (
+  {_HOST_EDGE_SELECT}
+), sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM hpairs
+    UNION ALL SELECT dst AS src, src AS dst FROM hpairs
+  )
+), l0 AS (
+  SELECT DISTINCT src AS node, src AS label FROM sym
+),
+{chain}
+SELECT l.node, l.label AS community, CAST(c.n AS BIGINT) AS community_size
+FROM {prev} l
+JOIN (SELECT label, count(*) AS n FROM {prev} GROUP BY label) c
+  USING (label)
+ORDER BY l.node
+"""
+
+
 def web_discovery_frontier(spark, sf_dir):
     """Sitemap-declared URLs merged with link-graph nodes: the crawl's
     new-URL feed (declared-but-unlinked) and stale-page flags
@@ -4954,6 +5005,8 @@ _HOST_EDGE_SELECT = (
 )
 
 WEB_HOST_PAGERANK_SQL = _pagerank_sql(edge_select=_HOST_EDGE_SELECT)
+
+WEB_HOST_COMMUNITIES_SQL = _label_prop_sql(5)
 
 WEB_DISCOVERY_FRONTIER_SQL = f"""
 WITH {_SITEMAP_PARSE_CTES}, {_WEB_LINKS_CTES.lstrip()}, gnodes AS (
@@ -6310,6 +6363,7 @@ QUERIES = {
     "doc_langid": doc_langid,
     "web_host_edges": web_host_edges,
     "web_host_pagerank": web_host_pagerank,
+    "web_host_communities": web_host_communities,
     "web_discovery_frontier": web_discovery_frontier,
     "web_redirect_resolution": web_redirect_resolution,
     "web_snapshot_diff": web_snapshot_diff,
@@ -6455,6 +6509,7 @@ ORACLES = {
     "doc_langid": DOC_LANGID_SQL,
     "web_host_edges": WEB_HOST_EDGES_SQL,
     "web_host_pagerank": WEB_HOST_PAGERANK_SQL,
+    "web_host_communities": WEB_HOST_COMMUNITIES_SQL,
     "web_discovery_frontier": WEB_DISCOVERY_FRONTIER_SQL,
     "web_redirect_resolution": WEB_REDIRECT_RESOLUTION_SQL,
     "web_snapshot_diff": WEB_SNAPSHOT_DIFF_SQL,

@@ -276,3 +276,46 @@ def test_enriched_corpus_structure(spark):
         & (F.col("dst").startswith("https://corpus.test"))
     ).count()
     assert cross >= 3
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two K4 cliques joined by one bridge edge: in-clique majority
+    beats the bridge every round after the first, so the cliques keep
+    separate communities (hand-traced: A-side converges to 'a1',
+    B-side to 'b1' by round 3)."""
+    import itertools
+
+    from pdf_extract_spark.operators.webgraph import label_propagation
+
+    k4a = list(itertools.combinations(["a1", "a2", "a3", "a4"], 2))
+    k4b = list(itertools.combinations(["b1", "b2", "b3", "b4"], 2))
+    edges = spark.createDataFrame(
+        k4a + k4b + [("a4", "b1")], "src string, dst string"
+    )
+    out = {r["node"]: r["community"] for r in label_propagation(edges, 5).collect()}
+    assert {out[n] for n in ("a1", "a2", "a3", "a4")} == {"a1"}
+    assert {out[n] for n in ("b1", "b2", "b3", "b4")} == {"b1"}
+
+
+def test_label_propagation_triangle_pendant_one_community(spark):
+    """Triangle + pendant converges to ONE community labelled by the
+    min member (hand-traced fixpoint by round 3), community_size 4."""
+    from pdf_extract_spark.operators.webgraph import label_propagation
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+        "src string, dst string",
+    )
+    rows = label_propagation(edges, 5).collect()
+    assert {r["community"] for r in rows} == {"a"}
+    assert all(r["community_size"] == 4 for r in rows)
+
+
+def test_label_propagation_partition_invariant(spark):
+    from pdf_extract_spark.operators.webgraph import label_propagation
+
+    edges = [(f"h{i}", f"h{(i * 7 + 1) % 23}") for i in range(40)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    a = sorted(map(tuple, label_propagation(df.repartition(2), 5).collect()))
+    b = sorted(map(tuple, label_propagation(df.repartition(11), 5).collect()))
+    assert a == b
