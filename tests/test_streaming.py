@@ -864,3 +864,36 @@ def test_caption_stream_rejects_ntz(spark, tmp_path):
     ).parquet(src)
     with pytest.raises(TypeError, match="timestamp_ntz"):
         caption_stream(df)
+
+
+def test_align_captions_matches_batch_semantics_random():
+    """Property: align_captions (the streaming aligner's core) agrees
+    with a direct reimplementation of the batch grouping rule on random
+    interleaved span lists, regardless of arrival order."""
+    import random
+
+    from pdf_extract_spark.streaming.captions import align_captions
+
+    rng = random.Random(7)
+    for _ in range(50):
+        n = rng.randint(0, 30)
+        spans = []
+        for pos in range(n):
+            if rng.random() < 0.25:
+                spans.append((pos, "media", "", f"img-{pos}"))
+            else:
+                spans.append((pos, "text", f"w{pos}", ""))
+        shuffled = spans[:]
+        rng.shuffle(shuffled)
+        got = align_captions(shuffled, max_words=3)
+        # reference: walk in order, collect up to 3 texts per media group
+        media, caps, g = [], {}, 0
+        for pos, kind, text, ref in spans:
+            if kind == "media":
+                g += 1
+                media.append((g, ref, pos))
+            elif g >= 1 and len(caps.setdefault(g, [])) < 3:
+                caps[g].append(text)
+        want = [(ref, pos, " ".join(caps.get(grp, [])), len(caps.get(grp, [])))
+                for grp, ref, pos in media]
+        assert got == want

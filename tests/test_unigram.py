@@ -80,3 +80,25 @@ def test_train_partition_invariant(spark):
     a = unigram_train(_docs(spark, rows).repartition(2), vocab_size=24, rounds=2)[1]
     b = unigram_train(_docs(spark, rows).repartition(13), vocab_size=24, rounds=2)[1]
     assert a == b
+
+
+def test_unigram_empty_and_hostile_inputs(spark):
+    from pdf_extract_spark.functions.unigram import (
+        unigram_segment,
+        unigram_train,
+    )
+
+    # empty corpus: trains an empty vocab without raising
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    vdf, pieces = unigram_train(empty, vocab_size=8, rounds=1)
+    assert pieces == [] and vdf.count() == 0
+    # a 100-char word segments in bounded pieces; whitespace-only and
+    # empty docs count zero
+    docs = spark.createDataFrame(
+        [(1, "x" * 100), (2, "   "), (3, "")], "doc_id long, text string"
+    )
+    _, pieces = unigram_train(docs, vocab_size=8, rounds=1)
+    out = {r["doc_id"]: (r["n_words"], r["n_unigram_tokens"])
+           for r in unigram_segment(docs, pieces).collect()}
+    assert out[2] == (0, 0) and out[3] == (0, 0)
+    assert out[1][0] == 1 and 25 <= out[1][1] <= 100  # <=4 chars/piece
