@@ -110,13 +110,34 @@ def _seed_counts(
     ]
 
 
+# Hostile-input guard: the exact-integer DP carries products whose bit
+# length grows with position, so a crawl-artifact "word" (a 100 KB
+# base64 blob survives whitespace tokenization intact) would cost
+# O(n^2.6) bit operations — minutes of one executor core for one token,
+# the same stalled-task class as a decompression bomb.  Words longer
+# than this are segmented per independent block: identical result in
+# any engine (the golden generator mirrors the rule), bounded cost.
+MAX_VITERBI_WORD = 256
+
+
 def viterbi_pieces(
     word: str, counts: dict[str, int], denom: int, max_piece_len: int
 ) -> list[str]:
     """Exact-integer Viterbi segmentation (module docstring step 2).
     ``denom`` = T + V.  Shared verbatim by the Spark E-step closure and
     importable for tests; the golden generator reimplements it
-    independently."""
+    independently.  Words beyond MAX_VITERBI_WORD chars are segmented
+    in independent blocks (see the guard note above)."""
+    if len(word) > MAX_VITERBI_WORD:
+        out: list[str] = []
+        for i in range(0, len(word), MAX_VITERBI_WORD):
+            out.extend(
+                viterbi_pieces(
+                    word[i : i + MAX_VITERBI_WORD], counts, denom,
+                    max_piece_len,
+                )
+            )
+        return out
     n = len(word)
     # best[i] = (prod, k, pieces) for word[:i]
     best: list[tuple[int, int, tuple[str, ...]] | None] = [None] * (n + 1)

@@ -102,3 +102,28 @@ def test_unigram_empty_and_hostile_inputs(spark):
            for r in unigram_segment(docs, pieces).collect()}
     assert out[2] == (0, 0) and out[3] == (0, 0)
     assert out[1][0] == 1 and 25 <= out[1][1] <= 100  # <=4 chars/piece
+
+
+def test_viterbi_long_word_guard_bounded_and_blockwise():
+    """A 100 KB blob 'word' must segment in bounded time via the
+    independent-block rule, and the blocks must compose exactly."""
+    import time
+
+    from pdf_extract_spark.functions.unigram import (
+        MAX_VITERBI_WORD,
+        viterbi_pieces,
+    )
+
+    counts = {"a": 10, "b": 10, "ab": 50}
+    denom = sum(counts.values()) + len(counts)
+    blob = "ab" * 50_000  # 100k chars
+    t0 = time.perf_counter()
+    out = viterbi_pieces(blob, counts, denom, 4)
+    assert time.perf_counter() - t0 < 5.0
+    assert out == ["ab"] * 50_000
+    # block boundary composition: result == concat of per-block results
+    w = "ab" * ((MAX_VITERBI_WORD // 2) + 3)
+    got = viterbi_pieces(w, counts, denom, 4)
+    a = viterbi_pieces(w[:MAX_VITERBI_WORD], counts, denom, 4)
+    b = viterbi_pieces(w[MAX_VITERBI_WORD:], counts, denom, 4)
+    assert got == a + b

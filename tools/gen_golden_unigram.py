@@ -75,7 +75,15 @@ def seed(word_counts: Counter) -> list[tuple[str, int]]:
     return singles + multis
 
 
+MAX_VITERBI_WORD = 256  # mirrors functions/unigram.py's hostile-word guard
+
+
 def viterbi(word: str, counts: dict, denom: int) -> list[str]:
+    if len(word) > MAX_VITERBI_WORD:
+        out = []
+        for i in range(0, len(word), MAX_VITERBI_WORD):
+            out.extend(viterbi(word[i : i + MAX_VITERBI_WORD], counts, denom))
+        return out
     n = len(word)
     best = [None] * (n + 1)
     best[0] = (1, 0, ())
