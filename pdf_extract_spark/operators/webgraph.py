@@ -422,3 +422,71 @@ def label_propagation(edges: DataFrame, rounds: int = 5) -> DataFrame:
         F.col("label").alias("community"),
         "community_size",
     )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient over
+    the undirected view of (src, dst) — the link-farm detector (spam
+    rings are near-cliques: high clustering at high degree, while
+    organic hub pages have low coefficients).
+
+    Enumeration is the node-ordered canonical form: each triangle
+    {a < b < c} is found EXACTLY once by joining the canonical (lo, hi)
+    edge list to itself on the middle vertex and probing the closing
+    edge — the standard distributed triangle join, two shuffle joins
+    total, no vertex ever materializes its full neighborhood in one
+    task.  The coefficient is integer-exact:
+    coeff_x1000 = 2 * triangles * 1000 div (deg * (deg - 1)).
+
+    Returns (node, degree, n_triangles, clustering_x1000)."""
+    und = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("lo").alias("node"))
+        .unionByName(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    ab = und.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    bc = und.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    closing = und.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tris = (
+        ab.join(bc, "b")
+        .join(closing, ["a", "c"], "inner")  # semi-probe of the closing edge
+        .select("a", "b", "c")
+    )
+    per_node = (
+        tris.select(F.col("a").alias("node"))
+        .unionByName(tris.select(F.col("b").alias("node")))
+        .unionByName(tris.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            F.when(
+                F.col("degree") >= 2,
+                F.expr(
+                    "2L * coalesce(n_triangles, 0L) * 1000L "
+                    "div (degree * (degree - 1L))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("clustering_x1000"),
+        )
+    )

@@ -4925,6 +4925,20 @@ def web_host_communities(spark, sf_dir):
     return label_propagation(he, rounds=5).orderBy("node")
 
 
+def web_host_triangles(spark, sf_dir):
+    """Per-host triangle counts + integer-exact local clustering
+    coefficient over the undirected host graph (operators/webgraph.py:
+    triangle_stats) — the link-farm near-clique signal.  Node-ordered
+    canonical enumeration: two shuffle joins, each triangle found once;
+    no adjacency list ever gathers on one task."""
+    from .operators.webgraph import edge_list, host_edges, triangle_stats
+
+    he = host_edges(edge_list(_web_links(spark))).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return triangle_stats(he).orderBy("node")
+
+
 def _label_prop_sql(rounds: int = 5) -> str:
     rs = []
     prev = "l0"
@@ -5007,6 +5021,38 @@ _HOST_EDGE_SELECT = (
 WEB_HOST_PAGERANK_SQL = _pagerank_sql(edge_select=_HOST_EDGE_SELECT)
 
 WEB_HOST_COMMUNITIES_SQL = _label_prop_sql(5)
+
+WEB_HOST_TRIANGLES_SQL = f"""
+WITH {_WEB_LINKS_CTES}, hpairs AS (
+  {_HOST_EDGE_SELECT}
+), und AS (
+  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+  FROM hpairs WHERE src <> dst
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT lo AS node FROM und UNION ALL SELECT hi FROM und
+  ) GROUP BY node
+), tris AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM und e1
+  JOIN und e2 ON e1.hi = e2.lo
+  JOIN und e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+), per_node AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT a AS node FROM tris
+    UNION ALL SELECT b FROM tris
+    UNION ALL SELECT c FROM tris
+  ) GROUP BY node
+)
+SELECT d.node, d.degree,
+       coalesce(p.n_triangles, 0) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN 2 * coalesce(p.n_triangles, 0) * 1000
+                 // (d.degree * (d.degree - 1))
+            ELSE 0 END AS clustering_x1000
+FROM deg d LEFT JOIN per_node p USING (node)
+ORDER BY d.node
+"""
 
 WEB_DISCOVERY_FRONTIER_SQL = f"""
 WITH {_SITEMAP_PARSE_CTES}, {_WEB_LINKS_CTES.lstrip()}, gnodes AS (
@@ -6369,6 +6415,7 @@ QUERIES = {
     "web_host_edges": web_host_edges,
     "web_host_pagerank": web_host_pagerank,
     "web_host_communities": web_host_communities,
+    "web_host_triangles": web_host_triangles,
     "web_discovery_frontier": web_discovery_frontier,
     "web_redirect_resolution": web_redirect_resolution,
     "web_snapshot_diff": web_snapshot_diff,
@@ -6515,6 +6562,7 @@ ORACLES = {
     "web_host_edges": WEB_HOST_EDGES_SQL,
     "web_host_pagerank": WEB_HOST_PAGERANK_SQL,
     "web_host_communities": WEB_HOST_COMMUNITIES_SQL,
+    "web_host_triangles": WEB_HOST_TRIANGLES_SQL,
     "web_discovery_frontier": WEB_DISCOVERY_FRONTIER_SQL,
     "web_redirect_resolution": WEB_REDIRECT_RESOLUTION_SQL,
     "web_snapshot_diff": WEB_SNAPSHOT_DIFF_SQL,

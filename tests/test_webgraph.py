@@ -319,3 +319,44 @@ def test_label_propagation_partition_invariant(spark):
     a = sorted(map(tuple, label_propagation(df.repartition(2), 5).collect()))
     b = sorted(map(tuple, label_propagation(df.repartition(11), 5).collect()))
     assert a == b
+
+
+def test_triangle_stats_k4_and_path(spark):
+    """K4: every node is in C(3,2)=3 triangles with coefficient 1.0;
+    a path graph has zero triangles and zero coefficients; direction
+    and duplicate edges must not double-count."""
+    import itertools
+
+    from pdf_extract_spark.operators.webgraph import triangle_stats
+
+    k4 = list(itertools.combinations(["a", "b", "c", "d"], 2))
+    # add reversed + duplicate edges: canonicalization must dedupe
+    edges = spark.createDataFrame(
+        k4 + [(b, a) for a, b in k4] + [("a", "b")],
+        "src string, dst string",
+    )
+    out = {r["node"]: r for r in triangle_stats(edges).collect()}
+    for n in "abcd":
+        assert out[n]["degree"] == 3
+        assert out[n]["n_triangles"] == 3
+        assert out[n]["clustering_x1000"] == 1000
+    path = spark.createDataFrame(
+        [("p", "q"), ("q", "r"), ("r", "s")], "src string, dst string"
+    )
+    pr = {r["node"]: r for r in triangle_stats(path).collect()}
+    assert all(r["n_triangles"] == 0 for r in pr.values())
+    assert pr["q"]["degree"] == 2 and pr["q"]["clustering_x1000"] == 0
+
+
+def test_triangle_stats_single_triangle_plus_pendant(spark):
+    from pdf_extract_spark.operators.webgraph import triangle_stats
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+        "src string, dst string",
+    )
+    out = {r["node"]: r for r in triangle_stats(edges).collect()}
+    assert out["a"]["n_triangles"] == out["b"]["n_triangles"] == 1
+    # c has degree 3, one triangle of C(3,2)=3 possible -> 2/6 = 333
+    assert out["c"]["degree"] == 3 and out["c"]["clustering_x1000"] == 333
+    assert out["d"] ["n_triangles"] == 0 and out["d"]["degree"] == 1
