@@ -132,6 +132,7 @@ HEADLINE = [
     "embedding_near_dup",
     "spans_explode",
     "ann_cosine_topk",
+    "ann_pq_topk",
     "html_main_content",
     # web link-graph family: edges/anchor-text are scan-side extraction;
     # pagerank times the 10-iteration fixed-point join loop (the corpus is

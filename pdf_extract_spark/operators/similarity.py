@@ -446,3 +446,199 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    train_cap: int = 20_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Product-quantization codebook training (Jégou et al. 2011): the
+    vector is split into `m` contiguous subspaces and each gets its own
+    ksub-centroid quantizer — so an m x ksub table indexes ksub^m cells
+    with m*ksub*dsub floats of codebook.  Training mirrors
+    train_centroids' discipline exactly: deterministic bounded
+    hash-sample in id order, first-k init, 10 float64 Lloyd iterations
+    per subspace, zero RNG, 512 MiB driver guard.  Returns float64
+    codebooks of shape (m, ksub, dsub)."""
+    import numpy as np
+
+    total = emb.count()
+    frac_pct = max(1, min(100, int(100 * train_cap / max(total, 1))))
+    sample = (
+        emb.select(id_col, vec_col)
+        .filter(
+            F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(100))
+            < frac_pct
+        )
+        .orderBy(id_col)
+        .limit(train_cap)
+        .collect()
+    )
+    train = np.array([r[1] for r in sample], dtype=np.float64)
+    if len(train) < ksub:
+        raise ValueError(f"{len(train)} training vectors < ksub={ksub}")
+    if train.nbytes > 512 * 1024 * 1024:
+        raise ValueError(
+            f"PQ train sample is {train.nbytes >> 20} MiB: lower train_cap"
+        )
+    dim = train.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = train[:, j * dsub : (j + 1) * dsub]
+        cent = sub[:ksub].copy()
+        for _ in range(10):
+            c2 = (cent * cent).sum(axis=1)
+            assign = (c2[None, :] - 2.0 * (sub @ cent.T)).argmin(axis=1)
+            for c in range(ksub):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    shortlist: int = 32,
+    train_cap: int = 20_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC ANN top-k — the memory-scale path: vectors live as m
+    uint8 codes (8 bytes here vs 256 for the raw float32s), and a query
+    scans CODES, not vectors.
+
+    1. TRAIN driver-side (train_pq_codebooks, bounded + deterministic).
+    2. ENCODE: one narrow mapInPandas pass assigns each subvector its
+       nearest sub-centroid (fixed-order einsum — batch-shape
+       independent, same rationale as ivf_topk's assign_cells).
+    3. ADC SCAN: each query precomputes an (m, ksub) distance table;
+       every partition of the codes frame emits only its per-partition
+       top-`shortlist` candidates per query (bounded emit: the map-side
+       top-k that makes the scan 100-TB-shaped — never O(N x Q) rows),
+       then one global rank cuts to `shortlist`.  Top-S of the union of
+       per-partition top-S equals the global top-S, ties broken by id.
+    4. EXACT RE-RANK of the shortlist by true cosine (the same JVM fold
+       expression the other ANN paths use), top-k per query.
+
+    Output (query_id, nbr_id, rank) — same shape as ivf/lsh/brute.
+    Recall gated in pytest; oracled against an independent numpy
+    reimplementation (tools/gen_golden_pq.py)."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    books = train_pq_codebooks(
+        emb, m=m, ksub=ksub, train_cap=train_cap,
+        id_col=id_col, vec_col=vec_col,
+    )
+    bc = spark.sparkContext.broadcast(books)
+    dsub = books.shape[2]
+
+    def encode(batches):
+        import pandas as pd
+
+        B = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({"nbr_id": [], "codes": []})
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            codes = np.empty((len(mat), m), dtype=np.int64)
+            for j in range(m):
+                sub = mat[:, j * dsub : (j + 1) * dsub]
+                C = B[j]
+                c2 = (C * C).sum(axis=1)
+                codes[:, j] = (
+                    c2[None, :] - 2.0 * np.einsum("ij,kj->ik", sub, C)
+                ).argmin(axis=1)
+            yield pd.DataFrame(
+                {"nbr_id": pdf[id_col], "codes": list(codes)}
+            )
+
+    id_type = emb.schema[id_col].dataType.simpleString()
+    codes = emb.select(id_col, vec_col).mapInPandas(
+        encode, f"nbr_id {id_type}, codes array<long>"
+    )
+
+    qrows = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    )  # bounded: |query_ids| rows
+    qvecs = {r[0]: np.array(r[1], dtype=np.float64) for r in qrows}
+    tables = {}
+    for qid, qv in qvecs.items():
+        T = np.empty((m, ksub), dtype=np.float64)
+        for j in range(m):
+            diff = bc.value[j] - qv[j * dsub : (j + 1) * dsub][None, :]
+            T[j] = (diff * diff).sum(axis=1)
+        tables[qid] = T
+    bt = spark.sparkContext.broadcast(tables)
+
+    def adc_scan(batches):
+        import pandas as pd
+
+        T = bt.value
+        out = {"query_id": [], "nbr_id": [], "adc": []}
+        per_q: dict = {qid: [] for qid in T}
+        for pdf in batches:
+            for nbr, cs in zip(pdf["nbr_id"], pdf["codes"]):
+                cs = list(cs)
+                for qid, tab in T.items():
+                    if nbr == qid:
+                        continue
+                    d = 0.0
+                    for j in range(m):
+                        d += tab[j][cs[j]]
+                    per_q[qid].append((d, nbr))
+        for qid, cand in per_q.items():
+            for d, nbr in sorted(cand)[:shortlist]:
+                out["query_id"].append(qid)
+                out["nbr_id"].append(nbr)
+                out["adc"].append(d)
+        yield pd.DataFrame(out)
+
+    short = codes.mapInPandas(
+        adc_scan, f"query_id {id_type}, nbr_id {id_type}, adc double"
+    )
+    w_s = Window.partitionBy("query_id").orderBy(
+        F.asc("adc"), F.asc("nbr_id")
+    )
+    short = (
+        short.withColumn("srank", F.row_number().over(w_s))
+        .filter(F.col("srank") <= shortlist)
+        .select("query_id", "nbr_id")
+    )
+    qdf = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q")
+    )
+    scored = (
+        short.join(emb.select(F.col(id_col).alias("nbr_id"),
+                              F.col(vec_col).alias("v")), "nbr_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "nbr_id",
+            cosine_similarity_col(
+                F.transform(F.col("q"), lambda x: x.cast("double")),
+                F.transform(F.col("v"), lambda x: x.cast("double")),
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", F.col("rank").cast("long").alias("rank"))
+    )

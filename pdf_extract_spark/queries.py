@@ -3189,6 +3189,35 @@ _GOLDEN_ANN_IVF_PARQUET = _golden("golden_ann_ivf.parquet")
 # computed HERE in DuckDB, so the oracle self-selects the right slice for
 # whatever scale factor the harness runs, and an unknown corpus returns 0
 # rows (a loud row-count failure, never a silent pass).
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization ADC ANN (operators/similarity.py:pq_topk):
+    per-subspace codebooks trained driver-side on the deterministic
+    bounded sample, one narrow encode pass (vectors live as m=8 codes),
+    per-partition top-shortlist ADC scan (map-side top-k — never
+    O(N x Q) rows), exact cosine re-rank of the 96-candidate shortlist.
+    Oracled against an independent numpy reimplementation
+    (tools/gen_golden_pq.py, fingerprint-keyed); recall gated in
+    pytest."""
+    from .operators.similarity import pq_topk
+
+    return pq_topk(
+        load(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5,
+        m=8, ksub=16, shortlist=96,
+    ).orderBy("query_id", "rank")
+
+
+_GOLDEN_ANN_PQ_PARQUET = _golden("golden_ann_pq.parquet")
+
+ANN_PQ_SQL = f"""
+SELECT query_id, nbr_id, rank
+FROM read_parquet('{_golden("golden_ann_pq.parquet")}')
+WHERE corpus_fp = (
+  SELECT md5(string_agg(vec_id::VARCHAR || embedding::VARCHAR, '|' ORDER BY vec_id))
+  FROM embeddings
+)
+ORDER BY query_id, rank
+"""
+
 ANN_IVF_SQL = f"""
 SELECT query_id, nbr_id, rank
 FROM read_parquet('{_GOLDEN_ANN_IVF_PARQUET}')
@@ -6357,6 +6386,7 @@ QUERIES = {
     "simhash_pairs": simhash_pairs,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_pq_topk": ann_pq_topk,
     "media_features": media_features,
     "media_dhash": media_dhash,
     "media_dhash_near_dup": media_dhash_near_dup,
@@ -6529,6 +6559,7 @@ ORACLES = {
     # (tools/gen_golden_ann.py) since k-means isn't SQL-expressible.
     "ann_lsh_topk": ANN_LSH_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
+    "ann_pq_topk": ANN_PQ_SQL,
     "doc_lm_perplexity": LM_PPL_SQL,
     "doc_ppl_buckets": PPL_BUCKETS_SQL,
     "doc_lm_trigram": LM_TRIGRAM_SQL,

@@ -1254,3 +1254,37 @@ def test_hll_register_union_merge_refinalize(spark):
     single = hll_distinct(combined, ["grp"], "user_id").collect()[0].approx_distinct
     assert merged == single
     assert merged > 0
+
+
+def test_pq_topk_recall_gate(spark):
+    """PQ-ADC recall vs exact brute force on the sf0.001 embeddings:
+    m=8 x ksub=16 codes with a 96-candidate exact re-rank must keep
+    recall >= 0.8 at the query defaults (the documented quantization
+    trade — raw random vectors are the PQ worst case, which is why the
+    shortlist is deeper than IVF's probe set)."""
+    from pdf_extract_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = list(range(20))
+    exact = brute_force_topk(emb, qids, k=5)
+    approx = pq_topk(emb, qids, k=5, m=8, ksub=16, shortlist=96)
+    e = {(r["query_id"], r["nbr_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["nbr_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    print(f"pq_topk recall@5 over 20 queries: {recall:.3f}")
+    assert recall >= 0.8, recall
+
+
+def test_pq_codebooks_shape_and_guards(spark):
+    import pytest
+
+    from pdf_extract_spark.operators.similarity import train_pq_codebooks
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = train_pq_codebooks(emb, m=8, ksub=16)
+    assert books.shape == (8, 16, 8)
+    with pytest.raises(ValueError, match="not divisible"):
+        train_pq_codebooks(emb, m=7, ksub=16)
