@@ -269,3 +269,51 @@ def test_spark_submit_wet_input_mode(tmp_path):
         "WHERE doc_id = 'wet-synthetic#3'"
     ).fetchone()[0]
     assert one.startswith("synthetic wet document 2 body text")
+
+
+@pytest.mark.slow
+def test_spark_submit_tokenize_job(tmp_path):
+    """jobs/tokenize_job.py end-to-end (bpe mode) over sf0.001
+    documents: vocab + counts + pack + shards via --py-files; the pack
+    chunk layout must satisfy the seq_len invariant and the shard split
+    must be balanced and total-preserving."""
+    from tests.conftest import ensure_pyfiles_zip
+
+    ensure_pyfiles_zip()
+    out = str(tmp_path / "tok_out")
+    cmd = [
+        "spark-submit", "--master", "local[4]",
+        "--py-files", os.path.join(REPO, "dist", "pdf_extract_spark.zip"),
+        os.path.join(REPO, "jobs", "tokenize_job.py"),
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out, "--run-id", "tok1",
+        "--tokenizer", "bpe", "--num-merges", "8",
+        "--seq-len", "256", "--n-shards", "4",
+    ]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=300,
+                       cwd=REPO)
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    import duckdb
+
+    con = duckdb.connect()
+    nv = con.execute(f"SELECT count(*) FROM '{out}/vocab/*.parquet'").fetchone()[0]
+    assert 1 <= nv <= 8
+    nd = con.execute(
+        f"SELECT count(*) FROM '{out}/counts/*.parquet'"
+    ).fetchone()[0]
+    assert nd == 500
+    # every full chunk sums to exactly seq_len tokens
+    bad = con.execute(
+        f"""SELECT count(*) FROM (
+              SELECT chunk_id, sum(n_toks) s FROM '{out}/pack/*.parquet'
+              GROUP BY chunk_id
+            ) WHERE s > 256 OR (s < 256 AND chunk_id <
+              (SELECT max(chunk_id) FROM '{out}/pack/*.parquet'))"""
+    ).fetchone()[0]
+    assert bad == 0
+    shards = con.execute(
+        f"SELECT shard, count(*) FROM '{out}/shards/*.parquet' GROUP BY 1"
+    ).fetchall()
+    assert len(shards) == 4 and sum(n for _, n in shards) == 500
+    assert max(n for _, n in shards) - min(n for _, n in shards) <= 1
