@@ -160,6 +160,7 @@ HEADLINE = [
     "web_host_pagerank",
     "web_host_communities",
     "web_host_triangles",
+    "web_host_components",
     "web_discovery_frontier",
     # delay-timed schedule (one more bounded join over the frontier) and
     # pointer-jumping redirect resolution (log2(max_hops) self-joins)

@@ -4968,6 +4968,29 @@ def web_host_triangles(spark, sf_dir):
     return triangle_stats(he).orderBy("node")
 
 
+def web_host_components(spark, sf_dir):
+    """Weakly connected components of the host graph — the SAME
+    min-label + pointer-jumping kernel the dedup clusters use
+    (operators/graph.py:connected_components), re-aimed at the domain
+    graph: component = the crawl's reachability islands, the unit a
+    scheduler partitions work by.  Oracle is an independent recursive
+    min-reachability CTE."""
+    from .operators.graph import connected_components
+    from .operators.webgraph import edge_list, host_edges
+
+    he = host_edges(edge_list(_web_links(spark))).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return (
+        connected_components(he, src="src", dst="dst")
+        .select(
+            F.col("doc_id").alias("host"),
+            F.col("cluster_id").alias("component"),
+        )
+        .orderBy("host")
+    )
+
+
 def _label_prop_sql(rounds: int = 5) -> str:
     rs = []
     prev = "l0"
@@ -5050,6 +5073,25 @@ _HOST_EDGE_SELECT = (
 WEB_HOST_PAGERANK_SQL = _pagerank_sql(edge_select=_HOST_EDGE_SELECT)
 
 WEB_HOST_COMMUNITIES_SQL = _label_prop_sql(5)
+
+WEB_HOST_COMPONENTS_SQL = f"""
+WITH RECURSIVE {_WEB_LINKS_CTES.lstrip()}, hpairs AS (
+  {_HOST_EDGE_SELECT}
+), sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM hpairs
+    UNION ALL SELECT dst AS src, src AS dst FROM hpairs
+  )
+), reach AS (
+  SELECT src AS node, src AS label FROM sym
+  UNION
+  SELECT s.dst AS node, r.label
+  FROM reach r JOIN sym s ON r.node = s.src
+)
+SELECT node AS host, min(label) AS component
+FROM reach GROUP BY node
+ORDER BY host
+"""
 
 WEB_HOST_TRIANGLES_SQL = f"""
 WITH {_WEB_LINKS_CTES}, hpairs AS (
@@ -6446,6 +6488,7 @@ QUERIES = {
     "web_host_pagerank": web_host_pagerank,
     "web_host_communities": web_host_communities,
     "web_host_triangles": web_host_triangles,
+    "web_host_components": web_host_components,
     "web_discovery_frontier": web_discovery_frontier,
     "web_redirect_resolution": web_redirect_resolution,
     "web_snapshot_diff": web_snapshot_diff,
@@ -6594,6 +6637,7 @@ ORACLES = {
     "web_host_pagerank": WEB_HOST_PAGERANK_SQL,
     "web_host_communities": WEB_HOST_COMMUNITIES_SQL,
     "web_host_triangles": WEB_HOST_TRIANGLES_SQL,
+    "web_host_components": WEB_HOST_COMPONENTS_SQL,
     "web_discovery_frontier": WEB_DISCOVERY_FRONTIER_SQL,
     "web_redirect_resolution": WEB_REDIRECT_RESOLUTION_SQL,
     "web_snapshot_diff": WEB_SNAPSHOT_DIFF_SQL,
