@@ -94,6 +94,7 @@ HEADLINE = [
     "doc_decontaminate",
     "doc_decontaminate_bloom",
     "doc_holdout_split",
+    "doc_decontaminate_fuzzy",
     "doc_mix_epochs",
     "doc_pii_redact",
     "doc_blocklist",

@@ -336,3 +336,76 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text", max_hamming: int
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def fuzzy_decontaminate(
+    docs: DataFrame,
+    text_col: str = "text",
+    eval_pct: int = 5,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: flag training documents that are
+    NEAR-duplicates of the held-out slice — the MinHash-band sibling of
+    the exact 8-gram overlap (functions/text.py:decontaminate), catching
+    paraphrased/trimmed eval leaks that share no exact 8-gram.
+
+    The held-out side is the deterministic md5-bucket < eval_pct slice
+    (same rule as the exact path); both sides get the SAME banded
+    signature as minhash_lsh_candidates, and a train doc is contaminated
+    iff it shares any (band, bucket) with an eval doc.
+
+    Scale shape: signature = one map-side-combined shuffle per side
+    (built from ONE shared pass over the corpus, split scan-side by the
+    hash bucket); the flag is a semi join on the band-bucket key —
+    bucket sizes are bounded by near-dup family sizes, never corpus
+    size.  Output: one verdict row per TRAIN doc (zero-shingle docs
+    surface as contaminated=false via the spine join)."""
+    from ..functions.text import hash_bucket
+
+    rows_per_band = num_hashes // bands
+    bk = hash_bucket(F.col("doc_id"))
+    train = docs.filter(bk >= eval_pct)
+    eval_side = docs.filter(bk < eval_pct)
+
+    def band_keys(side: DataFrame) -> DataFrame:
+        sig = minhash_signature(side, text_col, n, num_hashes)
+        return sig.select(
+            "doc_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.md5(
+                            F.encode(
+                                F.concat_ws(
+                                    "|",
+                                    *[
+                                        F.col(f"h{b * rows_per_band + j}")
+                                        for j in range(rows_per_band)
+                                    ],
+                                ),
+                                "utf-8",
+                            )
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band", "bucket"),
+        )
+
+    hits = (
+        band_keys(train)
+        .join(
+            band_keys(eval_side).select("band", "bucket").distinct(),
+            ["band", "bucket"],
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return train.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+    )

@@ -1301,6 +1301,53 @@ ORDER BY doc_a, doc_b
 """
 
 
+def doc_decontaminate_fuzzy(spark, sf_dir):
+    """Fuzzy (MinHash-band) decontamination vs the 5% heldout slice
+    (operators/dedup.py:fuzzy_decontaminate) — catches paraphrased eval
+    leaks the exact 8-gram path misses.  Same signature spec as
+    minhash_lsh_candidates; contamination = any shared (band, bucket)
+    with an eval doc, decided by a semi join on the bucket key."""
+    from .operators.dedup import fuzzy_decontaminate
+
+    return fuzzy_decontaminate(load(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
+DOC_DECONTAMINATE_FUZZY_SQL = _SHINGLES_CTE + r"""
+, bk AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
+           AS bucket100
+  FROM base
+), sig AS (
+  SELECT s.doc_id,
+         list_transform(range(0, 8),
+             j -> list_min(list_transform(shingles,
+                  x -> substr(md5(CAST(j // 4 AS VARCHAR) || ':' || x),
+                              CAST((j % 4) * 8 + 1 AS INTEGER), 8)))) AS sig
+  FROM sh s
+  WHERE len(shingles) > 0
+), bands AS (
+  SELECT doc_id, b, md5(array_to_string(sig[b*2+1 : b*2+2], '|')) AS bucket
+  FROM sig, unnest(range(0, 4)) AS t(b)
+), evb AS (
+  SELECT DISTINCT b, bucket
+  FROM bands JOIN bk USING (doc_id) WHERE bk.bucket100 < 5
+), hits AS (
+  SELECT DISTINCT bands.doc_id
+  FROM bands
+  JOIN bk USING (doc_id)
+  JOIN evb ON bands.b = evb.b AND bands.bucket = evb.bucket
+  WHERE bk.bucket100 >= 5
+)
+SELECT bk.doc_id, (hits.doc_id IS NOT NULL) AS contaminated
+FROM bk LEFT JOIN hits ON bk.doc_id = hits.doc_id
+WHERE bk.bucket100 >= 5
+ORDER BY bk.doc_id
+"""
+
+
 def doc_quality_filter(spark, sf_dir):
     """Gopher-rule pretraining quality filter over the documents table
     (functions/text.py:gopher_quality_flags); per-rule booleans + keep."""
@@ -6415,6 +6462,7 @@ QUERIES = {
     "doc_holdout_split": doc_holdout_split,
     "doc_mix_epochs": doc_mix_epochs,
     "doc_decontaminate_bloom": doc_decontaminate_bloom,
+    "doc_decontaminate_fuzzy": doc_decontaminate_fuzzy,
     "doc_pii_redact": doc_pii_redact,
     "doc_url_dedup": doc_url_dedup,
     "corpus_funnel": corpus_funnel,
@@ -6560,6 +6608,7 @@ ORACLES = {
     "doc_holdout_split": DOC_HOLDOUT_SPLIT_SQL,
     "doc_mix_epochs": DOC_MIX_EPOCHS_SQL,
     "doc_decontaminate_bloom": _bloom_decontaminate_sql(),
+    "doc_decontaminate_fuzzy": DOC_DECONTAMINATE_FUZZY_SQL,
     "doc_pii_redact": DOC_PII_REDACT_SQL,
     "doc_url_dedup": DOC_URL_DEDUP_SQL,
     "corpus_funnel": CORPUS_FUNNEL_SQL,

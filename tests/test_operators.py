@@ -1288,3 +1288,30 @@ def test_pq_codebooks_shape_and_guards(spark):
     assert books.shape == (8, 16, 8)
     with pytest.raises(ValueError, match="not divisible"):
         train_pq_codebooks(emb, m=7, ksub=16)
+
+
+def test_fuzzy_decontaminate_catches_paraphrase(spark):
+    """A train doc that is a trimmed copy of an eval doc (no exact
+    8-gram needed — minhash bands match on shared 3-gram shingles) must
+    flag; an unrelated train doc must not.  doc_id 1 hashes into the
+    <5%% eval bucket on this fixture (asserted), 7/8 into train."""
+    from pdf_extract_spark.functions.text import hash_bucket
+    from pdf_extract_spark.operators.dedup import fuzzy_decontaminate
+
+    base = ("the quick brown fox jumps over the lazy dog near the old "
+            "river bank every single morning before dawn")
+    rows = [
+        (10, base),                                  # eval (asserted below)
+        (7, base + " extra tail words appended"),    # near-dup of eval
+        (8, "completely different text about distributed query engines "
+            "and shuffle partitioning strategies at scale"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bks = {r["doc_id"]: r["bk"] for r in docs.select(
+        "doc_id", hash_bucket(F.col("doc_id")).alias("bk")).collect()}
+    assert bks[10] < 5 and bks[7] >= 5 and bks[8] >= 5, bks
+    out = {r["doc_id"]: r["contaminated"]
+           for r in fuzzy_decontaminate(docs).collect()}
+    assert 10 not in out            # eval side gets no verdict
+    assert out[7] is True           # paraphrase caught
+    assert out[8] is False
