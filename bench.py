@@ -134,6 +134,7 @@ HEADLINE = [
     "spans_explode",
     "ann_cosine_topk",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "html_main_content",
     # web link-graph family: edges/anchor-text are scan-side extraction;
     # pagerank times the 10-iteration fixed-point join loop (the corpus is

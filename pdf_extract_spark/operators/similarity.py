@@ -485,6 +485,15 @@ def train_pq_codebooks(
         raise ValueError(
             f"PQ train sample is {train.nbytes >> 20} MiB: lower train_cap"
         )
+    return _pq_lloyd(train, m, ksub)
+
+
+def _pq_lloyd(train, m: int, ksub: int):
+    """Per-subspace first-k-init 10-iteration float64 Lloyd over an
+    (n, dim) matrix -> (m, ksub, dsub) codebooks.  Shared by the flat-PQ
+    and IVF-PQ (residual) trainers."""
+    import numpy as np
+
     dim = train.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -626,6 +635,183 @@ def pq_topk(
     scored = (
         short.join(emb.select(F.col(id_col).alias("nbr_id"),
                               F.col(vec_col).alias("v")), "nbr_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "nbr_id",
+            cosine_similarity_col(
+                F.transform(F.col("q"), lambda x: x.cast("double")),
+                F.transform(F.col("v"), lambda x: x.cast("double")),
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    shortlist: int = 64,
+    train_cap: int = 20_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ with residual encoding — the production ANN layout
+    (faiss IndexIVFPQ): a coarse quantizer routes each vector to a
+    cell, PQ codes store the RESIDUAL v - centroid[cell] (residuals
+    are tighter-clustered than raw vectors, so the same code budget
+    quantizes finer), and a query scans only its n_probe nearest
+    cells' codes with a per-cell ADC table built from the query's own
+    residual.
+
+    Distributed shape: coarse + PQ training are one bounded driver
+    sample (the shared deterministic Lloyd kernels); encoding is one
+    narrow mapInPandas pass emitting (cell, codes); the scan filters
+    to probed cells BEFORE computing distances and emits only
+    per-partition top-`shortlist` per query; exact cosine re-rank
+    finishes.  Output (query_id, nbr_id, rank) like its siblings.
+    Oracled against an independent numpy reimplementation
+    (tools/gen_golden_ivfpq.py); recall gated in pytest."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    cent = train_centroids(
+        emb, n_centroids, train_cap, id_col=id_col, vec_col=vec_col
+    )
+    # residual PQ codebooks from the SAME deterministic sample
+    total = emb.count()
+    frac_pct = max(1, min(100, int(100 * train_cap / max(total, 1))))
+    sample = (
+        emb.select(id_col, vec_col)
+        .filter(
+            F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(100))
+            < frac_pct
+        )
+        .orderBy(id_col)
+        .limit(train_cap)
+        .collect()
+    )
+    train = np.array([r[1] for r in sample], dtype=np.float64)
+    c2t = (cent * cent).sum(axis=1)
+    tcells = (
+        c2t[None, :] - 2.0 * np.einsum("ij,kj->ik", train, cent)
+    ).argmin(axis=1)
+    books = _pq_lloyd(train - cent[tcells], m, ksub)
+    bc = spark.sparkContext.broadcast((cent, books))
+    dsub = books.shape[2]
+
+    def encode(batches):
+        import pandas as pd
+
+        C, B = bc.value
+        c2 = (C * C).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({"nbr_id": [], "cell": [], "codes": []})
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            cells = (
+                c2[None, :] - 2.0 * np.einsum("ij,kj->ik", mat, C)
+            ).argmin(axis=1)
+            res = mat - C[cells]
+            codes = np.empty((len(mat), m), dtype=np.int64)
+            for j in range(m):
+                sub = res[:, j * dsub : (j + 1) * dsub]
+                Bj = B[j]
+                b2 = (Bj * Bj).sum(axis=1)
+                codes[:, j] = (
+                    b2[None, :] - 2.0 * np.einsum("ij,kj->ik", sub, Bj)
+                ).argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "nbr_id": pdf[id_col],
+                    "cell": cells.astype("int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    id_type = emb.schema[id_col].dataType.simpleString()
+    coded = emb.select(id_col, vec_col).mapInPandas(
+        encode, f"nbr_id {id_type}, cell int, codes array<long>"
+    )
+
+    qrows = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    cent2 = (cent * cent).sum(axis=1)
+    qmeta = {}
+    for r in qrows:
+        qv = np.array(r[1], dtype=np.float64)
+        order = (
+            cent2 - 2.0 * np.einsum("j,kj->k", qv, cent)
+        ).argsort(kind="stable")[:n_probe]
+        tabs = {}
+        for c in order:
+            qres = qv - cent[c]
+            T = np.empty((m, ksub), dtype=np.float64)
+            for j in range(m):
+                diff = books[j] - qres[j * dsub : (j + 1) * dsub][None, :]
+                T[j] = (diff * diff).sum(axis=1)
+            tabs[int(c)] = T
+        qmeta[r[0]] = tabs
+    bq = spark.sparkContext.broadcast(qmeta)
+
+    def adc_scan(batches):
+        import pandas as pd
+
+        Q = bq.value
+        per_q: dict = {qid: [] for qid in Q}
+        for pdf in batches:
+            for nbr, cell, cs in zip(
+                pdf["nbr_id"], pdf["cell"], pdf["codes"]
+            ):
+                cell = int(cell)
+                cs = list(cs)
+                for qid, tabs in Q.items():
+                    if nbr == qid or cell not in tabs:
+                        continue
+                    tab = tabs[cell]
+                    d = 0.0
+                    for j in range(m):
+                        d += tab[j][cs[j]]
+                    per_q[qid].append((d, nbr))
+        out = {"query_id": [], "nbr_id": [], "adc": []}
+        for qid, cand in per_q.items():
+            for d, nbr in sorted(cand)[:shortlist]:
+                out["query_id"].append(qid)
+                out["nbr_id"].append(nbr)
+                out["adc"].append(d)
+        yield pd.DataFrame(out)
+
+    short = coded.mapInPandas(
+        adc_scan, f"query_id {id_type}, nbr_id {id_type}, adc double"
+    )
+    w_s = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("nbr_id"))
+    short = (
+        short.withColumn("srank", F.row_number().over(w_s))
+        .filter(F.col("srank") <= shortlist)
+        .select("query_id", "nbr_id")
+    )
+    qdf = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q")
+    )
+    scored = (
+        short.join(
+            emb.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("v")),
+            "nbr_id",
+        )
         .join(F.broadcast(qdf), "query_id")
         .select(
             "query_id",

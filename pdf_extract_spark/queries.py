@@ -3253,6 +3253,32 @@ def ann_pq_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ residual ANN (operators/similarity.py:ivfpq_topk) — the
+    production layout: coarse cells route the scan, PQ codes quantize
+    the residual v - centroid[cell], a query probes 4 cells with
+    per-cell ADC tables from its own residual, map-side top-64
+    shortlist, exact cosine re-rank.  Oracled against an independent
+    numpy reimplementation (tools/gen_golden_ivfpq.py); recall gated
+    in pytest."""
+    from .operators.similarity import ivfpq_topk
+
+    return ivfpq_topk(
+        load(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5,
+        n_centroids=16, n_probe=4, m=8, ksub=16, shortlist=64,
+    ).orderBy("query_id", "rank")
+
+
+ANN_IVFPQ_SQL = f"""
+SELECT query_id, nbr_id, rank
+FROM read_parquet('{_golden("golden_ann_ivfpq.parquet")}')
+WHERE corpus_fp = (
+  SELECT md5(string_agg(vec_id::VARCHAR || embedding::VARCHAR, '|' ORDER BY vec_id))
+  FROM embeddings
+)
+ORDER BY query_id, rank
+"""
+
 _GOLDEN_ANN_PQ_PARQUET = _golden("golden_ann_pq.parquet")
 
 ANN_PQ_SQL = f"""
@@ -6477,6 +6503,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_pq_topk": ann_pq_topk,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
     "media_features": media_features,
     "media_dhash": media_dhash,
     "media_dhash_near_dup": media_dhash_near_dup,
@@ -6652,6 +6679,7 @@ ORACLES = {
     "ann_lsh_topk": ANN_LSH_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     "ann_pq_topk": ANN_PQ_SQL,
+    "ann_ivfpq_topk": ANN_IVFPQ_SQL,
     "doc_lm_perplexity": LM_PPL_SQL,
     "doc_ppl_buckets": PPL_BUCKETS_SQL,
     "doc_lm_trigram": LM_TRIGRAM_SQL,

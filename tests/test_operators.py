@@ -1315,3 +1315,24 @@ def test_fuzzy_decontaminate_catches_paraphrase(spark):
     assert 10 not in out            # eval side gets no verdict
     assert out[7] is True           # paraphrase caught
     assert out[8] is False
+
+
+def test_ivfpq_topk_recall_gate(spark):
+    """IVF-PQ residual recall vs brute force: probe=4/16 cells with
+    m=8 x ksub=16 residual codes and a 64-candidate exact re-rank must
+    keep recall >= 0.8 (residual quantization is finer than flat PQ at
+    the same code budget — why the shortlist here is shallower)."""
+    from pdf_extract_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = list(range(20))
+    exact = brute_force_topk(emb, qids, k=5)
+    approx = ivfpq_topk(emb, qids, k=5)
+    e = {(r["query_id"], r["nbr_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["nbr_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    print(f"ivfpq_topk recall@5 over 20 queries: {recall:.3f}")
+    assert recall >= 0.8, recall
