@@ -602,15 +602,20 @@ def pq_topk(
         out = {"query_id": [], "nbr_id": [], "adc": []}
         per_q: dict = {qid: [] for qid in T}
         for pdf in batches:
-            for nbr, cs in zip(pdf["nbr_id"], pdf["codes"]):
-                cs = list(cs)
-                for qid, tab in T.items():
-                    if nbr == qid:
-                        continue
-                    d = 0.0
-                    for j in range(m):
-                        d += tab[j][cs[j]]
-                    per_q[qid].append((d, nbr))
+            if not len(pdf):
+                continue
+            nbrs = pdf["nbr_id"].to_numpy()
+            cmat = np.array(list(pdf["codes"]), dtype=np.int64)
+            for qid, tab in T.items():
+                # accumulate subspace j in ascending order — the SAME
+                # float addition order as a per-row sequential loop
+                # (and the golden), vectorized across rows
+                d = tab[0][cmat[:, 0]].copy()
+                for j in range(1, m):
+                    d += tab[j][cmat[:, j]]
+                for i in range(len(nbrs)):
+                    if nbrs[i] != qid:
+                        per_q[qid].append((float(d[i]), nbrs[i]))
         for qid, cand in per_q.items():
             for d, nbr in sorted(cand)[:shortlist]:
                 out["query_id"].append(qid)
@@ -774,19 +779,26 @@ def ivfpq_topk(
         Q = bq.value
         per_q: dict = {qid: [] for qid in Q}
         for pdf in batches:
-            for nbr, cell, cs in zip(
-                pdf["nbr_id"], pdf["cell"], pdf["codes"]
-            ):
-                cell = int(cell)
-                cs = list(cs)
-                for qid, tabs in Q.items():
-                    if nbr == qid or cell not in tabs:
+            if not len(pdf):
+                continue
+            nbrs = pdf["nbr_id"].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            cmat = np.array(list(pdf["codes"]), dtype=np.int64)
+            for qid, tabs in Q.items():
+                for cell, tab in tabs.items():
+                    mask = cells == cell
+                    if not mask.any():
                         continue
-                    tab = tabs[cell]
-                    d = 0.0
-                    for j in range(m):
-                        d += tab[j][cs[j]]
-                    per_q[qid].append((d, nbr))
+                    sub = cmat[mask]
+                    # ascending-j accumulation: same float order as the
+                    # per-row sequential loop and the golden
+                    d = tab[0][sub[:, 0]].copy()
+                    for j in range(1, m):
+                        d += tab[j][sub[:, j]]
+                    mn = nbrs[mask]
+                    for i in range(len(mn)):
+                        if mn[i] != qid:
+                            per_q[qid].append((float(d[i]), mn[i]))
         out = {"query_id": [], "nbr_id": [], "adc": []}
         for qid, cand in per_q.items():
             for d, nbr in sorted(cand)[:shortlist]:
