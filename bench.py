@@ -125,6 +125,7 @@ HEADLINE = [
     "media_audio_near_dup",
     "warc_records_meta",
     "wet_text_docs",
+    "wat_link_edges",
     "warc_html_spans",
     "dedup_exact",
     "minhash_lsh_candidates",

@@ -6282,6 +6282,66 @@ ORDER BY rec_index
 """
 
 
+def wat_link_edges_q(spark, sf_dir):
+    """WAT (Common Crawl metadata container) link extraction: a WAT
+    archive of Envelope-JSON metadata records parsed back to the link
+    graph without touching any HTML (sources/warc.py:wat_link_edges —
+    JVM from_json, no Python in the parse).  The fixture archive is
+    built from the first 30 documents rows under a deterministic link
+    rule; the oracle derives the same edges from the rule directly, so
+    the container + JSON round-trip must be faithful to match.
+    Completes the WARC (responses) / WET (text) / WAT (metadata)
+    Common Crawl triple."""
+    from .sources.warc import warc_records, wat_fixture_archive, wat_link_edges
+
+    ids = [
+        r["doc_id"]
+        for r in load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(30)
+        .collect()
+    ]
+    n = len(ids)
+
+    def url(d):
+        return f"https://site{d % 5}.test/p{d}"
+
+    pages = [
+        (
+            url(d),
+            [url(ids[(j + 1) % n]), url(ids[(j * 2 + 1) % n])],
+        )
+        for j, d in enumerate(ids)
+    ]
+    arcs = spark.createDataFrame(
+        [("wat-full", wat_fixture_archive(pages))],
+        "warc_id string, payload binary",
+    )
+    return wat_link_edges(warc_records(arcs, num_partitions=4)).orderBy(
+        "src", "dst"
+    )
+
+
+WAT_LINK_EDGES_SQL = """
+WITH d AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS j
+  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 30)
+), u AS (
+  SELECT j, 'https://site' || (doc_id % 5) || '.test/p' || doc_id AS url
+  FROM d
+), n AS (SELECT count(*) AS n FROM u),
+e AS (
+  SELECT a.url AS src, b.url AS dst
+  FROM u a, n JOIN u b ON b.j = (a.j + 1) % n.n
+  UNION
+  SELECT a.url, c.url
+  FROM u a, n JOIN u c ON c.j = (a.j * 2 + 1) % n.n
+)
+SELECT DISTINCT src, dst FROM e ORDER BY src, dst
+"""
+
+
 def interleaved_funnel(spark, sf_dir):
     """The COMPOSED multimodal-curation funnel as one oracled query —
     the interleaved sibling of corpus_funnel: synthetic interleaved
@@ -6429,6 +6489,7 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "interleaved_funnel": interleaved_funnel,
     "wet_text_docs": wet_text_docs,
+    "wat_link_edges": wat_link_edges_q,
     "spans_interleaved_synth": spans_interleaved_synth,
     "spans_media_captions": spans_media_captions,
     "spans_interleave_stats": spans_interleave_stats,
@@ -6573,6 +6634,7 @@ ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "interleaved_funnel": INTERLEAVED_FUNNEL_SQL,
     "wet_text_docs": WET_TEXT_DOCS_SQL,
+    "wat_link_edges": WAT_LINK_EDGES_SQL,
     "spans_interleaved_synth": SPANS_INTERLEAVED_SQL,
     "spans_media_captions": SPANS_MEDIA_CAPTIONS_SQL,
     "spans_interleave_stats": SPANS_INTERLEAVE_STATS_SQL,

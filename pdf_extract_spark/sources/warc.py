@@ -301,3 +301,107 @@ def wet_fixture_archive(docs_rows: "list[tuple]") -> bytes:
              str(text).encode("utf-8"))
         )
     return make_warc(spec)
+
+
+# WAT (Web Archive Transformation) support: Common Crawl's metadata
+# sibling of WARC/WET — each page surfaces as a WARC-Type: metadata
+# record whose application/json body carries an Envelope with the
+# page's extracted link list.  The subset parsed here is the
+# Links path used by the public CC WAT layout:
+#   Envelope.WARC-Header-Metadata.WARC-Target-URI
+#   Envelope.Payload-Metadata.HTTP-Response-Metadata
+#           .HTML-Metadata.Links[*].url
+_WAT_JSON_SCHEMA = (
+    "struct<Envelope: struct<"
+    "`WARC-Header-Metadata`: struct<`WARC-Target-URI`: string>, "
+    "`Payload-Metadata`: struct<`HTTP-Response-Metadata`: struct<"
+    "`HTML-Metadata`: struct<Links: array<struct<path: string, url: string>>"
+    ">>>>>"
+)
+
+
+def wat_records(recs: DataFrame) -> DataFrame:
+    """Metadata-record projection of a parsed WARC frame — the WAT
+    path.  Returns (warc_id, rec_index, target_uri, envelope) with the
+    JSON body parsed JVM-side by from_json against the documented
+    subset schema (no Python in the parse)."""
+    return recs.filter(
+        (F.col("record_type") == "metadata")
+        & F.lower(F.col("content_type")).startswith("application/json")
+    ).select(
+        "warc_id",
+        "rec_index",
+        "target_uri",
+        F.from_json(F.col("body").cast("string"), _WAT_JSON_SCHEMA).alias(
+            "envelope"
+        ),
+    )
+
+
+def wat_link_edges(recs: DataFrame) -> DataFrame:
+    """WAT records -> distinct (src, dst) link edges: the link graph
+    recovered WITHOUT fetching or parsing any HTML — the reason crawls
+    ship WAT files at all.  src prefers the envelope's header URI
+    (falling back to the record header), dst explodes the Links array;
+    both ends canonicalized with the SAME rules the HTML link extractor
+    uses, so WAT- and HTML-derived graphs merge.
+
+    Scale shape: narrow filter + JVM JSON parse + explode + one
+    distinct — the only exchange is the dedup."""
+    from ..functions.urls import canonical_url
+
+    w = wat_records(recs)
+    return (
+        w.select(
+            F.coalesce(
+                F.col("envelope.Envelope.`WARC-Header-Metadata`"
+                      ".`WARC-Target-URI`"),
+                F.col("target_uri"),
+            ).alias("src_raw"),
+            F.explode(
+                F.col("envelope.Envelope.`Payload-Metadata`"
+                      ".`HTTP-Response-Metadata`.`HTML-Metadata`.Links")
+            ).alias("l"),
+        )
+        .select(
+            canonical_url(F.col("src_raw")).alias("src"),
+            canonical_url(F.col("l.url")).alias("dst"),
+        )
+        .filter(F.col("dst") != "")
+        .distinct()
+    )
+
+
+def wat_fixture_archive(pages: "list[tuple[str, list[str]]]") -> bytes:
+    """Deterministic WAT archive from (url, outlinks) pairs: a warcinfo
+    record plus one metadata record per page with the documented
+    Envelope JSON shape.  Shared by the `wat_link_edges` query and its
+    oracle's expectations (the oracle derives the same edges from the
+    spec rule directly — the container + JSON round-trip must be
+    faithful to match)."""
+    import json as _json
+
+    spec: list[tuple[str, str, str, bytes]] = [
+        ("warcinfo", "", "application/warc-fields",
+         b"software: pdf-extract-spark\r\nformat: WARC/1.1 WAT\r\n"),
+    ]
+    for url, links in pages:
+        env = {
+            "Envelope": {
+                "WARC-Header-Metadata": {"WARC-Target-URI": url},
+                "Payload-Metadata": {
+                    "HTTP-Response-Metadata": {
+                        "HTML-Metadata": {
+                            "Links": [
+                                {"path": "A@/href", "url": l} for l in links
+                            ]
+                        }
+                    }
+                },
+            }
+        }
+        spec.append(
+            ("metadata", url, "application/json",
+             _json.dumps(env, sort_keys=True).encode("utf-8"))
+        )
+    return make_warc(spec)

@@ -160,3 +160,38 @@ def test_wet_truncated_archive_keeps_prefix(spark):
     assert "alpha beta" in texts  # parsed prefix survives
     errs = [r for r in recs.collect() if r["error"]]
     assert errs  # the cut tail lands as a tagged error row, no raise
+
+
+def test_wat_link_edges_roundtrip_and_malformed_json(spark):
+    from pdf_extract_spark.sources.warc import (
+        make_warc,
+        warc_records,
+        wat_fixture_archive,
+        wat_link_edges,
+    )
+
+    arc = wat_fixture_archive(
+        [
+            ("https://a.test/1", ["https://b.test/2", "https://c.test/3"]),
+            ("https://b.test/2", ["https://a.test/1"]),
+        ]
+    )
+    # append a metadata record with BROKEN JSON: from_json yields null,
+    # the explode drops it — no raise, other records unaffected
+    arc += make_warc(
+        [("metadata", "https://bad.test/x", "application/json",
+          b"{not json at all")],
+        start_index=99,
+    )
+    arcs = spark.createDataFrame(
+        [("w", arc)], "warc_id string, payload binary"
+    )
+    edges = {
+        (r["src"], r["dst"])
+        for r in wat_link_edges(warc_records(arcs, num_partitions=2)).collect()
+    }
+    assert edges == {
+        ("https://a.test/1", "https://b.test/2"),
+        ("https://a.test/1", "https://c.test/3"),
+        ("https://b.test/2", "https://a.test/1"),
+    }
