@@ -87,6 +87,7 @@ HEADLINE = [
     "doc_mix_temperature",
     "doc_chunk_sliding",
     "doc_source_quota",
+    "doc_source_token_quota",
     "corpus_summary_stats",
     "doc_repetition_flags",
     "doc_span_dedup",

@@ -826,3 +826,81 @@ def blocklist_flags(
         n.alias("n_blocked"),
         (n == 0).alias("keep"),
     )
+
+
+def source_token_quota(
+    docs: DataFrame,
+    cap_tokens: int,
+    key_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Token-BUDGET source quota: keep each source's md5-priority
+    prefix of documents whose EXCLUSIVE cumulative token count is
+    below ``cap_tokens`` — the doc that crosses the cap is the last
+    one kept (standard budget semantics: the cap may overshoot by at
+    most one document).  The doc-count quota (source_quota_cap)
+    balances document mixes; this balances what training actually
+    consumes — tokens.
+
+    Scale shape: the per-source cumulative sum is the GROUPED
+    two-phase distributed prefix (same pattern as fetch_waves /
+    the ppl buckets): range-partition on (source, md5-priority),
+    per-partition local cumsum — fully parallel — then an exclusive
+    prefix over the P-row per-(source, partition) totals broadcast
+    back.  No source ever serializes onto one task, so a mega-source
+    (the crawl's head domain) cannot straggle the stage.  NULL sources
+    group together via a never-null struct key (the null-unsafe join
+    guard shared with the siblings).
+
+    Returns (doc_id, source, n_tok, tokens_before, keep), one row per
+    input doc."""
+    spark = docs.sparkSession
+    parts = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sk = F.struct(
+        F.col(key_col).isNull().alias("n"),
+        F.coalesce(F.col(key_col).cast("string"), F.lit("")).alias("k"),
+    )
+    d = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(key_col).alias("source"),
+            token_count(F.col(text_col)).alias("n_tok"),
+        )
+        .withColumn("__sk", sk)
+        .withColumn("ord", F.md5(F.col("doc_id").cast("string")))
+        .repartitionByRange(parts, "__sk", "ord", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_local = Window.partitionBy("pid", "__sk").orderBy("ord", "doc_id")
+    local = d.withColumn("local_sum", F.sum("n_tok").over(w_local))
+    totals = d.groupBy("pid", "__sk").agg(F.sum("n_tok").alias("ptok"))
+    w_off = (
+        Window.partitionBy("__sk")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "poffset", F.coalesce(F.sum("ptok").over(w_off), F.lit(0)).cast("long")
+    )
+    return (
+        local.join(
+            F.broadcast(offsets.select("pid", "__sk", "poffset")),
+            ["pid", "__sk"],
+        )
+        .withColumn(
+            "tokens_before",
+            (F.col("local_sum") - F.col("n_tok") + F.col("poffset")).cast(
+                "long"
+            ),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tok").cast("long").alias("n_tok"),
+            "tokens_before",
+            (F.col("tokens_before") < F.lit(int(cap_tokens))).alias("keep"),
+        )
+    )

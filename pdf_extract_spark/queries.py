@@ -1348,6 +1348,42 @@ ORDER BY bk.doc_id
 """
 
 
+def doc_source_token_quota(spark, sf_dir):
+    """Token-budget source quota at cap=2000 tokens/source
+    (functions/text.py:source_token_quota): keep each source's
+    md5-priority prefix until the EXCLUSIVE cumulative token count
+    reaches the cap.  Grouped two-phase distributed prefix sum — no
+    single-task source partition; oracle is the plain per-source
+    window re-derivation."""
+    from .functions.text import source_token_quota
+
+    return source_token_quota(
+        load(spark, sf_dir, "documents"), cap_tokens=2000
+    ).orderBy("doc_id")
+
+
+DOC_SOURCE_TOKEN_QUOTA_SQL = r"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tok,
+         md5(CAST(doc_id AS VARCHAR)) AS ord
+  FROM documents
+)
+SELECT doc_id, source, n_tok,
+       CAST(COALESCE(sum(n_tok) OVER (
+         PARTITION BY source ORDER BY ord, doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) AS BIGINT) AS tokens_before,
+       COALESCE(sum(n_tok) OVER (
+         PARTITION BY source ORDER BY ord, doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) < 2000 AS keep
+FROM d
+ORDER BY doc_id
+"""
+
+
 def doc_quality_filter(spark, sf_dir):
     """Gopher-rule pretraining quality filter over the documents table
     (functions/text.py:gopher_quality_flags); per-rule booleans + keep."""
@@ -6541,6 +6577,7 @@ QUERIES = {
     "spans_linearize": spans_linearize,
     "spans_pack_manifest": spans_pack_manifest,
     "doc_source_quota": doc_source_quota,
+    "doc_source_token_quota": doc_source_token_quota,
     "corpus_summary_stats": corpus_summary_stats,
     "doc_repetition_flags": doc_repetition_flags,
     "doc_span_dedup": doc_span_dedup,
@@ -6689,6 +6726,7 @@ ORACLES = {
     ),
     "spans_pack_manifest": _spans_pack_sql(),
     "doc_source_quota": SOURCE_QUOTA_SQL,
+    "doc_source_token_quota": DOC_SOURCE_TOKEN_QUOTA_SQL,
     "corpus_summary_stats": CORPUS_SUMMARY_SQL,
     "doc_repetition_flags": DOC_REPETITION_SQL,
     "doc_span_dedup": DOC_SPAN_DEDUP_SQL,

@@ -473,3 +473,18 @@ def test_pack_interleaved_partition_invariant(spark):
     a = pack_interleaved(spans, 128, 64, num_parts=2)
     b = pack_interleaved(spans, 128, 64, num_parts=7)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_source_token_quota_partition_invariant_and_grouped(spark):
+    """The token-budget quota must be invariant to where the range
+    cuts fall, and its corpus-facing window must carry (pid, __sk) —
+    never a bare per-source partition that serializes a mega-source."""
+    from pdf_extract_spark.functions.text import source_token_quota
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = sorted(map(tuple, source_token_quota(docs, 2000, num_parts=3).collect()))
+    b = sorted(map(tuple, source_token_quota(docs, 2000, num_parts=11).collect()))
+    assert a == b
+    txt = plan_of(source_token_quota(docs, 2000))
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", txt):
+        assert ("pid" in spec) or ("ptok" in spec or "pcnt" in spec), spec
