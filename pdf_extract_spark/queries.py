@@ -3176,13 +3176,14 @@ def ann_lsh_topk(spark, sf_dir):
 
 
 def ann_recall(spark, sf_dir):
-    """Driver-visible recall check for the two approximate ANN paths:
+    """Driver-visible recall check for the approximate ANN paths:
     per-variant hit count against in-query brute-force ground truth
     (brute_force_topk is itself value-hash oracled via ann_cosine_topk),
     emitting BOTH the >= 0.8 gate boolean and the actual mean recall —
     the DuckDB oracle recomputes the value independently (exact top-k in
-    SQL joined against the ANN_LSH_SQL / ANN_IVF_SQL oracles), so the
-    recall number itself is hash-checked, not merely asserted."""
+    SQL joined against the ANN_LSH/IVF/PQ/IVFPQ oracles), so the recall
+    numbers themselves are hash-checked, not merely asserted — all FOUR
+    approximate paths."""
     from .operators.similarity import ivf_topk
 
     emb = load(spark, sf_dir, "embeddings")
@@ -3202,9 +3203,20 @@ def ann_recall(spark, sf_dir):
             (F.col("n_hits").cast("double") / F.lit(denom)).alias("mean_recall"),
         )
 
+    from .operators.similarity import ivfpq_topk, pq_topk
+
     ivf = gate("ivf", ivf_topk(emb, query_ids=qids, k=k, n_centroids=16, n_probe=4))
     lsh = gate("lsh", lsh_topk(emb, query_ids=qids, k=k, dim=64))
-    return ivf.unionByName(lsh).orderBy("variant")
+    pq = gate("pq", pq_topk(emb, query_ids=qids, k=k, m=8, ksub=16, shortlist=96))
+    ivfpq = gate(
+        "ivfpq",
+        ivfpq_topk(emb, query_ids=qids, k=k, n_centroids=16, n_probe=4,
+                   m=8, ksub=16, shortlist=64),
+    )
+    return (
+        ivf.unionByName(lsh).unionByName(pq).unionByName(ivfpq)
+        .orderBy("variant")
+    )
 
 
 # Full DuckDB reimplementation of SRP-LSH ANN top-k
@@ -3359,6 +3371,10 @@ approx AS (
   SELECT 'lsh' AS variant, query_id, nbr_id FROM ({ANN_LSH_SQL}) lsh
   UNION ALL
   SELECT 'ivf' AS variant, query_id, nbr_id FROM ({ANN_IVF_SQL}) ivf
+  UNION ALL
+  SELECT 'pq' AS variant, query_id, nbr_id FROM ({ANN_PQ_SQL}) pq
+  UNION ALL
+  SELECT 'ivfpq' AS variant, query_id, nbr_id FROM ({ANN_IVFPQ_SQL}) ivfpq
 ),
 hits AS (
   SELECT variant, count(*) AS n_hits
@@ -3372,7 +3388,7 @@ SELECT v.variant,
        CAST(10 AS BIGINT) AS n_queries,
        COALESCE(n_hits, 0)::DOUBLE / 50.0 >= 0.8 AS recall_pass,
        COALESCE(n_hits, 0)::DOUBLE / 50.0 AS mean_recall
-FROM (VALUES ('ivf'), ('lsh')) AS v(variant)
+FROM (VALUES ('ivf'), ('ivfpq'), ('lsh'), ('pq')) AS v(variant)
 LEFT JOIN hits ON hits.variant = v.variant
 ORDER BY v.variant
 """
