@@ -41,6 +41,12 @@ def main(argv=None) -> None:
     p.add_argument("--mix-budget", type=int, default=None,
                    help="temperature-weighted mixing target doc count")
     p.add_argument("--mix-temperature", type=float, default=0.5)
+    p.add_argument("--fuzzy-decontaminate", action="store_true",
+                   help="additionally drop MinHash-band near-dups of the "
+                        "eval slice (paraphrased leaks)")
+    p.add_argument("--token-quota", type=int, default=None,
+                   help="per-source TOKEN budget cap (grouped two-phase "
+                        "prefix; the crossing doc is the last kept)")
     p.add_argument("--redact-pii", action="store_true",
                    help="scrub emails/IPs/phones from the final corpus "
                         "(narrow scan-side rewrite)")
@@ -62,6 +68,8 @@ def main(argv=None) -> None:
         sample_default_pct=args.sample_pct,
         checkpoint_dir=args.checkpoint_dir,
         redact_pii=args.redact_pii,
+        fuzzy_decontaminate=args.fuzzy_decontaminate,
+        token_quota=args.token_quota,
         mix_budget=args.mix_budget,
         mix_temperature=args.mix_temperature,
     )

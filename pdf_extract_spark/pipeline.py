@@ -101,6 +101,8 @@ def corpus_pipeline(
     min_stopwords: int = 2,
     checkpoint_dir: str | None = None,
     redact_pii: bool = False,
+    fuzzy_decontaminate: bool = False,
+    token_quota: int | None = None,
     mix_budget: int | None = None,
     mix_temperature: float = 0.5,
     mix_key: str = "source",
@@ -126,6 +128,14 @@ def corpus_pipeline(
     rewrites the final stage's text through `pii_redact` (a narrow
     scan-side pass — the standard pre-release scrub); doc counts are
     unchanged, so the funnel stays comparable either way.
+
+    `fuzzy_decontaminate` adds the MinHash-band near-dup decontamination
+    pass (operators/dedup.py:fuzzy_decontaminate) after the exact 8-gram
+    pass, against the SAME eval slice — catching paraphrased leaks; its
+    stage appears in the funnel as `fuzzy_decontaminated`.  `token_quota`
+    (optional) caps each source at a TOKEN budget after the doc-count
+    quota (functions/text.py:source_token_quota, grouped two-phase
+    prefix — the budget a trainer actually consumes).
 
     `embeddings` (optional, (vec_id, embedding) keyed by doc_id) enables
     the SemDeDup stage after lexical near-dup: paraphrase-level
@@ -185,6 +195,17 @@ def corpus_pipeline(
     ).cache()
     stages["decontaminated"] = clean
 
+    if fuzzy_decontaminate:
+        from .operators.dedup import fuzzy_decontaminate as _fuzzy
+
+        fz = _fuzzy(spine, text_col, eval_pct=eval_pct)
+        clean = clean.join(
+            fz.filter(~F.col("contaminated")).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        ).cache()
+        stages["fuzzy_decontaminated"] = clean
+
     mixed = clean
     if quota_cap is not None:
         mixed = source_quota_cap(mixed, cap=quota_cap)
@@ -192,6 +213,15 @@ def corpus_pipeline(
         mixed = stratified_sample(
             mixed, rates=sample_rates or {}, default_pct=sample_default_pct
         )
+    if token_quota is not None:
+        from .functions.text import source_token_quota
+
+        keep_ids = (
+            source_token_quota(mixed, cap_tokens=token_quota)
+            .filter(F.col("keep"))
+            .select("doc_id")
+        )
+        mixed = mixed.join(keep_ids, "doc_id", "left_semi")
     if mix_budget is not None:
         from .functions.text import temperature_mix
 

@@ -185,3 +185,40 @@ def test_pipeline_temperature_mix_stage(spark):
     assert {r.doc_id for r in rows} <= clean_ids
     assert 50 <= len(rows) <= 150  # concentration around the budget
     release_stages(stages)
+
+
+def test_pipeline_fuzzy_and_token_quota_stages(spark):
+    """The optional fuzzy-decontamination and token-budget stages: the
+    funnel gains a fuzzy_decontaminated stage that can only shrink the
+    spine, and the token quota caps every source's kept-token prefix
+    (each source's total kept tokens < cap + its largest doc)."""
+    from pdf_extract_spark.functions.text import token_count
+    from pdf_extract_spark.pipeline import (
+        corpus_pipeline,
+        funnel_report,
+        release_stages,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    stages = corpus_pipeline(
+        docs, min_stopwords=1, fuzzy_decontaminate=True, token_quota=1500
+    )
+    try:
+        funnel = dict(funnel_report(stages))
+        assert "fuzzy_decontaminated" in funnel
+        assert funnel["fuzzy_decontaminated"] <= funnel["decontaminated"]
+        final = stages["final"].select(
+            "source", token_count(F.col("text")).alias("n_tok")
+        )
+        per_src = {
+            r["source"]: r["total"]
+            for r in final.groupBy("source")
+            .agg(F.sum("n_tok").alias("total"))
+            .collect()
+        }
+        max_doc = final.agg(F.max("n_tok")).collect()[0][0]
+        for src, total in per_src.items():
+            assert total < 1500 + max_doc, (src, total)
+        assert funnel["final"] < funnel["fuzzy_decontaminated"]
+    finally:
+        release_stages(stages)
