@@ -50,6 +50,7 @@ HEADLINE = [
     # cohorts (integer day arithmetic), integer-exact outlier ranking,
     # and hybrid lexical+semantic RRF fusion over bounded top-k lists
     "events_funnel_steps",
+    "events_funnel_windowed",
     "events_cohort_retention",
     "events_value_extremes",
     "doc_hybrid_rrf",

@@ -5891,6 +5891,77 @@ def events_funnel_steps(spark, sf_dir):
     )
 
 
+def events_funnel_windowed(spark, sf_dir):
+    """Conversion-window funnel: each step counts only within 24 hours
+    of the previous step's completion (view -> click <= 24h -> purchase
+    <= 24h) — the time-bounded semantics product funnels report.  Same
+    min-agg join chain as events_funnel_steps, with the window bound as
+    one more join predicate; still no event-time window function."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .where(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .where(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .agg(
+            F.count("t1").cast("long").alias("users_view"),
+            F.count("t2").cast("long").alias("users_click_24h"),
+            F.count("t3").cast("long").alias("users_purchase_24h"),
+        )
+    )
+
+
+EVENTS_FUNNEL_WINDOWED_SQL = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t1
+    AND e.ts <= t1.t1 + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+    AND e.ts <= t2.t2 + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+)
+SELECT CAST(count(t1.t1) AS BIGINT) AS users_view,
+       CAST(count(t2.t2) AS BIGINT) AS users_click_24h,
+       CAST(count(t3.t3) AS BIGINT) AS users_purchase_24h
+FROM t1
+LEFT JOIN t2 ON t1.user_id = t2.user_id
+LEFT JOIN t3 ON t1.user_id = t3.user_id
+"""
+
+
 EVENTS_FUNNEL_SQL = """
 WITH t1 AS (
   SELECT user_id, min(ts) AS t1 FROM events
@@ -6549,6 +6620,7 @@ QUERIES = {
     "media_caption_mining": media_caption_mining,
     "doc_hybrid_rrf": doc_hybrid_rrf,
     "events_funnel_steps": events_funnel_steps,
+    "events_funnel_windowed": events_funnel_windowed,
     "events_cohort_retention": events_cohort_retention,
     "events_value_extremes": events_value_extremes,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -6695,6 +6767,7 @@ ORACLES = {
     "media_caption_mining": MEDIA_CAPTION_MINING_SQL,
     "doc_hybrid_rrf": DOC_HYBRID_RRF_SQL,
     "events_funnel_steps": EVENTS_FUNNEL_SQL,
+    "events_funnel_windowed": EVENTS_FUNNEL_WINDOWED_SQL,
     "events_cohort_retention": EVENTS_COHORT_SQL,
     "events_value_extremes": EVENTS_EXTREMES_SQL,
     "q2_min_cost_supplier": Q2_SQL,
