@@ -90,6 +90,7 @@ HEADLINE = [
     "doc_source_quota",
     "doc_source_token_quota",
     "corpus_summary_stats",
+    "corpus_card",
     "doc_repetition_flags",
     "doc_span_dedup",
     "doc_span_dedup_apply",

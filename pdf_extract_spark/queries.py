@@ -5027,6 +5027,78 @@ ORDER BY doc_id
 DOC_LANGID_SQL = _langid_sql()
 
 
+def corpus_card(spark, sf_dir):
+    """The one-row 'data card' a released corpus ships: doc/token/source
+    totals, distinct predicted languages, exact-duplicate rate, and
+    benchmark-contamination rate, all as exact integers (ppm / x100).
+    Composes four already-oracled measurement families into one row —
+    each input is a map-side-combinable aggregate over its (cached or
+    scan-side) stage, the outputs crossJoin as one-row frames.
+
+    Scale shape: four aggregates over the corpus scan + three bounded
+    cross joins; no windows, no collect."""
+    from .functions.langid import identify_language
+    from .functions.text import decontaminate, token_count
+    from .operators.dedup import dedup_exact
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+    langs = identify_language(docs).agg(
+        F.countDistinct("lang_pred").cast("long").alias("n_langs")
+    )
+    dups = dedup_exact(docs).agg(F.count("*").cast("long").alias("n_fp"))
+    cont = decontaminate(docs).agg(
+        F.count("*").cast("long").alias("n_train"),
+        F.sum(F.col("contaminated").cast("long")).cast("long").alias("n_cont"),
+    )
+    return (
+        base.crossJoin(langs)
+        .crossJoin(dups)
+        .crossJoin(cont)
+        .select(
+            "n_docs",
+            "n_tokens",
+            "n_sources",
+            "n_langs",
+            F.expr("(n_docs - n_fp) * 1000000L div n_docs").alias(
+                "exact_dup_ppm"
+            ),
+            F.expr("n_cont * 1000000L div n_train").alias("contaminated_ppm"),
+            F.expr("n_tokens * 100L div n_docs").alias("mean_tokens_x100"),
+        )
+    )
+
+
+CORPUS_CARD_SQL = rf"""
+WITH base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+           AS n_tokens,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+  FROM documents
+), lang AS (
+  SELECT CAST(count(DISTINCT lang_pred) AS BIGINT) AS n_langs
+  FROM ({DOC_LANGID_SQL})
+), dup AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_fp FROM ({DEDUP_EXACT_SQL})
+), cont AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_train,
+         CAST(sum(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cont
+  FROM ({DOC_DECONTAMINATE_SQL})
+)
+SELECT n_docs, n_tokens, n_sources, n_langs,
+       (n_docs - n_fp) * 1000000 // n_docs AS exact_dup_ppm,
+       n_cont * 1000000 // n_train AS contaminated_ppm,
+       n_tokens * 100 // n_docs AS mean_tokens_x100
+FROM base, lang, dup, cont
+"""
+
+
 # ---------------------------------------------------------------------------
 # Host-level (domain) graph + sitemap discovery frontier
 
@@ -6667,6 +6739,7 @@ QUERIES = {
     "doc_source_quota": doc_source_quota,
     "doc_source_token_quota": doc_source_token_quota,
     "corpus_summary_stats": corpus_summary_stats,
+    "corpus_card": corpus_card,
     "doc_repetition_flags": doc_repetition_flags,
     "doc_span_dedup": doc_span_dedup,
     "doc_span_dedup_apply": doc_span_dedup_apply,
@@ -6817,6 +6890,7 @@ ORACLES = {
     "doc_source_quota": SOURCE_QUOTA_SQL,
     "doc_source_token_quota": DOC_SOURCE_TOKEN_QUOTA_SQL,
     "corpus_summary_stats": CORPUS_SUMMARY_SQL,
+    "corpus_card": CORPUS_CARD_SQL,
     "doc_repetition_flags": DOC_REPETITION_SQL,
     "doc_span_dedup": DOC_SPAN_DEDUP_SQL,
     "doc_span_dedup_apply": DOC_SPAN_DEDUP_APPLY_SQL,
