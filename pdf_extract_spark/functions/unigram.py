@@ -139,6 +139,18 @@ def viterbi_pieces(
             )
         return out
     n = len(word)
+    # memoized powers of denom: the cross-multiplication needs
+    # denom**k for k up to the piece count — computing each power from
+    # scratch per candidate made the E-step's dominant cost repeated
+    # big-int exponentiation; one incremental table per call computes
+    # each power once (pure arithmetic identity, results unchanged)
+    pows: list[int] = [1]
+
+    def powd(k: int) -> int:
+        while len(pows) <= k:
+            pows.append(pows[-1] * denom)
+        return pows[k]
+
     # best[i] = (prod, k, pieces) for word[:i]
     best: list[tuple[int, int, tuple[str, ...]] | None] = [None] * (n + 1)
     best[0] = (1, 0, ())
@@ -158,7 +170,7 @@ def viterbi_pieces(
                 continue
             bprod, bk, bseq = cand_best
             # prob compare: prod/denom^k vs bprod/denom^bk
-            lhs, rhs = prod * denom**bk, bprod * denom**k
+            lhs, rhs = prod * powd(bk), bprod * powd(k)
             if lhs > rhs or (
                 lhs == rhs and (k < bk or (k == bk and seq < bseq))
             ):

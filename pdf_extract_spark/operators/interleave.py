@@ -47,7 +47,9 @@ def synth_interleaved(docs: DataFrame, text_col: str = "text") -> DataFrame:
     union re-rank never leaves the document partition."""
     words = docs.select(
         "doc_id", F.posexplode(F.split(F.trim(text_col), r"\s+")).alias("p", "w")
-    )
+    ).filter(F.col("w") != "")  # empty/whitespace-only docs emit NO spans
+                                # (split of '' yields [''], same guard as
+                                # functions/bpe.py:word_histogram)
     text_rows = words.select(
         "doc_id",
         (F.col("p") * 2).alias("ord"),

@@ -6216,6 +6216,7 @@ words AS (
                           (x, i) -> {'w': x, 'i': i}) AS arr
     FROM documents
   ), unnest(arr) AS t(u)
+  WHERE u.w <> ''
 ),
 inter AS (
   SELECT doc_id,
@@ -6358,6 +6359,7 @@ SPANS_PACK_INTERLEAVED_SQL = _pack_sql(
                             (x, i) -> {'w': x, 'i': i}) AS arr
       FROM documents
     ), unnest(arr) AS t(u)
+    WHERE u.w <> ''
   )
   GROUP BY doc_id
 """,

@@ -349,6 +349,7 @@ def wat_link_edges(recs: DataFrame) -> DataFrame:
     Scale shape: narrow filter + JVM JSON parse + explode + one
     distinct — the only exchange is the dedup."""
     from ..functions.urls import canonical_url
+    from ..operators.webgraph import resolve_href
 
     w = wat_records(recs)
     return (
@@ -363,11 +364,17 @@ def wat_link_edges(recs: DataFrame) -> DataFrame:
                       ".`HTTP-Response-Metadata`.`HTML-Metadata`.Links")
             ).alias("l"),
         )
+        # real WAT records store hrefs AS WRITTEN: resolve root-relative
+        # paths against the page base and NULL out mailto:/fragments —
+        # the SAME resolve_href + canonical_url chain the HTML link
+        # extractor uses, so WAT- and HTML-derived graphs actually merge
         .select(
             canonical_url(F.col("src_raw")).alias("src"),
-            canonical_url(F.col("l.url")).alias("dst"),
+            canonical_url(
+                resolve_href(F.col("l.url"), F.col("src_raw"))
+            ).alias("dst"),
         )
-        .filter(F.col("dst") != "")
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != ""))
         .distinct()
     )
 

@@ -39,13 +39,17 @@ GAP_SECONDS_DEFAULT = 300
 
 
 def align_captions(
-    spans: "list[tuple[int, str, str, str]]", max_words: int = 6
+    spans: "list[tuple[int, str, str, str]]",
+    max_words: int = 6,
+    min_words: int = 1,
 ) -> "list[tuple[str, int, str, int]]":
     """(pos, kind, text, media_ref) -> (media_ref, media_pos, caption,
     caption_words): the batch alignment semantics on one document's
     sorted span list — running media counter, up to ``max_words``
-    following non-media spans per media, pairs with no following text
-    kept with caption ''."""
+    following non-media spans per media; pairs with fewer than
+    ``min_words`` caption spans are dropped (default 1, matching
+    media_captions' batch default — pass 0 to keep empty-caption
+    pairs)."""
     spans = sorted(spans, key=lambda s: s[0])
     media: list[tuple[int, str, int]] = []  # (group, ref, pos)
     caps: dict[int, list[str]] = {}
@@ -61,12 +65,14 @@ def align_captions(
     return [
         (ref, pos, " ".join(caps.get(grp, [])), len(caps.get(grp, [])))
         for grp, ref, pos in media
+        if len(caps.get(grp, [])) >= min_words
     ]
 
 
 def make_caption_aligner(
     gap_seconds: int = GAP_SECONDS_DEFAULT,
     max_words: int = 6,
+    min_words: int = 1,
     tz: str = "UTC",
 ):
     """Returns the applyInPandasWithState function.  State is the JSON
@@ -82,7 +88,9 @@ def make_caption_aligner(
             spans = [tuple(s) for s in json.loads(buf)]
             rows = [
                 (str(doc_id), ref, int(pos), caption, int(nw))
-                for ref, pos, caption, nw in align_captions(spans, max_words)
+                for ref, pos, caption, nw in align_captions(
+                    spans, max_words, min_words
+                )
             ]
             state.remove()
             if rows:
@@ -126,12 +134,13 @@ def caption_stream(
     spans_stream,
     gap_seconds: int = GAP_SECONDS_DEFAULT,
     max_words: int = 6,
+    min_words: int = 1,
     watermark: str = "10 minutes",
 ):
     """Interleaved span stream (doc_id, pos, kind, text, media_ref, ts)
-    -> (media, caption) pair rows, one batch-parity set per quiet doc."""
-    from pyspark.sql import functions as F  # noqa: F401  (schema checks)
-
+    -> (media, caption) pair rows, one batch-parity set per quiet doc
+    (min_words mirrors media_captions: default 1 drops empty-caption
+    pairs, exactly the batch default)."""
     if dict(spans_stream.dtypes).get("ts") == "timestamp_ntz":
         raise TypeError(
             "event-time column 'ts' is timestamp_ntz; convert it to "
@@ -147,7 +156,7 @@ def caption_stream(
         spans_stream.withWatermark("ts", watermark)
         .groupBy("doc_id")
         .applyInPandasWithState(
-            make_caption_aligner(gap_seconds, max_words, tz=tz),
+            make_caption_aligner(gap_seconds, max_words, min_words, tz=tz),
             CAPTION_SCHEMA,
             STATE_SCHEMA,
             "append",

@@ -21,17 +21,11 @@ from __future__ import annotations
 
 from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
-from .captions import align_captions
+from .captions import CAPTION_SCHEMA, GAP_SECONDS_DEFAULT, align_captions
 from .sessionize import resolve_zone
 
-CAPTION_SCHEMA = (
-    "doc_id string, media_ref string, media_pos long, "
-    "caption string, caption_words long"
-)
 SPAN_STATE_SCHEMA = "pos long, kind string, text string, media_ref string"
 LAST_STATE_SCHEMA = "last long"
-
-GAP_SECONDS_DEFAULT = 300
 
 
 class CaptionAlignerProcessor(StatefulProcessor):
@@ -43,10 +37,12 @@ class CaptionAlignerProcessor(StatefulProcessor):
         self,
         gap_seconds: int = GAP_SECONDS_DEFAULT,
         max_words: int = 6,
+        min_words: int = 1,
         tz: str = "UTC",
     ):
         self.gap_seconds = gap_seconds
         self.max_words = max_words
+        self.min_words = min_words
         self.tz = tz
 
     def init(self, handle: StatefulProcessorHandle) -> None:
@@ -90,7 +86,7 @@ class CaptionAlignerProcessor(StatefulProcessor):
         rows = [
             (str(doc_id), ref, int(pos), caption, int(nw))
             for ref, pos, caption, nw in align_captions(
-                spans, self.max_words
+                spans, self.max_words, self.min_words
             )
         ]
         if not rows:
@@ -118,6 +114,7 @@ def caption_stream_tws(
     spans_stream,
     gap_seconds: int = GAP_SECONDS_DEFAULT,
     max_words: int = 6,
+    min_words: int = 1,
     watermark: str = "10 minutes",
 ):
     """transformWithStateInPandas form of caption_stream — same input
@@ -137,7 +134,7 @@ def caption_stream_tws(
         spans_stream.withWatermark("ts", watermark)
         .groupBy("doc_id")
         .transformWithStateInPandas(
-            CaptionAlignerProcessor(gap_seconds, max_words, tz=tz),
+            CaptionAlignerProcessor(gap_seconds, max_words, min_words, tz=tz),
             CAPTION_SCHEMA,
             "append",
             "EventTime",

@@ -830,7 +830,8 @@ def test_caption_stream_batch_parity(spark, tmp_path):
     ).parquet(src)
     out_dir, ckpt = str(tmp_path / "pairs"), str(tmp_path / "ckpt")
     q = (
-        caption_stream(stream, gap_seconds=60, watermark="1 minute")
+        caption_stream(stream, gap_seconds=60, min_words=0,
+                       watermark="1 minute")
         .writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", ckpt)
@@ -885,7 +886,7 @@ def test_align_captions_matches_batch_semantics_random():
                 spans.append((pos, "text", f"w{pos}", ""))
         shuffled = spans[:]
         rng.shuffle(shuffled)
-        got = align_captions(shuffled, max_words=3)
+        got = align_captions(shuffled, max_words=3, min_words=0)
         # reference: walk in order, collect up to 3 texts per media group
         media, caps, g = [], {}, 0
         for pos, kind, text, ref in spans:
@@ -950,7 +951,8 @@ def test_caption_stream_tws_batch_parity(spark, tmp_path):
     ).parquet(src)
     out_dir, ckpt = str(tmp_path / "tws_pairs"), str(tmp_path / "tws_ckpt")
     q = (
-        caption_stream_tws(stream, gap_seconds=60, watermark="1 minute")
+        caption_stream_tws(stream, gap_seconds=60, min_words=0,
+                           watermark="1 minute")
         .writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", ckpt)

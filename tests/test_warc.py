@@ -173,7 +173,11 @@ def test_wat_link_edges_roundtrip_and_malformed_json(spark):
     arc = wat_fixture_archive(
         [
             ("https://a.test/1", ["https://b.test/2", "https://c.test/3"]),
-            ("https://b.test/2", ["https://a.test/1"]),
+            # real WAT hrefs are AS WRITTEN: root-relative resolves
+            # against the page base; mailto: is dropped (NULLed), same
+            # as the HTML link extractor
+            ("https://b.test/2", ["https://a.test/1", "/local",
+                                  "mailto:x@y.test"]),
         ]
     )
     # append a metadata record with BROKEN JSON: from_json yields null,
@@ -194,4 +198,5 @@ def test_wat_link_edges_roundtrip_and_malformed_json(spark):
         ("https://a.test/1", "https://b.test/2"),
         ("https://a.test/1", "https://c.test/3"),
         ("https://b.test/2", "https://a.test/1"),
+        ("https://b.test/2", "https://b.test/local"),
     }

@@ -85,6 +85,13 @@ def viterbi(word: str, counts: dict, denom: int) -> list[str]:
             out.extend(viterbi(word[i : i + MAX_VITERBI_WORD], counts, denom))
         return out
     n = len(word)
+    pows = [1]  # memoized denom powers (identity-preserving speedup)
+
+    def powd(k):
+        while len(pows) <= k:
+            pows.append(pows[-1] * denom)
+        return pows[k]
+
     best = [None] * (n + 1)
     best[0] = (1, 0, ())
     for i in range(1, n + 1):
@@ -105,7 +112,7 @@ def viterbi(word: str, counts: dict, denom: int) -> list[str]:
                 cb = (prod, k, seq)
                 continue
             bprod, bk, bseq = cb
-            lhs, rhs = prod * denom**bk, bprod * denom**k
+            lhs, rhs = prod * powd(bk), bprod * powd(k)
             if lhs > rhs or (lhs == rhs and (k < bk or (k == bk and seq < bseq))):
                 cb = (prod, k, seq)
         best[i] = cb
