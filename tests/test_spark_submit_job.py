@@ -317,3 +317,68 @@ def test_spark_submit_tokenize_job(tmp_path):
     ).fetchall()
     assert len(shards) == 4 and sum(n for _, n in shards) == 500
     assert max(n for _, n in shards) - min(n for _, n in shards) <= 1
+
+
+@pytest.mark.slow
+def test_spark_submit_stream_job(tmp_path):
+    """jobs/stream_job.py --mode extract via spark-submit --py-files:
+    drains the landing dir with availableNow; the lineage/metrics
+    contract matches the batch extract_job's; a second run on the same
+    checkpoint reprocesses nothing."""
+    from tests.conftest import ensure_pyfiles_zip
+
+    ensure_pyfiles_zip()
+    src = str(tmp_path / "incoming")
+    out = str(tmp_path / "stream_out")
+
+    # stage the fixture corpus as the landing directory (driver-side
+    # write through a tiny local session-free path: reuse extract_job's
+    # synthetic mode is batch-only, so write with a helper session)
+    import subprocess
+
+    stage = subprocess.run(
+        [sys.executable, "-c", (
+            "import sys; sys.path.insert(0, %r);\n"
+            "from pyspark.sql import SparkSession\n"
+            "from pdf_extract_spark.sources.raw_docs import fixture_corpus_df\n"
+            "spark = (SparkSession.builder.master('local[2]')"
+            ".config('spark.ui.enabled','false').getOrCreate())\n"
+            "fixture_corpus_df(spark, replicas=1).write.mode('overwrite')"
+            ".parquet(%r)\n"
+            "spark.stop()\n"
+        ) % (REPO, src)],
+        capture_output=True, text=True, timeout=300, cwd=REPO,
+    )
+    assert stage.returncode == 0, stage.stderr[-2000:]
+
+    cmd = [
+        "spark-submit", "--master", "local[4]",
+        "--py-files", os.path.join(REPO, "dist", "pdf_extract_spark.zip"),
+        os.path.join(REPO, "jobs", "stream_job.py"),
+        "--mode", "extract", "--input", src, "--output", out,
+        "--num-partitions", "4", "--timeout-sec", "240",
+    ]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=420,
+                       cwd=REPO)
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(DISTINCT doc_id) FROM '{out}/lineage/**/*.parquet'"
+    ).fetchone()[0]
+    assert n >= 29  # one per fixture family
+    ok = con.execute(
+        f"SELECT count(*) FROM '{out}/lineage/**/*.parquet' "
+        "WHERE status='ok'"
+    ).fetchone()[0]
+    assert ok == n
+    # re-run on the same checkpoint: no new input -> no duplicate rows
+    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=420,
+                        cwd=REPO)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    n2 = con.execute(
+        f"SELECT count(*) FROM '{out}/lineage/**/*.parquet'"
+    ).fetchone()[0]
+    assert n2 == n
