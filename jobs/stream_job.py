@@ -84,7 +84,7 @@ def main(argv=None) -> None:
             "doc_id string, pos long, kind string, text string, "
             "media_ref string, ts timestamp"
         ).parquet(args.input)
-        q = (
+        writer = (
             caption_stream(
                 stream,
                 gap_seconds=args.gap_seconds,
@@ -93,12 +93,25 @@ def main(argv=None) -> None:
             .writeStream.format("parquet")
             .option("path", f"{args.output}/captions")
             .option("checkpointLocation", f"{args.output}/ckpt")
-            .trigger(availableNow=bool(args.available_now))
-            .start()
         )
+        # trigger(availableNow=False) raises in pyspark — only set the
+        # trigger for the drain-and-stop mode (same guard as
+        # streaming/pipeline.py's extract path)
+        if args.available_now:
+            writer = writer.trigger(availableNow=True)
+        q = writer.start()
 
     if args.available_now:
-        q.awaitTermination(args.timeout_sec)
+        done = q.awaitTermination(args.timeout_sec)
+        if not done:
+            # a partial drain must NOT report success: stop the query
+            # and exit nonzero so a scheduler retries
+            q.stop()
+            spark.stop()
+            raise SystemExit(
+                f"[stream_job] TIMEOUT after {args.timeout_sec}s with the "
+                f"drain incomplete (mode={args.mode})"
+            )
         print(f"[stream_job] drained mode={args.mode} -> {args.output}")
         spark.stop()
     else:

@@ -189,6 +189,58 @@ def srp_bucket(vec_col, planes: list[list[float]]):
     return bucket
 
 
+def _train_sample(
+    emb: DataFrame,
+    train_cap: int,
+    id_col: str,
+    vec_col: str,
+):
+    """The shared deterministic bounded training sample (xxhash64-pmod
+    filter in id order, 512 MiB driver guard) behind every quantizer
+    trainer — ONE definition so the coarse, PQ, and IVF-PQ paths can
+    never drift, and callers that need both quantizers collect it
+    once."""
+    import numpy as np
+
+    total = emb.count()
+    frac_pct = max(1, min(100, int(100 * train_cap / max(total, 1))))
+    sample = (
+        emb.select(id_col, vec_col)
+        .filter(
+            F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(100))
+            < frac_pct
+        )
+        .orderBy(id_col)
+        .limit(train_cap)
+        .collect()
+    )
+    train = np.array([r[1] for r in sample], dtype=np.float64)
+    if train.nbytes > 512 * 1024 * 1024:
+        raise ValueError(
+            f"quantizer train sample is {train.nbytes >> 20} MiB "
+            f"({len(train)} x {train.shape[1]} f64): lower train_cap — "
+            "the quantizer needs only a bounded sample (faiss-style)"
+        )
+    return train
+
+
+def _coarse_lloyd(train, n_centroids: int):
+    """First-k-init 10-iteration float64 Lloyd over the sample matrix
+    (the coarse-quantizer kernel shared by train_centroids and
+    ivfpq_topk)."""
+    cent = train[:n_centroids].copy()
+    for _ in range(10):
+        # argmin ||v-c||^2 = argmin (|c|^2 - 2 v.c): (n,K) temporaries only,
+        # never the (n,K,dim) broadcast form (~160 MB/iter at defaults)
+        c2 = (cent * cent).sum(axis=1)
+        assign = (c2[None, :] - 2.0 * (train @ cent.T)).argmin(axis=1)
+        for c in range(n_centroids):
+            members = train[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
 def train_centroids(
     emb: DataFrame,
     n_centroids: int,
@@ -204,41 +256,15 @@ def train_centroids(
 
     The xxhash64-pmod sample plus the 512 MiB guard make this the only
     corpus-sized driver allocation in either operator: faiss-style, the
-    quantizer trains on a sample, never the corpus."""
-    import numpy as np
-
-    total = emb.count()
-    frac_pct = max(1, min(100, int(100 * train_cap / max(total, 1))))
-    sample = (
-        emb.select(id_col, vec_col)
-        .filter(F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(100)) < frac_pct)
-        .orderBy(id_col)
-        .limit(train_cap)
-        .collect()
-    )
-    train = np.array([r[1] for r in sample], dtype=np.float64)
+    quantizer trains on a sample, never the corpus.  Sample collection
+    and the Lloyd kernel live in _train_sample/_coarse_lloyd (shared
+    with the PQ family)."""
+    train = _train_sample(emb, train_cap, id_col, vec_col)
     if len(train) < n_centroids:
-        raise ValueError(f"{len(train)} training vectors < {n_centroids} centroids")
-    # guard the driver-side footprint: refuse quietly pressuring driver
-    # memory instead of OOMing mid-job
-    train_bytes = train.nbytes
-    if train_bytes > 512 * 1024 * 1024:
         raise ValueError(
-            f"k-means train sample is {train_bytes >> 20} MiB "
-            f"({len(train)} x {train.shape[1]} f64): lower train_cap — the "
-            "quantizer needs only a bounded sample (faiss-style)"
+            f"{len(train)} training vectors < {n_centroids} centroids"
         )
-    cent = train[:n_centroids].copy()
-    for _ in range(10):
-        # argmin ||v-c||^2 = argmin (|c|^2 - 2 v.c): (n,K) temporaries only,
-        # never the (n,K,dim) broadcast form (~160 MB/iter at defaults)
-        c2 = (cent * cent).sum(axis=1)
-        assign = (c2[None, :] - 2.0 * (train @ cent.T)).argmin(axis=1)
-        for c in range(n_centroids):
-            members = train[assign == c]
-            if len(members):
-                cent[c] = members.mean(axis=0)
-    return cent
+    return _coarse_lloyd(train, n_centroids)
 
 
 def ivf_topk(
@@ -329,9 +355,13 @@ def ivf_topk(
                 continue
             mat = np.array(list(pdf["q"]), dtype=np.float64)
             # same batch-shape-independent kernel as assign_cells
+            # stable argsort: near-tied probe distances (possible when
+            # a Lloyd cluster empties and keeps a stale centroid) must
+            # order identically on every platform — same contract
+            # ivfpq_topk defends
             order = (
                 c2[None, :] - 2.0 * np.einsum("ij,kj->ik", mat, C)
-            ).argsort(axis=1)[:, :n_probe]
+            ).argsort(axis=1, kind="stable")[:, :n_probe]
             out = {"query_id": [], "q": [], "cell": []}
             for i in range(len(pdf)):
                 for c in order[i]:
@@ -459,32 +489,13 @@ def train_pq_codebooks(
     """Product-quantization codebook training (Jégou et al. 2011): the
     vector is split into `m` contiguous subspaces and each gets its own
     ksub-centroid quantizer — so an m x ksub table indexes ksub^m cells
-    with m*ksub*dsub floats of codebook.  Training mirrors
-    train_centroids' discipline exactly: deterministic bounded
-    hash-sample in id order, first-k init, 10 float64 Lloyd iterations
-    per subspace, zero RNG, 512 MiB driver guard.  Returns float64
+    with m*ksub*dsub floats of codebook.  Same sample discipline as
+    train_centroids (shared _train_sample: deterministic bounded
+    id-ordered hash sample, 512 MiB guard, zero RNG).  Returns float64
     codebooks of shape (m, ksub, dsub)."""
-    import numpy as np
-
-    total = emb.count()
-    frac_pct = max(1, min(100, int(100 * train_cap / max(total, 1))))
-    sample = (
-        emb.select(id_col, vec_col)
-        .filter(
-            F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(100))
-            < frac_pct
-        )
-        .orderBy(id_col)
-        .limit(train_cap)
-        .collect()
-    )
-    train = np.array([r[1] for r in sample], dtype=np.float64)
+    train = _train_sample(emb, train_cap, id_col, vec_col)
     if len(train) < ksub:
         raise ValueError(f"{len(train)} training vectors < ksub={ksub}")
-    if train.nbytes > 512 * 1024 * 1024:
-        raise ValueError(
-            f"PQ train sample is {train.nbytes >> 20} MiB: lower train_cap"
-        )
     return _pq_lloyd(train, m, ksub)
 
 
@@ -596,6 +607,8 @@ def pq_topk(
     bt = spark.sparkContext.broadcast(tables)
 
     def adc_scan(batches):
+        import heapq
+
         import pandas as pd
 
         T = bt.value
@@ -613,9 +626,16 @@ def pq_topk(
                 d = tab[0][cmat[:, 0]].copy()
                 for j in range(1, m):
                     d += tab[j][cmat[:, j]]
+                cand = per_q[qid]
                 for i in range(len(nbrs)):
                     if nbrs[i] != qid:
-                        per_q[qid].append((float(d[i]), nbrs[i]))
+                        cand.append((float(d[i]), nbrs[i]))
+                # re-truncate per batch: the buffer stays O(shortlist +
+                # batch), never O(partition_rows x queries) — the memory
+                # bound the docstring promises.  nsmallest == sorted[:S]
+                # on (dist, id) tuples, so results are unchanged.
+                if len(cand) > 4 * shortlist:
+                    per_q[qid] = heapq.nsmallest(shortlist, cand)
         for qid, cand in per_q.items():
             for d, nbr in sorted(cand)[:shortlist]:
                 out["query_id"].append(qid)
@@ -690,23 +710,16 @@ def ivfpq_topk(
     import numpy as np
 
     spark = emb.sparkSession
-    cent = train_centroids(
-        emb, n_centroids, train_cap, id_col=id_col, vec_col=vec_col
-    )
-    # residual PQ codebooks from the SAME deterministic sample
-    total = emb.count()
-    frac_pct = max(1, min(100, int(100 * train_cap / max(total, 1))))
-    sample = (
-        emb.select(id_col, vec_col)
-        .filter(
-            F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(100))
-            < frac_pct
+    # ONE sample collect feeds BOTH quantizers (the coarse Lloyd and
+    # the residual PQ codebooks) — byte-identical to training each on
+    # its own collect of the same deterministic sample, at half the
+    # corpus scans
+    train = _train_sample(emb, train_cap, id_col, vec_col)
+    if len(train) < max(n_centroids, ksub):
+        raise ValueError(
+            f"{len(train)} training vectors < max(n_centroids, ksub)"
         )
-        .orderBy(id_col)
-        .limit(train_cap)
-        .collect()
-    )
-    train = np.array([r[1] for r in sample], dtype=np.float64)
+    cent = _coarse_lloyd(train, n_centroids)
     c2t = (cent * cent).sum(axis=1)
     tcells = (
         c2t[None, :] - 2.0 * np.einsum("ij,kj->ik", train, cent)
@@ -774,6 +787,8 @@ def ivfpq_topk(
     bq = spark.sparkContext.broadcast(qmeta)
 
     def adc_scan(batches):
+        import heapq
+
         import pandas as pd
 
         Q = bq.value
@@ -796,9 +811,13 @@ def ivfpq_topk(
                     for j in range(1, m):
                         d += tab[j][sub[:, j]]
                     mn = nbrs[mask]
+                    cand = per_q[qid]
                     for i in range(len(mn)):
                         if mn[i] != qid:
-                            per_q[qid].append((float(d[i]), mn[i]))
+                            cand.append((float(d[i]), mn[i]))
+                    # same per-batch re-truncation bound as pq_topk
+                    if len(cand) > 4 * shortlist:
+                        per_q[qid] = heapq.nsmallest(shortlist, cand)
         out = {"query_id": [], "nbr_id": [], "adc": []}
         for qid, cand in per_q.items():
             for d, nbr in sorted(cand)[:shortlist]:

@@ -62,13 +62,18 @@ SCALE_H = 1_000_000_000
 
 
 def resolve_href(href: Column, base: Column) -> Column:
-    """Resolve an href against the page's base URL: root-relative paths
-    join scheme://host, absolute URLs pass through, anything else
-    (mailto:, fragments, protocol-relative) is NULLed out and dropped by
-    the caller.  Pure codegen."""
+    """Resolve an href against the page's base URL: absolute URLs pass
+    through, protocol-relative (//host/path) join the base's scheme,
+    root-relative paths join scheme://host, anything else (mailto:,
+    fragments, bare relative) is NULLed out and dropped by the caller.
+    Pure codegen."""
     scheme_host = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1)
+    scheme = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1)
     return (
         F.when(href.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://"), href)
+        # protocol-relative BEFORE the root-relative branch: '//b.com/x'
+        # must join the base's scheme, not concatenate onto its host
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
         .when(href.startswith("/"), F.concat(scheme_host, href))
         .otherwise(F.lit(None).cast("string"))
     )

@@ -4370,6 +4370,8 @@ pages AS (
 ), links0 AS (
   SELECT src,
          CASE WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.\\-]*://') THEN href
+              WHEN href LIKE '//%' THEN
+                regexp_extract(src, '^([A-Za-z][A-Za-z0-9+.\\-]*):', 1) || ':' || href
               WHEN href LIKE '/%' THEN
                 regexp_extract(src, '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1) || href
               ELSE NULL END AS dst_raw,

@@ -360,3 +360,22 @@ def test_triangle_stats_single_triangle_plus_pendant(spark):
     # c has degree 3, one triangle of C(3,2)=3 possible -> 2/6 = 333
     assert out["c"]["degree"] == 3 and out["c"]["clustering_x1000"] == 333
     assert out["d"] ["n_triangles"] == 0 and out["d"]["degree"] == 1
+
+
+def test_resolve_href_protocol_relative(spark):
+    """'//host/path' joins the BASE's scheme (not its host); mailto:
+    and bare-relative stay NULL."""
+    from pdf_extract_spark.operators.webgraph import resolve_href
+
+    df = spark.createDataFrame(
+        [("https://a.test/p", "//b.test/x"),
+         ("http://a.test/p", "//b.test/x"),
+         ("https://a.test/p", "/root"),
+         ("https://a.test/p", "mailto:x@y"),
+         ("https://a.test/p", "rel/path")],
+        "base string, href string",
+    )
+    out = [r["r"] for r in df.select(
+        resolve_href(F.col("href"), F.col("base")).alias("r")).collect()]
+    assert out == ["https://b.test/x", "http://b.test/x",
+                   "https://a.test/root", None, None]

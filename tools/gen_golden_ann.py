@@ -107,7 +107,7 @@ def ivf_rows(sf_dir: str):
     qmat = np.array([vecs[q] for q in QUERY_IDS], dtype=np.float64)
     probe = (
         c2[None, :] - 2.0 * np.einsum("ij,kj->ik", qmat, cent)
-    ).argsort(axis=1)[:, :N_PROBE]
+    ).argsort(axis=1, kind="stable")[:, :N_PROBE]
 
     rows = []
     for qi, q in enumerate(QUERY_IDS):
