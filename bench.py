@@ -91,6 +91,7 @@ HEADLINE = [
     "doc_source_token_quota",
     "corpus_summary_stats",
     "corpus_card",
+    "doc_vocab_coverage",
     "doc_repetition_flags",
     "doc_span_dedup",
     "doc_span_dedup_apply",

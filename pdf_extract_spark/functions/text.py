@@ -904,3 +904,86 @@ def source_token_quota(
             (F.col("tokens_before") < F.lit(int(cap_tokens))).alias("keep"),
         )
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    ks: "list[int]" = (10, 100, 1000),
+    text_col: str = "text",
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Vocabulary coverage curve: for each K, the fraction of corpus
+    TOKEN OCCURRENCES covered by the K most frequent words — the
+    diagnostic that sizes tokenizer vocabularies and stopword lists
+    (a steep curve says a small vocab suffices; a flat one says the
+    corpus is long-tailed and subword units are mandatory).
+
+    Scale shape: ONE corpus scan builds the word histogram (map-side
+    combined); the frequency ranking and the cumulative occurrence
+    count are the two-phase distributed prefix pattern run in
+    (count DESC, word) order — range-partition the histogram, local
+    rank+cumsum per partition, exclusive prefix over the P-row totals
+    broadcast back.  No vocabulary-sized single-task window.  The K
+    thresholds are plan literals; output is len(ks) rows.
+
+    Returns (k, covered_tokens, total_tokens, coverage_ppm) with
+    coverage_ppm = covered * 10^6 div total (exact BIGINT)."""
+    spark = docs.sparkSession
+    parts = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    hist = (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    d = (
+        hist.repartitionByRange(parts, F.col("cnt").desc(), F.col("w"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_local = Window.partitionBy("pid").orderBy(F.desc("cnt"), F.asc("w"))
+    local = d.withColumn("lrank", F.row_number().over(w_local)).withColumn(
+        "lcum", F.sum("cnt").over(w_local)
+    )
+    totals = d.groupBy("pid").agg(
+        F.count(F.lit(1)).alias("pcnt"), F.sum("cnt").alias("ptok")
+    )
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "pid",
+        F.coalesce(F.sum("pcnt").over(w_off), F.lit(0)).cast("long").alias(
+            "roff"
+        ),
+        F.coalesce(F.sum("ptok").over(w_off), F.lit(0)).cast("long").alias(
+            "toff"
+        ),
+    )
+    ranked = local.join(F.broadcast(offsets), "pid").select(
+        (F.col("lrank") + F.col("roff")).alias("rank"),
+        (F.col("lcum") + F.col("toff")).alias("cum"),
+    )
+    total = hist.agg(F.sum("cnt").cast("long").alias("total_tokens"))
+    rows = None
+    for k in ks:
+        cov = (
+            ranked.filter(F.col("rank") <= int(k))
+            .agg(F.max("cum").cast("long").alias("covered_tokens"))
+            .select(
+                F.lit(int(k)).cast("long").alias("k"), "covered_tokens"
+            )
+        )
+        rows = cov if rows is None else rows.unionByName(cov)
+    return (
+        rows.crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            F.coalesce("covered_tokens", F.lit(0)).cast("long").alias(
+                "covered_tokens"
+            ),
+            "total_tokens",
+            F.expr(
+                "coalesce(covered_tokens, 0L) * 1000000L div total_tokens"
+            ).alias("coverage_ppm"),
+        )
+        .orderBy("k")
+    )

@@ -1384,6 +1384,44 @@ ORDER BY doc_id
 """
 
 
+def doc_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve at K in {10, 100, 1000}
+    (functions/text.py:vocab_coverage): fraction of corpus token
+    occurrences covered by the K most frequent words — the
+    tokenizer-sizing diagnostic.  Frequency rank + cumulative counts
+    via the two-phase distributed prefix in (count DESC, word) order;
+    no vocabulary-sized single-task window."""
+    from .functions.text import vocab_coverage
+
+    return vocab_coverage(load(spark, sf_dir, "documents"))
+
+
+DOC_VOCAB_COVERAGE_SQL = r"""
+WITH hist AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+    FROM documents
+  ) WHERE w <> ''
+  GROUP BY w
+), ranked AS (
+  SELECT row_number() OVER (ORDER BY cnt DESC, w) AS rank,
+         sum(cnt) OVER (ORDER BY cnt DESC, w
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM hist
+), total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM hist)
+SELECT CAST(k.k AS BIGINT) AS k,
+       CAST(COALESCE((SELECT max(cum) FROM ranked WHERE rank <= k.k), 0)
+            AS BIGINT) AS covered_tokens,
+       total_tokens,
+       CAST(COALESCE((SELECT max(cum) FROM ranked WHERE rank <= k.k), 0)
+            * 1000000 // total_tokens AS BIGINT) AS coverage_ppm
+FROM (VALUES (10), (100), (1000)) AS k(k), total
+ORDER BY k
+"""
+
+
 def doc_quality_filter(spark, sf_dir):
     """Gopher-rule pretraining quality filter over the documents table
     (functions/text.py:gopher_quality_flags); per-rule booleans + keep."""
@@ -6744,6 +6782,7 @@ QUERIES = {
     "doc_source_token_quota": doc_source_token_quota,
     "corpus_summary_stats": corpus_summary_stats,
     "corpus_card": corpus_card,
+    "doc_vocab_coverage": doc_vocab_coverage,
     "doc_repetition_flags": doc_repetition_flags,
     "doc_span_dedup": doc_span_dedup,
     "doc_span_dedup_apply": doc_span_dedup_apply,
@@ -6895,6 +6934,7 @@ ORACLES = {
     "doc_source_token_quota": DOC_SOURCE_TOKEN_QUOTA_SQL,
     "corpus_summary_stats": CORPUS_SUMMARY_SQL,
     "corpus_card": CORPUS_CARD_SQL,
+    "doc_vocab_coverage": DOC_VOCAB_COVERAGE_SQL,
     "doc_repetition_flags": DOC_REPETITION_SQL,
     "doc_span_dedup": DOC_SPAN_DEDUP_SQL,
     "doc_span_dedup_apply": DOC_SPAN_DEDUP_APPLY_SQL,

@@ -488,3 +488,18 @@ def test_source_token_quota_partition_invariant_and_grouped(spark):
     txt = plan_of(source_token_quota(docs, 2000))
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", txt):
         assert ("pid" in spec) or ("ptok" in spec or "pcnt" in spec), spec
+
+
+def test_vocab_coverage_partition_invariant_and_pid_windows(spark):
+    """The coverage curve must not depend on where the range cuts fall,
+    and the histogram-facing windows must carry pid (the two-phase
+    prefix) — the only non-pid window is the P-row offsets frame."""
+    from pdf_extract_spark.functions.text import vocab_coverage
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = sorted(map(tuple, vocab_coverage(docs, num_parts=2).collect()))
+    b = sorted(map(tuple, vocab_coverage(docs, num_parts=9).collect()))
+    assert a == b
+    # curve is monotone and ends at full coverage once K >= vocab
+    ppm = [r[3] for r in a]
+    assert ppm == sorted(ppm)
