@@ -65,6 +65,9 @@ run at vocabulary scale.
 
 from __future__ import annotations
 
+import heapq
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -73,6 +76,126 @@ from .text import tokens
 # cut the fold-expression lineage every N merge rounds: keeps driver-side
 # analysis cost linear in the number of merges instead of quadratic
 _CHECKPOINT_EVERY = 4
+
+# Driver-path guard: when the distinct-word histogram fits comfortably on
+# the driver (vocab-sized, NEVER corpus-sized — 10^6 rows is ~20-40 MB of
+# words), the merge loop runs as a local incremental trainer, which is how
+# every production tokenizer trainer works: the corpus-scale work (the
+# histogram) stays distributed, the inherently sequential merge loop runs
+# where a 0.3 s/round Spark scheduling floor doesn't multiply by the merge
+# count.  Above the guard the exact distributed incremental loop below
+# takes over unchanged.  Both paths implement the identical spec (pair
+# counts weighted by word frequency, (count DESC, left, right) argmax,
+# min count 2, left-greedy application) and are parity-tested against
+# each other and the independent golden.
+_DRIVER_VOCAB_MAX = int(os.environ.get("SPARK_GRAFT_BPE_DRIVER_VOCAB", "1000000"))
+_DRIVER_VOCAB_CHAR_MAX = 64 * 1024 * 1024  # pathological mega-words -> fall back
+# bpe_segment's driver path costs O(vocab x rules); cap the product so a
+# 64k-rule production run over a large vocab falls back to the fold chain
+_DRIVER_SEGMENT_OPS_MAX = 50_000_000
+
+
+def _train_driver(
+    hist: "list[tuple[str, int]]", num_merges: int
+) -> "list[tuple[str, str, int]]":
+    """Local incremental BPE trainer over the collected (word, wcount)
+    histogram — exact same semantics as the distributed loop: overlapping
+    adjacent pair counts weighted by wcount, argmax under (count DESC,
+    left ASC, right ASC) via a lazy-deletion heap (Python tuple order on
+    strings == code-point order == Spark's UTF-8 byte order), min pair
+    count 2, left-greedy merge application.  Pair counts are maintained
+    incrementally through a pair->word inverted index (the "next rung"
+    the distributed loop's docstring names), so per-round cost is
+    delta-sized, not histogram-sized."""
+    syms: list[list[str]] = []
+    wcs: list[int] = []
+    pair_count: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for w, c in hist:
+        i = len(syms)
+        s = list(w)
+        syms.append(s)
+        wcs.append(int(c))
+        for p in zip(s, s[1:]):
+            pair_count[p] = pair_count.get(p, 0) + c
+            ws = pair_words.get(p)
+            if ws is None:
+                pair_words[p] = ws = set()
+            ws.add(i)
+    heap = [(-c, p[0], p[1]) for p, c in pair_count.items() if c >= 2]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(int(num_merges)):
+        best = None
+        while heap:
+            negc, left, right = heap[0]
+            cur = pair_count.get((left, right), 0)
+            if cur >= 2 and cur == -negc:
+                best = (left, right, cur)
+                break
+            heapq.heappop(heap)  # stale entry (count changed or dropped)
+        if best is None:
+            break
+        heapq.heappop(heap)  # consume the winning entry
+        left, right, cnt = best
+        merges.append((left, right, cnt))
+        merged = left + right
+        affected = pair_words.get((left, right), set())
+        changed: set[tuple[str, str]] = set()
+        for i in list(affected):
+            s = syms[i]
+            c = wcs[i]
+            # subtract the word's old pairs, apply the merge, add the new
+            # pairs: a stale index member (word no longer contains the
+            # pair) nets to zero — the same superset-filter tolerance the
+            # distributed delta recount documents
+            for p in zip(s, s[1:]):
+                pair_count[p] = pair_count.get(p, 0) - c
+                changed.add(p)
+            out: list[str] = []
+            for t in s:
+                if out and out[-1] == left and t == right:
+                    out[-1] = merged
+                else:
+                    out.append(t)
+            syms[i] = out
+            for p in zip(out, out[1:]):
+                pair_count[p] = pair_count.get(p, 0) + c
+                changed.add(p)
+                ws = pair_words.get(p)
+                if ws is None:
+                    pair_words[p] = ws = set()
+                ws.add(i)
+        for p in changed:
+            c2 = pair_count.get(p, 0)
+            if c2 <= 0:
+                pair_count.pop(p, None)
+            elif c2 >= 2:
+                heapq.heappush(heap, (-c2, p[0], p[1]))
+    return merges
+
+
+def _segment_word_driver(word: str, merges: "list") -> int:
+    """Number of BPE pieces of one word: every rule applied once, in rank
+    order, each as a single left-greedy pass — the exact per-word
+    semantics of the distributed fold chain."""
+    s = list(word)
+    for rule in merges:
+        left, right = rule[0], rule[1]
+        if left + right not in word:
+            # cheap superset substring probe on the ORIGINAL word: a merge
+            # can only assemble symbols that are substrings of the word,
+            # so left||right absent from the word means the fold is a
+            # no-op (same probe the distributed loop uses)
+            continue
+        out: list[str] = []
+        for t in s:
+            if out and out[-1] == left and t == right:
+                out[-1] = left + right
+            else:
+                out.append(t)
+        s = out
+    return len(s)
 
 
 def _symbols(word: Column) -> Column:
@@ -153,9 +276,26 @@ def bpe_train(
     scale.
     """
     spark = docs.sparkSession
+    hist = word_histogram(docs, text_col).localCheckpoint(eager=False)
+    if _DRIVER_VOCAB_MAX > 0:
+        # guarded driver path: ONE corpus-scale job builds the histogram
+        # (materialized through the checkpoint so a fallback reuses it);
+        # the collect is vocab-bounded by limit(N+1) — never corpus-sized
+        probe = hist.limit(_DRIVER_VOCAB_MAX + 1).collect()
+        if len(probe) <= _DRIVER_VOCAB_MAX and (
+            sum(len(r[0]) for r in probe) <= _DRIVER_VOCAB_CHAR_MAX
+        ):
+            merges = _train_driver(
+                [(r[0], int(r[1])) for r in probe], int(num_merges)
+            )
+            rows = [
+                (int(i), left, right, cnt)
+                for i, (left, right, cnt) in enumerate(merges)
+            ]
+            schema = "rank long, left string, right string, pair_count long"
+            return spark.createDataFrame(rows, schema), merges
     words = (
-        word_histogram(docs, text_col)
-        .select(_symbols(F.col("word")).alias("syms"), "wcount")
+        hist.select(_symbols(F.col("word")).alias("syms"), "wcount")
         .localCheckpoint(eager=False)
     )
     # the (left, right) count frame is built ONCE from the full histogram
@@ -275,18 +415,42 @@ def bpe_segment(
     (functions/lm.py): at real vocab sizes a forced driver broadcast is
     the OOM, not the win.  Docs whose text is empty count zero words
     and zero tokens (left join + coalesce)."""
+    spark = docs.sparkSession
     toks = docs.select(
         "doc_id", F.explode(tokens(F.lower(F.col(text_col)))).alias("word")
     ).filter(F.col("word") != "")
     vocab = toks.select("word").distinct()
-    seg = vocab.select("word", _symbols(F.col("word")).alias("syms"))
-    for i, rule in enumerate(merges):
-        seg = seg.select(
-            "word", _apply_merge(F.col("syms"), rule[0], rule[1]).alias("syms")
+    pieces = None
+    nrules = max(1, len(merges))
+    vocab_cap = min(_DRIVER_VOCAB_MAX, _DRIVER_SEGMENT_OPS_MAX // nrules)
+    if vocab_cap > 0:
+        # guarded driver path (same bound discipline as bpe_train): the
+        # distinct-word table is vocab-sized; segmenting it locally
+        # replaces `len(merges)` chained fold plans with one local pass
+        # and a broadcast-sized (word, n_pieces) relation.  The cap on
+        # vocab x rules sends production-sized runs to the fold chain.
+        probe = vocab.limit(vocab_cap + 1).collect()
+        if len(probe) <= vocab_cap and (
+            sum(len(r[0]) for r in probe) <= _DRIVER_VOCAB_CHAR_MAX
+        ):
+            rows = [
+                (r[0], _segment_word_driver(r[0], merges)) for r in probe
+            ]
+            pieces = spark.createDataFrame(
+                rows, "word string, n_pieces long"
+            )
+    if pieces is None:
+        seg = vocab.select("word", _symbols(F.col("word")).alias("syms"))
+        for i, rule in enumerate(merges):
+            seg = seg.select(
+                "word",
+                _apply_merge(F.col("syms"), rule[0], rule[1]).alias("syms"),
+            )
+            if (i + 1) % _CHECKPOINT_EVERY == 0:
+                seg = seg.localCheckpoint(eager=False)
+        pieces = seg.select(
+            "word", F.size("syms").cast("long").alias("n_pieces")
         )
-        if (i + 1) % _CHECKPOINT_EVERY == 0:
-            seg = seg.localCheckpoint(eager=False)
-    pieces = seg.select("word", F.size("syms").cast("long").alias("n_pieces"))
     per_doc = (
         toks.join(pieces, "word")
         .groupBy("doc_id")

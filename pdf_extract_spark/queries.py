@@ -41,7 +41,26 @@ TABLES = [
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Base-table reader with per-session PLAN memoization: repeated
+    `spark.read.parquet(path)` calls re-list the directory and re-read a
+    footer for schema inference on the DRIVER every time — across a
+    120-query bench where each query runs 4x, that driver-side latency
+    is pure overhead.  The memo stores the unresolved DataFrame (logical
+    plan), never data: every action still scans the parquet files, so
+    this is scan-plan reuse, not result caching.  Keyed on the session
+    object (a fresh session gets a fresh memo)."""
+    memo = getattr(spark, "_pes_load_memo", None)
+    if memo is None:
+        memo = {}
+        try:
+            spark._pes_load_memo = memo
+        except AttributeError:  # exotic session proxy: fall through uncached
+            return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (sf_dir, name)
+    df = memo.get(key)
+    if df is None:
+        df = memo[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return df
 
 
 # ---------------------------------------------------------------------------

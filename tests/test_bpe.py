@@ -119,3 +119,57 @@ def test_pack_bpe_composition(spark):
     last = max(by_chunk)
     assert all(v == 128 for c, v in by_chunk.items() if c != last)
     assert sum(by_chunk.values()) == total
+
+
+def test_driver_vs_distributed_parity(spark, monkeypatch):
+    """The guarded driver-path trainer/segmenter (r7 optimization) must be
+    bit-identical to the distributed incremental loop: same merge table,
+    same per-doc piece counts."""
+    import pdf_extract_spark.functions.bpe as bpe
+
+    rows = [
+        (f"d{i}", "spark shuffle spark sort shuffle merge bpe bpe zz zaa "
+                  * (1 + i % 3))
+        for i in range(30)
+    ] + [("de", ""), ("da", "aaa baab aba")]
+    docs = _docs(spark, rows)
+    _, m_driver = bpe.bpe_train(docs, 8)
+    seg_driver = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe.bpe_segment(docs, m_driver).collect()
+    }
+    monkeypatch.setattr(bpe, "_DRIVER_VOCAB_MAX", 0)
+    monkeypatch.setattr(bpe, "_DRIVER_SEGMENT_OPS_MAX", 0)
+    _, m_dist = bpe.bpe_train(docs, 8)
+    seg_dist = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe.bpe_segment(docs, m_dist).collect()
+    }
+    assert m_driver == m_dist
+    assert seg_driver == seg_dist
+
+
+def test_distributed_golden_parity_sf0001(spark, monkeypatch):
+    """The distributed loop (driver path disabled) still matches the
+    independent golden — guards the fallback the 100-TB shape relies on."""
+    import pdf_extract_spark.functions.bpe as bpe
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    con = duckdb.connect()
+    fp = con.execute(
+        "SELECT md5(string_agg(doc_id || '|' || text, '' ORDER BY doc_id)) "
+        f"FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    gm = con.execute(
+        "SELECT rank, \"left\", \"right\", pair_count FROM "
+        "'dist/golden_bpe_merges.parquet' WHERE corpus_fp = ? ORDER BY rank",
+        [fp],
+    ).fetchall()
+    if not gm:
+        pytest.skip("golden not generated for this corpus")
+    monkeypatch.setattr(bpe, "_DRIVER_VOCAB_MAX", 0)
+    mdf, _ = bpe.bpe_train(docs, 12)
+    got = [(r["rank"], r["left"], r["right"], r["pair_count"])
+           for r in mdf.orderBy("rank").collect()]
+    assert got == gm
