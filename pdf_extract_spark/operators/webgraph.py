@@ -199,12 +199,18 @@ def pagerank_fixed_point(
     n_nodes = base.count()
     teleport = (100 - damping_pct) * SCALE // (100 * n_nodes)
 
+    # initial ranks: a NARROW projection of the already-checkpointed
+    # base — checkpointing it separately cost one extra job per call
     ranks = base.select("node", "outdeg", F.lit(SCALE // n_nodes).alias("rank"))
-    ranks = ranks.localCheckpoint(eager=True)
     for it in range(iterations):
         ranks = pagerank_step(base, e, ranks, teleport, n_nodes, damping_pct)
         if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            # LAZY truncation: the logical plan is cut to an RDD scan
+            # immediately (what keeps the per-iteration plan constant-
+            # depth), but materialization is deferred to the final
+            # action — one driver round trip for the whole loop instead
+            # of one blocking job per iteration (r7: ~15% off the loop)
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", F.col("rank").alias("rank_e12"))
 
 
@@ -260,9 +266,17 @@ def hits_fixed_point(
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
+    # initial hubs: narrow projection of checkpointed nodes — no separate
+    # checkpoint job needed
     hubs = nodes.select("node", F.lit(SCALE_H // n_nodes).alias("hub"))
-    hubs = hubs.localCheckpoint(eager=True)
     auth = None
+    # The loop runs on SPARSE score frames: a node missing from `hubs` /
+    # `auth` holds an exact 0 — it contributes nothing to either the
+    # edge-sum or the L1 normalizer total, so dropping the per-half-step
+    # completion join (nodes left-join raw, coalesce 0) changes no value.
+    # That join is re-attached ONCE after the loop; removing it from the
+    # loop deletes two join stages per iteration (r7 measurement:
+    # web_hits 4.5 -> ~3 s at 10 iterations on the fixture graph).
     for it in range(iterations):
         auth = hits_authority_step(nodes, e, hubs)
         hubs = hits_hub_step(nodes, e, auth)
@@ -270,13 +284,15 @@ def hits_fixed_point(
         # dangling auth plan is one half-step deep — replayed exactly
         # once by the final join (one action per iteration, not two)
         if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
-            hubs = hubs.localCheckpoint(eager=True)
+            # lazy truncation, same rationale as pagerank_fixed_point
+            hubs = hubs.localCheckpoint(eager=False)
     return (
-        hubs.join(auth, "node")
+        nodes.join(hubs, "node", "left")
+        .join(auth, "node", "left")
         .select(
             "node",
-            F.col("hub").alias("hub_e9"),
-            F.col("auth").alias("auth_e9"),
+            F.coalesce("hub", F.lit(0)).alias("hub_e9"),
+            F.coalesce("auth", F.lit(0)).alias("auth_e9"),
         )
     )
 
@@ -298,30 +314,30 @@ def _l1_normalize(scores: DataFrame, col: str) -> DataFrame:
 
 
 def hits_authority_step(nodes: DataFrame, e: DataFrame, hubs: DataFrame) -> DataFrame:
-    """auth(v) = normalize(Σ hub(u) over in-edges (u,v)); nodes with no
-    in-links hold 0.  One shuffle keyed by dst after the src-keyed join."""
+    """auth(v) = normalize(Σ hub(u) over in-edges (u,v)) — SPARSE: nodes
+    with no in-links are simply absent (an exact 0; they contribute
+    nothing to the next edge-sum or normalizer).  One shuffle keyed by
+    dst after the src-keyed join.  `nodes` kept in the signature so the
+    plan-quality gates can probe a single step."""
     raw = (
         hubs.join(e, hubs["node"] == e["src"])
         .groupBy("dst")
         .agg(F.sum("hub").alias("auth"))
+        .select(F.col("dst").alias("node"), "auth")
     )
-    full = nodes.join(raw, nodes["node"] == raw["dst"], "left").select(
-        "node", F.coalesce("auth", F.lit(0)).alias("auth")
-    )
-    return _l1_normalize(full, "auth")
+    return _l1_normalize(raw, "auth")
 
 
 def hits_hub_step(nodes: DataFrame, e: DataFrame, auth: DataFrame) -> DataFrame:
-    """hub(u) = normalize(Σ auth(v) over out-edges (u,v))."""
+    """hub(u) = normalize(Σ auth(v) over out-edges (u,v)) — sparse, as
+    hits_authority_step."""
     raw = (
         auth.join(e, auth["node"] == e["dst"])
         .groupBy("src")
         .agg(F.sum("auth").alias("hub"))
+        .select(F.col("src").alias("node"), "hub")
     )
-    full = nodes.join(raw, nodes["node"] == raw["src"], "left").select(
-        "node", F.coalesce("hub", F.lit(0)).alias("hub")
-    )
-    return _l1_normalize(full, "hub")
+    return _l1_normalize(raw, "hub")
 
 
 def pagerank_step(
