@@ -55,7 +55,38 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .bpe import word_histogram
+from .bpe import (
+    _DRIVER_VOCAB_CHAR_MAX,
+    _DRIVER_VOCAB_MAX,
+    word_histogram,
+)
+
+
+def _seed_counts_driver(
+    hist: "list[tuple[str, int]]", max_piece_len: int, seed_max: int
+) -> "list[tuple[str, int]]":
+    """Local mirror of _seed_counts over a collected histogram: same
+    overlapping substring counts weighted by word frequency, same
+    (count DESC, piece ASC) ordering and >=2 multi-char floor.  Python
+    slicing and Spark substring both index code points, and Python's
+    string order equals Spark's UTF-8 byte order, so the seed list is
+    bit-identical to the distributed pass."""
+    counts: dict[str, int] = {}
+    for word, wc in hist:
+        n = len(word)
+        for s in range(n):
+            for l in range(1, min(max_piece_len, n - s) + 1):
+                p = word[s : s + l]
+                counts[p] = counts.get(p, 0) + wc
+    singles = sorted(
+        ((p, c) for p, c in counts.items() if len(p) == 1),
+        key=lambda t: (-t[1], t[0]),
+    )
+    multis = sorted(
+        ((p, c) for p, c in counts.items() if len(p) > 1 and c >= 2),
+        key=lambda t: (-t[1], t[0]),
+    )[:seed_max]
+    return singles + multis
 
 
 def _seed_counts(
@@ -192,31 +223,56 @@ def unigram_train(
     vocab_df is (rank, piece, piece_count) and pieces the same as a
     Python list for composition (segmentation, packing)."""
     spark = docs.sparkSession
-    hist = word_histogram(docs, text_col).localCheckpoint(eager=True)
-    pieces = _seed_counts(hist, max_piece_len, seed_max, spark)
+    # lazy checkpoint: the guard probe (or the first seed job) is what
+    # materializes the ONE corpus-scale pass either way
+    hist = word_histogram(docs, text_col).localCheckpoint(eager=False)
+    # Same guarded driver path as functions/bpe.py: the histogram is
+    # vocab-sized; when it fits under the bounded collect, the seed pass
+    # and the EM rounds (whose per-round piece table is already
+    # driver-collected even in the distributed shape) run locally and
+    # skip ~4 vocabulary-scale Spark jobs.  Larger vocabs fall back to
+    # the distributed loop unchanged; both paths share viterbi_pieces
+    # and the identical integer arithmetic, so results are bit-equal.
+    hist_rows: "list[tuple[str, int]] | None" = None
+    if _DRIVER_VOCAB_MAX > 0:
+        probe = hist.limit(_DRIVER_VOCAB_MAX + 1).collect()
+        if len(probe) <= _DRIVER_VOCAB_MAX and (
+            sum(len(r[0]) for r in probe) <= _DRIVER_VOCAB_CHAR_MAX
+        ):
+            hist_rows = [(r[0], int(r[1])) for r in probe]
+    if hist_rows is not None:
+        pieces = _seed_counts_driver(hist_rows, max_piece_len, seed_max)
+    else:
+        pieces = _seed_counts(hist, max_piece_len, seed_max, spark)
 
     for _ in range(rounds):
         counts = dict(pieces)
         denom = sum(counts.values()) + len(counts)
         mpl = max_piece_len
 
-        def estep(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in it:
-                out_piece: list[str] = []
-                out_cnt: list[int] = []
-                for word, wc in zip(pdf["word"], pdf["wcount"]):
-                    for p in viterbi_pieces(word, counts, denom, mpl):
-                        out_piece.append(p)
-                        out_cnt.append(int(wc))
-                yield pd.DataFrame({"piece": out_piece, "cnt": out_cnt})
+        if hist_rows is not None:
+            observed = {}
+            for word, wc in hist_rows:
+                for p in viterbi_pieces(word, counts, denom, mpl):
+                    observed[p] = observed.get(p, 0) + wc
+        else:
+            def estep(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in it:
+                    out_piece: list[str] = []
+                    out_cnt: list[int] = []
+                    for word, wc in zip(pdf["word"], pdf["wcount"]):
+                        for p in viterbi_pieces(word, counts, denom, mpl):
+                            out_piece.append(p)
+                            out_cnt.append(int(wc))
+                    yield pd.DataFrame({"piece": out_piece, "cnt": out_cnt})
 
-        new = (
-            hist.mapInPandas(estep, "piece string, cnt long")
-            .groupBy("piece")
-            .agg(F.sum("cnt").cast("long").alias("cnt"))
-            .collect()  # bounded: <= current vocab size rows
-        )
-        observed = {r["piece"]: int(r["cnt"]) for r in new}
+            new = (
+                hist.mapInPandas(estep, "piece string, cnt long")
+                .groupBy("piece")
+                .agg(F.sum("cnt").cast("long").alias("cnt"))
+                .collect()  # bounded: <= current vocab size rows
+            )
+            observed = {r["piece"]: int(r["cnt"]) for r in new}
         # singles always retained (coverage); unobserved pieces count 0
         singles = [(p, observed.get(p, 0)) for p, _ in pieces if len(p) == 1]
         multis = sorted(
@@ -259,19 +315,36 @@ def unigram_segment(
     ).filter(F.col("word") != "")
     vocab_words = toks.select("word").distinct()
 
-    def seg(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "word": pdf["word"],
-                    "n_pieces": [
-                        len(viterbi_pieces(w, counts, denom, mpl))
-                        for w in pdf["word"]
-                    ],
-                }
+    npieces = None
+    if _DRIVER_VOCAB_MAX > 0:
+        # guarded driver path (bpe_segment discipline): Viterbi over the
+        # collected distinct-word table, shipped back as a broadcast-
+        # sized local relation; large vocabs fall back to mapInPandas
+        probe = vocab_words.limit(_DRIVER_VOCAB_MAX + 1).collect()
+        if len(probe) <= _DRIVER_VOCAB_MAX and (
+            sum(len(r[0]) for r in probe) <= _DRIVER_VOCAB_CHAR_MAX
+        ):
+            rows = [
+                (r[0], len(viterbi_pieces(r[0], counts, denom, mpl)))
+                for r in probe
+            ]
+            npieces = docs.sparkSession.createDataFrame(
+                rows, "word string, n_pieces long"
             )
+    if npieces is None:
+        def seg(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                yield pd.DataFrame(
+                    {
+                        "word": pdf["word"],
+                        "n_pieces": [
+                            len(viterbi_pieces(w, counts, denom, mpl))
+                            for w in pdf["word"]
+                        ],
+                    }
+                )
 
-    npieces = vocab_words.mapInPandas(seg, "word string, n_pieces long")
+        npieces = vocab_words.mapInPandas(seg, "word string, n_pieces long")
     per_doc = (
         toks.join(npieces, "word")
         .groupBy("doc_id")

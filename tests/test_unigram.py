@@ -127,3 +127,24 @@ def test_viterbi_long_word_guard_bounded_and_blockwise():
     a = viterbi_pieces(w[:MAX_VITERBI_WORD], counts, denom, 4)
     b = viterbi_pieces(w[MAX_VITERBI_WORD:], counts, denom, 4)
     assert got == a + b
+
+
+def test_driver_vs_distributed_parity(spark, monkeypatch):
+    """The guarded driver path (r7) must match the distributed loop
+    bit-for-bit: same seed list, same trained pieces, same per-doc
+    segment counts."""
+    import pdf_extract_spark.functions.unigram as ug
+
+    rows = [(f"d{i}", "viterbi piece table unigram spark train loop "
+                      * (1 + i % 4)) for i in range(25)] + [("de", "")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    vdf_a, p_a = ug.unigram_train(docs, vocab_size=48, rounds=2)
+    seg_a = {r["doc_id"]: (r["n_words"], r["n_unigram_tokens"])
+             for r in ug.unigram_segment(docs, p_a).collect()}
+    monkeypatch.setattr(ug, "_DRIVER_VOCAB_MAX", 0)
+    vdf_b, p_b = ug.unigram_train(docs, vocab_size=48, rounds=2)
+    seg_b = {r["doc_id"]: (r["n_words"], r["n_unigram_tokens"])
+             for r in ug.unigram_segment(docs, p_b).collect()}
+    assert p_a == p_b
+    assert sorted(map(tuple, vdf_a.collect())) == sorted(map(tuple, vdf_b.collect()))
+    assert seg_a == seg_b
