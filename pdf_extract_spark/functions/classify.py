@@ -71,23 +71,32 @@ def nb_score(
     )
     toks = labeled.select("doc_id", "y", F.explode("ts").alias("t"))
 
-    # per-class token counts -> one row per vocab token with both columns
+    # per-class token counts -> one row per vocab token with both columns.
+    # Checkpointed because it feeds BOTH the weight join and the
+    # token-total scalars below: the frame is vocabulary-sized (narrow,
+    # safe at any corpus scale) and without the cut the corpus-scale
+    # explode + groupBy ran once per consumer.
     counts = (
         toks.groupBy("t")
         .agg(
             F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("c_pos"),
             F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("c_neg"),
         )
+        # eager: the weight join and the scalar agg below could otherwise
+        # race to materialize it from two concurrent broadcast stages,
+        # each re-running the corpus explode
+        .localCheckpoint(eager=True)
     )
     # scalars as TWO independent one-row broadcast frames — never
-    # collected.  Keeping the token totals and the doc-count priors
-    # separate matters: Catalyst prunes columns, not join inputs, so a
-    # single cross-joined frame would re-run the full corpus explode +
-    # aggregate a second time just to read d_pos/d_neg at the end.
-    tok_scalars = toks.agg(
-        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("n_pos"),
-        F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("n_neg"),
-        F.countDistinct("t").alias("v"),
+    # collected.  Token totals and V now DERIVE from the vocab-sized
+    # `counts` frame (n_class = Σ c_class, V = row count) instead of
+    # re-exploding the corpus: same values, one corpus pass saved.
+    # Keeping them separate from the doc-count priors still matters:
+    # Catalyst prunes columns, not join inputs.
+    tok_scalars = counts.agg(
+        F.sum("c_pos").alias("n_pos"),
+        F.sum("c_neg").alias("n_neg"),
+        F.count(F.lit(1)).alias("v"),
     )
     doc_scalars = labeled.agg(
         F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("d_pos"),

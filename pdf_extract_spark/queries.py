@@ -41,26 +41,30 @@ TABLES = [
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Base-table reader with per-session PLAN memoization: repeated
-    `spark.read.parquet(path)` calls re-list the directory and re-read a
-    footer for schema inference on the DRIVER every time — across a
-    120-query bench where each query runs 4x, that driver-side latency
-    is pure overhead.  The memo stores the unresolved DataFrame (logical
-    plan), never data: every action still scans the parquet files, so
-    this is scan-plan reuse, not result caching.  Keyed on the session
+    """Base-table reader with per-session SCHEMA memoization: repeated
+    `spark.read.parquet(path)` calls re-read a footer for schema
+    inference on the DRIVER every time — across a 120-query bench where
+    each query runs 4x, that driver-side latency is pure overhead.  The
+    memo stores only the inferred StructType; every call still returns a
+    FRESH DataFrame (memoizing the DataFrame itself makes two loads of
+    the same table the same plan instance, which breaks self-joins with
+    ambiguous-column errors), and every action still scans the parquet
+    files — metadata reuse, not result caching.  Keyed on the session
     object (a fresh session gets a fresh memo)."""
-    memo = getattr(spark, "_pes_load_memo", None)
+    path = f"{sf_dir}/{name}.parquet"
+    memo = getattr(spark, "_pes_schema_memo", None)
     if memo is None:
         memo = {}
         try:
-            spark._pes_load_memo = memo
+            spark._pes_schema_memo = memo
         except AttributeError:  # exotic session proxy: fall through uncached
-            return spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    key = (sf_dir, name)
-    df = memo.get(key)
-    if df is None:
-        df = memo[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    return df
+            return spark.read.parquet(path)
+    schema = memo.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        memo[path] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
 
 
 # ---------------------------------------------------------------------------
