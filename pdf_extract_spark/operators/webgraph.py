@@ -181,8 +181,7 @@ def pagerank_fixed_point(
     """
     e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        e.select(F.explode(F.array("src", "dst")).alias("node"))
         .distinct()
     )
     # out-degree per node; nodes without outlinks keep deg = 0 (dangling)
@@ -260,8 +259,7 @@ def hits_fixed_point(
     """
     e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        e.select(F.explode(F.array("src", "dst")).alias("node"))
         .distinct()
         .localCheckpoint(eager=True)
     )

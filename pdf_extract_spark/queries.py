@@ -4781,11 +4781,14 @@ def _robots_parsed(spark):
 
 
 def _web_nodes(spark):
-    """Every canonical URL the link graph knows — the crawl frontier."""
+    """Every canonical URL the link graph knows — the crawl frontier.
+    One explode over a SINGLE pass of the link extraction: the previous
+    src-union-dst form scanned the HTML-regex extraction subtree twice
+    (Spark has no cross-branch subtree reuse; same fix as the
+    connected-components edge symmetrization)."""
     links = _web_links(spark)
     return (
-        links.select(F.col("src").alias("url"))
-        .union(links.select(F.col("dst").alias("url")))
+        links.select(F.explode(F.array("src", "dst")).alias("url"))
         .distinct()
     )
 
