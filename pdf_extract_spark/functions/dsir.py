@@ -82,13 +82,19 @@ def dsir_weights(docs: DataFrame, target_pred: Column, text_col: str = "text",
     labeled = docs.select("doc_id", target_pred.cast("boolean").alias("y"),
                           text_col)
     feats = _hashed_grams(labeled, text_col, buckets, ("doc_id", "y"))
+    # checkpointed: the histogram is <= `buckets` rows at any corpus
+    # scale and feeds both the weight table and the totals below —
+    # without the cut the corpus-scale gram explode ran once per
+    # consumer (same fix as functions/classify.py's counts frame)
     hist = feats.groupBy("b").agg(
         F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("long").alias("c_t"),
         F.sum(F.when(F.col("y"), 0).otherwise(1)).cast("long").alias("c_r"),
-    )
-    totals = feats.agg(
-        F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("long").alias("n_t"),
-        F.sum(F.when(F.col("y"), 0).otherwise(1)).cast("long").alias("n_r"),
+    ).localCheckpoint(eager=True)
+    # side totals DERIVE from the histogram (Σ over buckets of each
+    # side's counts) — same values, one corpus pass saved
+    totals = hist.agg(
+        F.sum("c_t").cast("long").alias("n_t"),
+        F.sum("c_r").cast("long").alias("n_r"),
     )
     bucket_w = (
         hist.crossJoin(F.broadcast(totals))

@@ -72,8 +72,20 @@ def lm_perplexity(
     or down-samples.
     """
     ref_bg = _bigram_frame(docs.filter(ref_filter), text_col)
-    bg_counts = ref_bg.groupBy("w1", "w2").agg(F.count("*").alias("c_bg"))
-    ctx_counts = ref_bg.groupBy("w1").agg(F.count("*").alias("c_ctx"))
+    # checkpointed: bigram-vocabulary-sized (never corpus-sized), and it
+    # feeds both the bigram join and the context counts below — without
+    # the cut the reference-slice bigram explode ran once per consumer
+    bg_counts = (
+        ref_bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_bg"))
+        .localCheckpoint(eager=True)
+    )
+    # context counts DERIVE from the bigram counts (c_ctx(w1) = Σ_w2
+    # c_bg(w1, w2) — every bigram occurrence is one context occurrence):
+    # same values, one reference-slice pass saved
+    ctx_counts = bg_counts.groupBy("w1").agg(
+        F.sum("c_bg").cast("long").alias("c_ctx")
+    )
     vocab = (
         docs.filter(ref_filter)
         .select(F.explode(_ltoks(F.col(text_col))).alias("t"))
