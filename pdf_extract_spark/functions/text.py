@@ -962,7 +962,11 @@ def vocab_coverage(
         (F.col("lrank") + F.col("roff")).alias("rank"),
         (F.col("lcum") + F.col("toff")).alias("cum"),
     )
-    total = hist.agg(F.sum("cnt").cast("long").alias("total_tokens"))
+    # total tokens from the checkpointed per-partition totals, NOT from
+    # `hist`: aggregating the un-materialized hist re-ran the corpus
+    # explode + groupBy a second time (ADVICE r6 finding — the ONE
+    # corpus scan contract now actually holds)
+    total = totals.agg(F.sum("ptok").cast("long").alias("total_tokens"))
     rows = None
     for k in ks:
         cov = (

@@ -72,8 +72,15 @@ def resolve_href(href: Column, base: Column) -> Column:
     return (
         F.when(href.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://"), href)
         # protocol-relative BEFORE the root-relative branch: '//b.com/x'
-        # must join the base's scheme, not concatenate onto its host
-        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        # must join the base's scheme, not concatenate onto its host;
+        # a malformed schemeless base NULLs the edge like every other
+        # invalid case instead of emitting '://host/path' (ADVICE r6
+        # finding — the otherwise() inside the branch keeps the href
+        # from falling through to the root-relative arm)
+        .when(
+            href.startswith("//"),
+            F.when(scheme != "", F.concat(scheme, F.lit(":"), href)),
+        )
         .when(href.startswith("/"), F.concat(scheme_host, href))
         .otherwise(F.lit(None).cast("string"))
     )

@@ -1810,6 +1810,14 @@ def doc_mix_epochs(spark, sf_dir):
             # truncate 123.9999… to 123 where DuckDB's `//` gives 124)
             F.expr("isqrt * 1000000L div ssum").alias("weight_ppm"),
             F.expr("2L * ntotal * isqrt div ssum").alias("planned_tokens"),
+            # intermediate bound (ADVICE r6): 2*ntotal*isqrt*1000 must
+            # stay under 2^63, i.e. ntotal*isqrt < ~4.6e15 — with
+            # isqrt = floor(sqrt(per-source tokens)) that holds up to
+            # ~2.7e12 total corpus tokens per source-uniform mix (and
+            # ANSI mode RAISES rather than wraps beyond it).  Corpora
+            # past that bound should compute this column on
+            # DECIMAL(38,0); documented rather than reordered because a
+            # div reorder changes the floor rounding the oracle pins.
             F.expr(
                 "2L * ntotal * isqrt * 1000L div (ssum * n_tokens)"
             ).alias("epochs_x1000"),

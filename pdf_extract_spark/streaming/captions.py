@@ -78,7 +78,18 @@ def make_caption_aligner(
     """Returns the applyInPandasWithState function.  State is the JSON
     span buffer plus the last event-time second; emission happens ONLY
     on timeout (documents have no end marker — quiet-for-gap IS the end
-    signal), so every doc emits exactly once."""
+    signal), so every doc emits exactly once PER QUIET PERIOD.
+
+    At-least-once caveat (ADVICE r6): the exactly-once contract assumes
+    the quiet gap exceeds the doc's real event-time spread.  A span
+    arriving after the gap timeout fired (but still ahead of the
+    watermark) re-creates state and emits a SECOND caption set for the
+    same doc with a fresh media counter — downstream consumers must
+    treat (doc_id, media_ref) rows as at-least-once and dedup/merge on
+    doc_id (the batch path is unaffected; its input is complete by
+    construction).  Retaining an emitted-tombstone per doc_id would
+    buy exactly-once at the cost of unbounded state — rejected for the
+    same reason the watermark exists."""
 
     def align(key, pdfs: Iterator[pd.DataFrame], state):
         zone = resolve_zone(tz)

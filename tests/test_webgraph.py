@@ -379,3 +379,26 @@ def test_resolve_href_protocol_relative(spark):
         resolve_href(F.col("href"), F.col("base")).alias("r")).collect()]
     assert out == ["https://b.test/x", "http://b.test/x",
                    "https://a.test/root", None, None]
+
+
+def test_resolve_href_schemeless_base_nulls(spark):
+    """ADVICE r6: a protocol-relative href against a malformed schemeless
+    base must NULL out (and be dropped), not emit '://host/path'."""
+    from pyspark.sql import functions as F
+
+    from pdf_extract_spark.operators.webgraph import resolve_href
+
+    df = spark.createDataFrame(
+        [("//b.example/x", "not-a-url"),
+         ("//b.example/x", "https://a.example/p"),
+         ("/rel", "not-a-url")],
+        "href string, base string",
+    )
+    got = [
+        r["r"]
+        for r in df.select(
+            resolve_href(F.col("href"), F.col("base")).alias("r")
+        ).collect()
+    ]
+    assert got[0] is None
+    assert got[1] == "https://b.example/x"
