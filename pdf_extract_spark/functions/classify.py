@@ -224,7 +224,10 @@ def nb_topk_filter(
             "poffset", F.coalesce(F.sum("ptotal").over(w_off), F.lit(0)).cast("long")
         )
     )
-    k_frame = hist.agg(
+    # k derives from the checkpointed range-partitioned histogram `h`
+    # (same rows as `hist`): aggregating `hist` directly re-ran the
+    # corpus-scale margin groupBy a second time
+    k_frame = h.agg(
         F.ceil(F.sum("cnt") * F.lit(int(pct)) / F.lit(100.0))
         .cast("long")
         .alias("k")
