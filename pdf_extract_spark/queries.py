@@ -6632,7 +6632,6 @@ def interleaved_funnel(spark, sf_dir):
     than replaying the manifest — an independent derivation of the
     same quantity."""
     from .operators.interleave import (
-        interleave_stats,
         media_captions,
         pack_interleaved,
         synth_interleaved,
@@ -6644,15 +6643,25 @@ def interleaved_funnel(spark, sf_dir):
     # and the other branches reuse the partitions instead of re-running
     # the explode+window three times (4.5 s -> ~2 s at sf0.1)
     spans = synth_interleaved(docs).localCheckpoint(eager=False)
-    stats = interleave_stats(spans)
-    a = stats.agg(
-        F.count("*").cast("long").alias("docs_total"),
-        F.sum((F.col("n_media") >= 1).cast("long"))
+    # stage 1-2 counts DIRECTLY from the spans frame (r7): stats rows are
+    # exactly the docs with >= 1 span, and docs_with_media the docs with
+    # >= 1 media span, so countDistinct over spans gives the identical
+    # numbers without building the interleave profile twice (the stats
+    # frame used to feed BOTH this agg and the with-media spine — each
+    # consumer re-ran its groupBy over spans)
+    a = spans.agg(
+        F.countDistinct("doc_id").cast("long").alias("docs_total"),
+        F.countDistinct(F.when(F.col("kind") == "media", F.col("doc_id")))
         .cast("long")
         .alias("docs_with_media"),
     )
-    wm = stats.filter(F.col("n_media") >= 1).select("doc_id")
-    caps = media_captions(spans.join(wm, "doc_id"), max_words=6, min_words=0)
+    wm = spans.filter(F.col("kind") == "media").select("doc_id").distinct()
+    # caps feeds the caption agg AND the kept-doc spine: eager-checkpoint
+    # the caption-pair-sized frame so the double-window mining pass runs
+    # once, not once per consumer (measured 2.4-2.8 -> ~2.0 s at sf0.1)
+    caps = media_captions(
+        spans.join(wm, "doc_id"), max_words=6, min_words=0
+    ).localCheckpoint(eager=True)
     b = caps.agg(
         F.count("*").cast("long").alias("captions_mined"),
         F.sum((F.col("caption_words") >= 3).cast("long"))
